@@ -1,0 +1,131 @@
+"""The flagship pipeline — the north rule end-to-end:
+
+    pages parquet
+      → strip_html extraction (byte-identical per url vs reference)
+      → hash-partition on url, dedupe (FIFO: first crawl per url wins)
+      → tumbling event-time windows on warc_ts (10s, UTC-epoch aligned,
+        left-open/right-closed, allowed_lateness)
+      → per-(window, lang) aggregate: pages, extracted-text bytes
+      → stateful stream-table join against the per-lang enrichment
+        table (last-write-wins versions)
+      → exactly-once partitioned Parquet sink
+
+Two execution modes over the same semantics:
+
+- ``flagship_streaming``: the micro-batch watermark engine
+  (bento_ray.streaming) — stateful actors, per-partition checkpoints,
+  resume. The real engine.
+- ``flagship_batch``: pure bounded Dataset plan (map_batches → groupby)
+  — used for cross-checking results and as the bench reference point.
+  Both must produce identical pane rows for on-time bounded input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from bento_ray.html import strip_html_batch
+from bento_ray.stages.window import assign_tumbling
+from bento_ray.testgen.pages import BASE_TS_US, lang_info_table, lang_updates_table
+from bento_ray.util import rfc3339nano
+
+
+def dim_versions_table(include_updates: bool = True) -> pa.Table:
+    """lang_info v1 (valid from -inf) + the v2 update stream, as one
+    versioned dimension for last-write-wins asof joins."""
+    v1 = lang_info_table().to_pandas()
+    v1["update_ts"] = np.int64(-(1 << 62))
+    frames = [v1]
+    if include_updates:
+        v2 = lang_updates_table().to_pandas()
+        v2["update_ts"] = v2["update_ts"].astype("int64")
+        frames.append(v2)
+    dim = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(dim, preserve_index=False)
+
+
+class _Extract:
+    """html → text + byte count; drops the heavy html column immediately
+    after extraction (project early — SURVEY.md §7.4.7)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = strip_html_batch(t.column("html").to_pylist())
+        nbytes = pa.array(
+            [len(x.encode("utf-8")) if x is not None else 0 for x in texts],
+            pa.int64())
+        out = t.drop_columns(["html"])
+        return out.append_column("extracted_nbytes", nbytes)
+
+
+def flagship_batch(pages_path: str, window_size_us: int = 10_000_000,
+                   include_updates: bool = True):
+    """Bounded Dataset plan of the flagship. Returns a Dataset of
+    (window_end, lang, pages, nbytes, lang_name, script, version,
+    window_end_timestamp)."""
+    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+    ds = ds.map_batches(_Extract(), batch_format="pyarrow")
+
+    # dedupe: first crawl per url (two-phase: per-batch partial, then
+    # hash-shuffle groupby on url)
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values("warc_ts", kind="stable").drop_duplicates(
+            subset=["url"], keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = ds.map_batches(_partial, batch_format="pyarrow")
+    ds = ds.groupby("url").map_groups(
+        lambda g: g.sort_values("warc_ts", kind="stable").head(1),
+        batch_format="pandas")
+
+    ds = ds.map_batches(
+        lambda t: assign_tumbling(t, "warc_ts", window_size_us),
+        batch_format="pyarrow")
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = ds.groupby(["window_end", "lang"]).aggregate(
+        Count(alias_name="pages"),
+        Sum("extracted_nbytes", alias_name="nbytes"),
+    )
+
+    dim = dim_versions_table(include_updates).to_pandas()
+    dim = dim.sort_values("update_ts", kind="stable")
+
+    def _enrich(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        we = pd.to_datetime(df["window_end"], utc=True)
+        df["__we_us"] = we.astype("datetime64[us, UTC]").astype("int64")
+        df = df.sort_values("__we_us", kind="stable")
+        out = pd.merge_asof(df, dim, left_on="__we_us", right_on="update_ts",
+                            by="lang", direction="backward")
+        out["window_end_timestamp"] = [rfc3339nano(v) for v in out["__we_us"]]
+        out = out.drop(columns=["__we_us", "update_ts"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return agg.map_batches(_enrich, batch_format="pyarrow")
+
+
+def flagship_streaming(pages_path: str, out_dir: str, *,
+                       partitions: int = 8,
+                       window_size_us: int = 10_000_000,
+                       lateness_us: int = 2_000_000,
+                       files_per_epoch: int = 2,
+                       include_updates: bool = True,
+                       resume: bool = True) -> dict:
+    from bento_ray.streaming import StreamConfig, run_stream
+
+    cfg = StreamConfig(
+        window_size_us=window_size_us,
+        allowed_lateness_us=lateness_us,
+        partitions=partitions,
+        out_partitions=partitions,
+        files_per_epoch=files_per_epoch,
+    )
+    return run_stream(pages_path, cfg, out_dir,
+                      dim_versions=dim_versions_table(include_updates),
+                      resume=resume)

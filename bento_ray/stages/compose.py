@@ -1,0 +1,234 @@
+"""Composition / control-flow operators: switch, group_by, branch,
+try/catch — expressed as masked vectorized transforms that preserve the
+reference's ordering guarantees.
+
+Error routing: instead of the reference's per-part error flag
+(message/part.go:69-78) we carry a nullable ``err`` string column;
+``try``/``catch`` are masked applications over it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bento_ray.util import to_table
+
+Predicate = Callable[[pa.Table], pa.Array]
+BatchFn = Callable[[pa.Table], pa.Table]
+
+ERR_COL = "err"
+
+
+def _mask_of(pred: Predicate | None, t: pa.Table) -> np.ndarray:
+    if pred is None:
+        return np.ones(len(t), dtype=bool)
+    m = pred(t)
+    if isinstance(m, (pa.Array, pa.ChunkedArray)):
+        m = m.to_numpy(zero_copy_only=False)
+    return np.asarray(m, dtype=bool)
+
+
+def switch_table(t: pa.Table, cases: Sequence[tuple[Predicate | None, BatchFn | None]],
+                 fallthrough: Sequence[bool] | None = None) -> pa.Table:
+    """Bento ``switch`` (processor_switch.go:160): route each row to the
+    first case whose check passes (``fallthrough`` lets a row continue
+    into the next case); each case's transform runs on its row subset;
+    the result is reassembled in ORIGINAL input order (the reference's
+    SortGroup re-ordering, processor_switch.go:165,225).
+
+    Constraint inherited from columnar reassembly: case transforms must
+    be 1:1 per row (no row drops/additions inside a case — drop via a
+    later filter on a marker column instead)."""
+    t = to_table(t)
+    n = len(t)
+    if fallthrough is None:
+        fallthrough = [False] * len(cases)
+    order = np.arange(n)
+    active = np.ones(n, dtype=bool)
+    pieces: list[tuple[np.ndarray, pa.Table]] = []
+    for (pred, fn), ft in zip(cases, fallthrough):
+        m = _mask_of(pred, t) & active
+        if not m.any():
+            continue
+        idx = order[m]
+        sub = t.take(pa.array(idx))
+        out = fn(sub) if fn is not None else sub
+        if len(out) != len(sub):
+            raise ValueError("switch case transforms must be 1:1 per row")
+        pieces.append((idx, out))
+        if not ft:
+            active &= ~m
+    # untouched rows pass through unchanged
+    if active.any():
+        idx = order[active]
+        pieces.append((idx, t.take(pa.array(idx))))
+    if not pieces:
+        return t.slice(0, 0)
+    all_idx = np.concatenate([p[0] for p in pieces])
+    merged = pa.concat_tables([p[1] for p in pieces], promote_options="default")
+    restore = np.argsort(all_idx, kind="stable")
+    return merged.take(pa.array(restore))
+
+
+def switch(ds, cases, fallthrough=None):
+    """Dataset-level switch: one map_batches applying switch_table."""
+    return ds.map_batches(
+        lambda t: switch_table(t, cases, fallthrough), batch_format="pyarrow"
+    )
+
+
+def group_by_table(t: pa.Table, checks: Sequence[tuple[Predicate, BatchFn | None]],
+                   groupless_fn: BatchFn | None = None) -> list[pa.Table]:
+    """Bento ``group_by`` (processor_group_by.go:130): split a semantic
+    batch into N groups by first-matching check (non-matching rows form
+    a trailing "groupless" group), run per-group processors, emit one
+    batch per group in declaration order."""
+    t = to_table(t)
+    active = np.ones(len(t), dtype=bool)
+    out: list[pa.Table] = []
+    for pred, fn in checks:
+        m = _mask_of(pred, t) & active
+        active &= ~m
+        sub = t.filter(pa.array(m))
+        if len(sub):
+            out.append(fn(sub) if fn is not None else sub)
+    if active.any():
+        sub = t.filter(pa.array(active))
+        out.append(groupless_fn(sub) if groupless_fn is not None else sub)
+    return out
+
+
+def group_by_value_table(t: pa.Table, key_col: str) -> list[tuple[str, pa.Table]]:
+    """Bento ``group_by_value`` (processor_group_by_value.go:86): split a
+    batch into per-key sub-batches, insertion-ordered by first
+    occurrence of each key."""
+    t = to_table(t)
+    keys = t.column(key_col).to_pylist()
+    seen: dict = {}
+    for k in keys:
+        if k not in seen:
+            seen[k] = None
+    out = []
+    karr = t.column(key_col)
+    for k in seen:
+        mask = pc.equal(karr, pa.scalar(k, karr.type))
+        out.append((k, t.filter(mask)))
+    return out
+
+
+def branch(ds, request_map: BatchFn, child: BatchFn, result_map):
+    """Bento ``branch`` (processor_branch.go:284): project request
+    columns → child transform → merge result columns back onto the
+    original rows by position. ``result_map(original, child_out)``
+    returns the merged table; child must be 1:1 per row."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        req = request_map(t)
+        res = child(req)
+        if len(res) != len(t):
+            raise ValueError("branch child must be 1:1 per row")
+        return result_map(t, res)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def workflow(ds, branches: dict[str, tuple[Sequence[str], BatchFn]]):
+    """Bento ``workflow`` (processor_workflow.go:47-115): DAG of named
+    branches executed in topological layers. ``branches`` maps name →
+    (dependencies, batch fn); each fn sees the cumulative table."""
+    done: set[str] = set()
+    remaining = dict(branches)
+    layers: list[list[BatchFn]] = []
+    while remaining:
+        layer = [n for n, (deps, _) in remaining.items() if all(d in done for d in deps)]
+        if not layer:
+            raise ValueError("workflow dependency cycle")
+        layers.append([remaining[n][1] for n in layer])
+        done.update(layer)
+        for n in layer:
+            del remaining[n]
+
+    def _apply(fns):
+        def _f(t: pa.Table) -> pa.Table:
+            for fn in fns:
+                t = fn(t)
+            return t
+        return _f
+
+    for fns in layers:
+        ds = ds.map_batches(_apply(fns), batch_format="pyarrow")
+    return ds
+
+
+def _ensure_err(t: pa.Table) -> pa.Table:
+    if ERR_COL not in t.column_names:
+        return t.append_column(ERR_COL, pa.nulls(len(t), pa.string()))
+    return t
+
+
+def try_stage(ds, fn: BatchFn):
+    """Bento ``try`` (processor_try.go): apply ``fn`` only to rows not
+    already errored; rows where fn raises keep their original values and
+    gain an ``err`` message (per-row error isolation is achieved by
+    retrying the failing batch row-by-row — the vectorized path stays
+    hot, the degraded path only runs on failure)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = _ensure_err(t)
+        ok = pc.is_null(t.column(ERR_COL)).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return t
+        idx = np.flatnonzero(ok)
+        sub = t.take(pa.array(idx))
+        try:
+            out = fn(sub)
+            if len(out) != len(sub):
+                raise ValueError("try child must be 1:1 per row")
+        except Exception:
+            # degraded path: per-row application to isolate failures
+            rows = []
+            for i in range(len(sub)):
+                one = sub.slice(i, 1)
+                try:
+                    rows.append(fn(one))
+                except Exception as e:  # noqa: BLE001 — error routed to column
+                    failed = one.set_column(
+                        one.column_names.index(ERR_COL), ERR_COL,
+                        pa.array([str(e)], pa.string()))
+                    rows.append(failed)
+            out = pa.concat_tables(rows, promote_options="default")
+        from bento_ray.stages.compose import switch_table  # self, for order
+        merged = pa.concat_tables(
+            [out, t.filter(pa.array(~ok))], promote_options="default")
+        all_idx = np.concatenate([idx, np.flatnonzero(~ok)])
+        return merged.take(pa.array(np.argsort(all_idx, kind="stable")))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def catch_errors(ds, fn: BatchFn | None = None):
+    """Bento ``catch`` (processor_catch.go): run ``fn`` only on errored
+    rows, then CLEAR their error flag."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = _ensure_err(t)
+        bad = pc.is_valid(t.column(ERR_COL)).to_numpy(zero_copy_only=False)
+        if not bad.any():
+            return t
+        idx = np.flatnonzero(bad)
+        sub = t.take(pa.array(idx))
+        if fn is not None:
+            sub = fn(sub)
+        sub = sub.set_column(sub.column_names.index(ERR_COL), ERR_COL,
+                             pa.nulls(len(sub), pa.string()))
+        ok_idx = np.flatnonzero(~bad)
+        merged = pa.concat_tables(
+            [sub, t.take(pa.array(ok_idx))], promote_options="default")
+        all_idx = np.concatenate([idx, ok_idx])
+        return merged.take(pa.array(np.argsort(all_idx, kind="stable")))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

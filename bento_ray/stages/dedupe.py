@@ -1,0 +1,74 @@
+"""Deduplication.
+
+Reference: ``dedupe`` processor
+(/root/reference/internal/impl/pure/processor_dedupe.go:160-209): per
+message, interpolate a key and ``cache.Add(key)``; drop when the key
+exists. ``strategy: FIFO`` keeps the FIRST occurrence per key, ``LIFO``
+the LAST (reverse scan + prepend) — both emit survivors in original
+positional order.
+
+Two scopes here:
+
+- ``dedupe_pane``: exact reference semantics within one semantic batch
+  (window pane) — pure, ordered, vectorized.
+- ``dedupe_exact``: dataset-global streaming-safe dedupe. Ray-Data-first
+  design: a cheap per-batch partial pass (drops intra-batch dupes with
+  zero shuffle) followed by a hash-partitioned ``groupby(key)`` final
+  pass keeping the first/last row by an ordering column. The groupby is
+  the one unavoidable all-to-all; the partial pass bounds its input to
+  ≤ one row per key per batch. Cross-epoch streaming dedupe state lives
+  in the actor-pool stage (bento_ray.streaming.actors.DedupeActor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from bento_ray.util import to_table
+
+
+def dedupe_pane(t: pa.Table, key_cols: list[str], strategy: str = "FIFO") -> pa.Table:
+    """Bento dedupe within one semantic batch. FIFO keeps first
+    occurrence per key, LIFO keeps last; output preserves the original
+    position of each kept row (processor_dedupe.go:165-201)."""
+    t = to_table(t)
+    df = t.select(key_cols).to_pandas()
+    keep_last = strategy.upper() == "LIFO"
+    mask = ~df.duplicated(keep="last" if keep_last else "first")
+    return t.filter(pa.array(mask.to_numpy()))
+
+
+def _partial_dedupe(key_cols: list[str], order_col: str | None, keep: str):
+    def _f(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if order_col is not None:
+            asc = keep == "first"
+            df = df.sort_values(order_col, ascending=asc, kind="stable")
+            df = df.drop_duplicates(subset=key_cols, keep="first")
+        else:
+            df = df.drop_duplicates(subset=key_cols, keep=keep)
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return _f
+
+
+def dedupe_exact(ds, key_cols: list[str], keep: str = "first",
+                 order_col: str | None = None):
+    """Global exact dedupe: keep the first/last row per key.
+
+    ``order_col`` defines first/last (e.g. ``warc_ts``); without it,
+    "first" is arbitrary-but-deterministic within Ray's block order.
+    Two-phase: batch-local partial dedupe (no shuffle) → groupby(key)
+    final (hash shuffle over ≤ unique-keys-per-block rows)."""
+    ds = ds.map_batches(_partial_dedupe(key_cols, order_col, keep),
+                        batch_format="pyarrow")
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            g = g.sort_values(order_col, ascending=(keep == "first"), kind="stable")
+            return g.head(1)
+        return g.head(1) if keep == "first" else g.tail(1)
+
+    key = key_cols[0] if len(key_cols) == 1 else key_cols
+    return ds.groupby(key).map_groups(_final, batch_format="pandas")

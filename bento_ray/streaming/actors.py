@@ -1,0 +1,196 @@
+"""Partitioned stateful stream workers.
+
+One ``PartitionWorker`` actor per hash partition (partitioned on
+``hash(url) % P`` by the feeder). Each worker holds the keyed state the
+Dataset API cannot express across micro-batch epochs:
+
+- the cross-epoch dedupe seen-set (url-hash → first event time, TTL'd
+  by watermark GC — the reference's ``dedupe`` + ``memory`` cache,
+  processor_dedupe.go:160-209 / cache_memory.go:16);
+- pending window panes (tumbling/sliding assignment with the
+  reference's left-open boundary arithmetic, see stages/window.py);
+- ``latest_flushed_end`` for the late-data drop rule
+  (buffer_system_window.go:333-336).
+
+Protocol per epoch: many concurrent ``ingest()`` calls append compact
+columnar chunks (ts, url-hash, lang, nbytes — the heavy html/text bytes
+NEVER ship to the state actors); one ``flush(watermark)`` call then
+applies deterministic dedupe (first occurrence by min event time),
+assigns panes, emits closed panes (``window_end ≤ watermark``) as small
+per-partition partial aggregates, and GCs state. Emission is therefore
+independent of arrival order within an epoch — replays are
+deterministic.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _pane_ends(ts: np.ndarray, size_us: int, slide_us: int | None,
+               offset_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices + window_end per (row, pane) assignment."""
+    rel = ts - offset_us
+    if not slide_us or slide_us == size_us:
+        ends = ((rel + size_us - 1) // size_us) * size_us + offset_us
+        return np.arange(len(ts)), ends
+    k = size_us // slide_us
+    e0 = ((rel + slide_us - 1) // slide_us) * slide_us + offset_us
+    idx = np.repeat(np.arange(len(ts)), k)
+    ends = (e0[:, None] + (np.arange(k) * slide_us)[None, :]).reshape(-1)
+    return idx, ends
+
+
+@ray.remote
+class PartitionWorker:
+    def __init__(self, part_id: int, size_us: int, slide_us: int | None,
+                 offset_us: int, dedupe_ttl_us: int | None = None):
+        self.part_id = part_id
+        self.size_us = size_us
+        self.slide_us = slide_us
+        self.offset_us = offset_us
+        self.dedupe_ttl_us = dedupe_ttl_us
+        # raw rows appended since the last flush (columnar chunks)
+        self._raw: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        # deduped rows awaiting pane closure
+        self._ready = {
+            "ts": np.empty(0, np.int64),
+            "urlh": np.empty(0, np.uint64),
+            "lang": np.empty(0, object),
+            "nbytes": np.empty(0, np.int64),
+        }
+        self.seen: dict[int, int] = {}  # url hash → first event ts
+        self.latest_flushed_end = -(1 << 62)
+        self.max_ts = -(1 << 62)
+        self.metrics = {"rows_in": 0, "late_dropped": 0, "dedupe_dropped": 0,
+                        "panes_emitted": 0, "rows_emitted": 0}
+
+    # -- ingest (many concurrent calls per epoch) ---------------------
+    def ingest(self, ts: np.ndarray, urlh: np.ndarray, lang: np.ndarray,
+               nbytes: np.ndarray) -> int:
+        self.metrics["rows_in"] += len(ts)
+        if len(ts):
+            self.max_ts = max(self.max_ts, int(ts.max()))
+        self._raw.append((ts, urlh, lang, nbytes))
+        return len(ts)
+
+    def get_max_ts(self) -> int:
+        return self.max_ts
+
+    # -- flush (one call per epoch, after all ingests) ----------------
+    def flush(self, watermark_us: int) -> pa.Table:
+        if self._raw:
+            ts = np.concatenate([c[0] for c in self._raw])
+            urlh = np.concatenate([c[1] for c in self._raw])
+            lang = np.concatenate([c[2] for c in self._raw]).astype(object)
+            nbytes = np.concatenate([c[3] for c in self._raw])
+            self._raw = []
+
+            # late-data drop (reference rule: ts ≤ latestFlushedWindowEnd)
+            ok = ts > self.latest_flushed_end
+            self.metrics["late_dropped"] += int((~ok).sum())
+            ts, urlh, lang, nbytes = ts[ok], urlh[ok], lang[ok], nbytes[ok]
+
+            # deterministic FIFO dedupe: first occurrence per url-hash by
+            # (event time, hash) over everything visible this cycle
+            order = np.lexsort((urlh, ts))
+            ts, urlh, lang, nbytes = ts[order], urlh[order], lang[order], nbytes[order]
+            _, first_idx = np.unique(urlh, return_index=True)
+            keep = np.zeros(len(ts), dtype=bool)
+            keep[first_idx] = True
+            seen = self.seen
+            for i in first_idx:
+                h = int(urlh[i])
+                if h in seen:
+                    keep[i] = False
+                else:
+                    seen[h] = int(ts[i])
+            self.metrics["dedupe_dropped"] += int((~keep).sum())
+            ts, urlh, lang, nbytes = ts[keep], urlh[keep], lang[keep], nbytes[keep]
+
+            self._ready = {
+                "ts": np.concatenate([self._ready["ts"], ts]),
+                "urlh": np.concatenate([self._ready["urlh"], urlh]),
+                "lang": np.concatenate([self._ready["lang"], lang]).astype(object),
+                "nbytes": np.concatenate([self._ready["nbytes"], nbytes]),
+            }
+
+        r = self._ready
+        idx, ends = _pane_ends(r["ts"], self.size_us, self.slide_us, self.offset_us)
+        # emit panes newly closed by this watermark; panes already flushed
+        # in a previous cycle (sliding windows re-assign retained rows)
+        # must not re-emit
+        emit_mask = (ends <= watermark_us) & (ends > self.latest_flushed_end)
+        open_mask = ends > watermark_us
+        emitted = pa.table({
+            "window_end": pa.array(np.zeros(0, np.int64), pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "pages": pa.array(np.zeros(0, np.int64), pa.int64()),
+            "nbytes": pa.array(np.zeros(0, np.int64), pa.int64()),
+        })
+        if emit_mask.any():
+            eidx = idx[emit_mask]
+            df = pd.DataFrame({
+                "window_end": ends[emit_mask],
+                "lang": r["lang"][eidx],
+                "nbytes": r["nbytes"][eidx],
+            })
+            agg = (df.groupby(["window_end", "lang"], sort=True)
+                     .agg(pages=("nbytes", "size"), nbytes=("nbytes", "sum"))
+                     .reset_index())
+            emitted = pa.Table.from_pandas(agg, preserve_index=False)
+            self.metrics["panes_emitted"] += len(agg)
+            self.metrics["rows_emitted"] += int(len(eidx))
+
+        # advance the flushed frontier to the newest pane end ≤ watermark
+        # even when those panes were empty — late rows for an
+        # already-closed (possibly empty) window must be dropped, exactly
+        # like the reference's latestFlushedWindowEnd.
+        epoch_us = self.slide_us or self.size_us
+        e_max = ((watermark_us - self.offset_us - self.size_us) // epoch_us) \
+            * epoch_us + self.offset_us + self.size_us
+        if e_max > self.latest_flushed_end:
+            self.latest_flushed_end = e_max
+
+        # retain rows that still belong to an open pane (for sliding
+        # windows a row may be both emitted in one pane and retained for
+        # the next — keep any row with at least one open pane)
+        open_rows = np.zeros(len(r["ts"]), dtype=bool)
+        if open_mask.any():
+            open_rows[np.unique(idx[open_mask])] = True
+        self._ready = {k: v[open_rows] for k, v in r.items()}
+
+        # watermark GC of the dedupe seen-set
+        if self.dedupe_ttl_us is not None:
+            horizon = watermark_us - self.dedupe_ttl_us
+            self.seen = {h: t for h, t in self.seen.items() if t >= horizon}
+        return emitted
+
+    # -- checkpointing ------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps({
+            "part_id": self.part_id,
+            "ready": self._ready,
+            "seen": self.seen,
+            "latest_flushed_end": self.latest_flushed_end,
+            "max_ts": self.max_ts,
+            "metrics": self.metrics,
+        })
+
+    def restore(self, blob: bytes) -> None:
+        st = pickle.loads(blob)
+        self._ready = st["ready"]
+        self.seen = st["seen"]
+        self.latest_flushed_end = st["latest_flushed_end"]
+        self.max_ts = st["max_ts"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)

@@ -1,0 +1,64 @@
+"""Shared helpers: stable hashing, timestamp formatting, table utils."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stable_hash(values) -> np.ndarray:
+    """Deterministic uint64 hash of a column, stable across processes and
+    nodes (pandas' fixed-key siphash). Used for hash partitioning,
+    dedupe keys and salted-key skew mitigation — never exposed in query
+    results."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    elif isinstance(values, np.ndarray):
+        values = pd.Series(values)
+    return pd.util.hash_pandas_object(values, index=False).to_numpy()
+
+
+def salted_partition(keys, num_partitions: int, salt_bits: int = 0) -> np.ndarray:
+    """Partition id per key: ``hash(key) % P`` with optional salt bits
+    folded in from a second hash round to split hot keys across
+    ``2**salt_bits`` sub-partitions (requires a downstream re-combine
+    pass keyed on the unsalted key)."""
+    h = stable_hash(keys)
+    if salt_bits:
+        h = h ^ (h >> np.uint64(29 + salt_bits))
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def rfc3339nano(ts_us: int) -> str:
+    """Go ``time.RFC3339Nano`` formatting of a UTC microsecond timestamp:
+    fractional seconds with trailing zeros trimmed, omitted when zero,
+    ``Z`` suffix — matches the reference's ``window_end_timestamp``
+    metadata (buffer_system_window.go:376)."""
+    sec, micro = divmod(int(ts_us), 1_000_000)
+    base = datetime.fromtimestamp(sec, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    if micro:
+        frac = f".{micro:06d}".rstrip("0")
+        return f"{base}{frac}Z"
+    return base + "Z"
+
+
+def to_table(batch) -> pa.Table:
+    """Normalise a map_batches input to a pyarrow Table."""
+    if isinstance(batch, pa.Table):
+        return batch
+    if isinstance(batch, pa.RecordBatch):
+        return pa.Table.from_batches([batch])
+    if isinstance(batch, pd.DataFrame):
+        return pa.Table.from_pandas(batch, preserve_index=False)
+    if isinstance(batch, dict):
+        return pa.table(batch)
+    raise TypeError(f"unsupported batch type {type(batch)}")
+
+
+def empty_like(schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in schema], schema=schema
+    )

@@ -1,0 +1,53 @@
+"""strip_html: bluemonday empty-policy byte parity."""
+
+from bento_ray.html import strip_html
+from bento_ray.testgen import generate_pages_table
+
+
+def test_reference_doc_example():
+    # methods_strings.go:1926-1929
+    assert strip_html("<p>the plain <strong>old text</strong></p>") == \
+        "the plain old text"
+
+
+def test_tags_dropped_nothing_inserted():
+    assert strip_html("<div>a</div><div>b</div>") == "ab"
+    assert strip_html("<h1>t</h1>x<br/>y") == "txy"
+
+
+def test_skip_content_elements():
+    assert strip_html("a<script>var x=1;</script>b") == "ab"
+    assert strip_html("a<style>.c{}</style>b") == "ab"
+    assert strip_html("a<title>t</title>b") == "ab"
+    assert strip_html("a<iframe>inner</iframe>b") == "ab"
+
+
+def test_comments_dropped():
+    assert strip_html("a<!-- hidden -->b") == "ab"
+
+
+def test_entity_escaping_roundtrip():
+    # tokenizer decodes, Token.String re-escapes Go-style
+    assert strip_html("x &amp; y &lt; z &gt; w") == "x &amp; y &lt; z &gt; w"
+    assert strip_html("&quot;q&quot;") == "&#34;q&#34;"
+    assert strip_html("it's") == "it&#39;s"
+
+
+def test_bytes_input():
+    assert strip_html(b"<p>bytes</p>") == "bytes"
+
+
+def test_byte_identical_vs_golden_corpus():
+    """The per-row invariant: engine text == generator golden text,
+    byte for byte, for every url (BASELINE.json input_hint)."""
+    t = generate_pages_table(500, seed=42)
+    for i in range(t.num_rows):
+        got = strip_html(t["html"][i].as_py())
+        want = t["text"][i].as_py()
+        assert got == want, f"row {i}: {got!r} != {want!r}"
+
+
+def test_byte_identical_other_seed():
+    t = generate_pages_table(200, seed=7)
+    for i in range(t.num_rows):
+        assert strip_html(t["html"][i].as_py()) == t["text"][i].as_py()

@@ -1,0 +1,191 @@
+"""Streaming engine: watermark windows, dedupe, enrichment join,
+exactly-once sink, resume-from-checkpoint (FIXTURES.md §4.3, §4.6, §4.7)."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bento_ray.pipelines import dim_versions_table, flagship_batch, flagship_streaming
+from bento_ray.streaming import ExactlyOnceParquetSink, StreamConfig, run_stream
+from bento_ray.testgen.pages import BASE_TS_US
+
+OUT_COLS = ["window_end", "lang", "pages", "nbytes", "lang_name", "script",
+            "version", "window_end_timestamp"]
+
+
+def _read_sink(out_dir) -> pd.DataFrame:
+    df = ExactlyOnceParquetSink(out_dir).read().to_pandas()
+    df["window_end"] = pd.to_datetime(df["window_end"], utc=True).astype(
+        "datetime64[ns, UTC]")
+    return (df[OUT_COLS].sort_values(["window_end", "lang"])
+            .reset_index(drop=True))
+
+
+def _oracle(pages_dir, window_us=10_000_000) -> pd.DataFrame:
+    """Independent pandas implementation of the flagship semantics:
+    dedupe first-crawl per url → tumbling left-open windows → per-lang
+    aggregate → last-write-wins enrichment."""
+    import glob
+
+    from bento_ray.html import strip_html
+    from bento_ray.util import rfc3339nano
+
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))])
+    df = t.to_pandas()
+    df["nbytes"] = [len(strip_html(h).encode()) for h in df["html"]]
+    df["ts_us"] = df["warc_ts"].astype("datetime64[us, UTC]").astype("int64")
+    df = df.sort_values(["ts_us", "url"], kind="stable").drop_duplicates(
+        subset=["url"], keep="first")
+    df["we_us"] = ((df["ts_us"] + window_us - 1) // window_us) * window_us
+    agg = (df.groupby(["we_us", "lang"], sort=True)
+             .agg(pages=("url", "size"), nbytes=("nbytes", "sum")).reset_index())
+    dim = dim_versions_table().to_pandas().sort_values("update_ts", kind="stable")
+    agg = pd.merge_asof(agg.sort_values("we_us"), dim, left_on="we_us",
+                        right_on="update_ts", by="lang", direction="backward")
+    agg["window_end_timestamp"] = [rfc3339nano(v) for v in agg["we_us"]]
+    agg["window_end"] = pd.to_datetime(agg["we_us"], unit="us", utc=True).astype(
+        "datetime64[ns, UTC]")
+    return (agg[OUT_COLS].sort_values(["window_end", "lang"])
+            .reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def stream_out(pages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    shutil.rmtree(out, ignore_errors=True)
+    metrics = flagship_streaming(pages_small, out, partitions=4,
+                                 files_per_epoch=2)
+    return out, metrics
+
+
+def test_stream_matches_independent_oracle(pages_small, stream_out):
+    out, metrics = stream_out
+    got = _read_sink(out)
+    want = _oracle(pages_small)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_matches_batch_mode(pages_small, stream_out):
+    out, _ = stream_out
+    got = _read_sink(out)
+    bdf = flagship_batch(pages_small).to_pandas()
+    bdf["window_end"] = pd.to_datetime(bdf["window_end"], utc=True).astype(
+        "datetime64[ns, UTC]")
+    bdf = bdf[OUT_COLS].sort_values(["window_end", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, bdf)
+
+
+def test_enrichment_versions_flip_at_update(stream_out):
+    out, _ = stream_out
+    got = _read_sink(out)
+    upd_ts = pd.Timestamp(BASE_TS_US + 30_000_000, unit="us", tz="UTC")
+    en = got[got["lang"] == "en"]
+    before = en[en["window_end"] < upd_ts]
+    after = en[en["window_end"] >= upd_ts]
+    assert (before["lang_name"] == "English").all()
+    assert (before["version"] == 1).all()
+    assert (after["lang_name"] == "English (v2)").all()
+    assert (after["version"] == 2).all()
+
+
+def test_dedupe_drops_recrawls(stream_out):
+    _, metrics = stream_out
+    wm = metrics["worker_metrics"]
+    assert wm["dedupe_dropped"] > 0  # generator re-emits ~10% urls
+    assert wm["rows_in"] == 3000
+
+
+def test_deterministic_rerun(pages_small, stream_out, tmp_path):
+    out1, _ = stream_out
+    out2 = str(tmp_path / "rerun")
+    flagship_streaming(pages_small, out2, partitions=4, files_per_epoch=2)
+    pd.testing.assert_frame_equal(_read_sink(out1), _read_sink(out2))
+
+
+def test_partition_count_invariance(pages_small, stream_out, tmp_path):
+    """Results are independent of the parallelism level (the scaling
+    criterion's correctness half)."""
+    out2 = str(tmp_path / "p2")
+    flagship_streaming(pages_small, out2, partitions=2, files_per_epoch=3)
+    out1, _ = stream_out
+    pd.testing.assert_frame_equal(_read_sink(out1), _read_sink(out2))
+
+
+def test_resume_replays_only_unacked_partitions(pages_small, stream_out, tmp_path):
+    """FIXTURES.md §4.7: crash after some partitions of an epoch
+    committed → resume skips exactly those, final output identical."""
+    out1, _ = stream_out
+    clean = _read_sink(out1)
+
+    out = str(tmp_path / "crash")
+    cfg = dict(partitions=4, files_per_epoch=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        from bento_ray.pipelines.flagship import dim_versions_table as dvt
+        cfg_obj = StreamConfig(window_size_us=10_000_000,
+                               allowed_lateness_us=2_000_000,
+                               partitions=4, out_partitions=4,
+                               files_per_epoch=2,
+                               extra={"crash_after": (1, 2)})
+        run_stream(pages_small, cfg_obj, out, dim_versions=dvt())
+
+    sink = ExactlyOnceParquetSink(out)
+    assert sink.last_done_epoch() == 0          # epoch 1 not finished
+    assert sink.committed(1, 0) and sink.committed(1, 2)
+    assert not sink.committed(1, 3)
+
+    metrics = flagship_streaming(pages_small, out, partitions=4,
+                                 files_per_epoch=2, resume=True)
+    assert metrics["start_epoch"] == 1          # epoch 0 skipped entirely
+    assert metrics["partitions_skipped"] == 3   # parts 0..2 of epoch 1
+    pd.testing.assert_frame_equal(_read_sink(out), clean)
+
+
+def test_lineage_records(stream_out):
+    out, metrics = stream_out
+    recs = ExactlyOnceParquetSink(out).lineage()
+    assert len(recs) == metrics["epochs"] * 4
+    for r in recs:
+        assert set(r) >= {"epoch", "partition", "rows", "data_file", "lineage"}
+        assert r["lineage"]["input_files"]
+        assert "watermark" in r["lineage"]
+
+
+def test_late_rows_dropped():
+    """Reference late rule (buffer_system_window.go:333-336): rows at or
+    before the flushed frontier are dropped, not emitted."""
+    import ray
+
+    d = "/tmp/bento_late_test"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    base = BASE_TS_US
+
+    def mk(path, rows):
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([base + r[1] for r in rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b"<p>x</p>" for _ in rows], pa.binary()),
+            "lang": pa.array(["en" for _ in rows]),
+        })
+        pq.write_table(t, path)
+
+    # epoch 0: ts up to 100s → watermark 98s → windows ≤ 90s flushed
+    mk(os.path.join(d, "a.parquet"),
+       [(f"u{i}", i * 10_000_000 + 1) for i in range(10)])
+    # epoch 1: one very late row at 5s (window (0,10] already flushed)
+    # and one fresh row
+    mk(os.path.join(d, "b.parquet"), [("late", 5_000_000), ("u99", 101_000_000)])
+
+    cfg = StreamConfig(partitions=2, out_partitions=2, files_per_epoch=1,
+                       allowed_lateness_us=2_000_000)
+    m = run_stream(d, cfg, os.path.join(d, "out"), dim_versions=None)
+    assert m["worker_metrics"]["late_dropped"] == 1
+    df = ExactlyOnceParquetSink(os.path.join(d, "out")).read().to_pandas()
+    assert int(df["pages"].sum()) == 11  # late row excluded
