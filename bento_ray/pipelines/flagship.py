@@ -61,12 +61,43 @@ class _Extract:
         return out.append_column("extracted_nbytes", nbytes)
 
 
-def flagship_batch(pages_path: str, window_size_us: int = 10_000_000,
+def pages_from_documents(sf_dir: str):
+    """Derive a pages-shaped stream from the driver's ``documents``
+    table: deterministic url / event time / html wrapper per doc_id.
+    Lets the flagship run directly over /root/testdata."""
+    from bento_ray.html import go_escape
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        urls = [f"https://{s}.example.org/doc/{i}" for i, s in zip(ids, srcs)]
+        ts = [BASE_TS_US + i * 100_000 for i in ids]
+        htmls = [f"<article><p>{go_escape(x or '')}</p></article>".encode()
+                 for x in texts]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(t.column("lang").to_pylist(), pa.string()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def flagship_batch(pages, window_size_us: int = 10_000_000,
                    include_updates: bool = True):
-    """Bounded Dataset plan of the flagship. Returns a Dataset of
-    (window_end, lang, pages, nbytes, lang_name, script, version,
+    """Bounded Dataset plan of the flagship. ``pages`` is a parquet
+    path/dir or an already-constructed pages Dataset. Returns a Dataset
+    of (window_end, lang, pages, nbytes, lang_name, script, version,
     window_end_timestamp)."""
-    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+    if isinstance(pages, str):
+        ds = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+    else:
+        ds = pages
     ds = ds.map_batches(_Extract(), batch_format="pyarrow")
 
     # dedupe: first crawl per url (two-phase: per-batch partial, then

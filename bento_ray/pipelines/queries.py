@@ -1,0 +1,679 @@
+"""Driver-contract query catalogue: one entry per implemented operator
+family (SURVEY.md §2 + the training-data ops), each with a DuckDB
+oracle where SQL can express it.
+
+Conventions shared by Ray implementation and oracle SQL so value-hash
+comparison is exact:
+- every float aggregate is ROUND(x, 4) (distributed summation order
+  differs from DuckDB's — rounding removes last-bit noise);
+- every computed column carries the SAME name on both sides;
+- event-time windows use the engine's left-open/right-closed UTC-epoch
+  arithmetic, expressed in SQL as ``((epoch_us(ts) + S - 1) // S) * S``;
+- timestamps stay timezone-naive (matching the parquet files and
+  DuckDB).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+HOUR_US = 3_600_000_000
+HALF_HOUR_US = 1_800_000_000
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(ds, cols: list[str], digits: int = 4):
+    from bento_ray.util import duckdb_round
+
+    def _f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                vals = duckdb_round(
+                    t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False),
+                    digits)
+                t = t.set_column(i, c, pa.array(vals, pa.float64()))
+        return t
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _tumble_naive(t: pa.Table, ts_col: str, size_us: int,
+                  out: str = "window_end") -> pa.Table:
+    ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+    we = ((ts + size_us - 1) // size_us) * size_us
+    return t.append_column(out, pa.array(we, pa.timestamp("us")))
+
+
+# ---------------------------------------------------------------------------
+# relational core: mapping / filter / aggregate / sort / joins
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter + grouped aggregate over lineitem.
+    Exercises mapping (computed columns) + groupby().aggregate()."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price",
+                             "avg_qty"])
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_filter_map(sf_dir: str):
+    """Row-level mapping + filter (Bloblang mapping/deleted() idiom)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_quantity"), pa.scalar(45.0)))
+        # raw double expression, same operand order as the SQL — the
+        # per-row result is bit-identical without any rounding
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        t = t.append_column("revenue", rev)
+        return t.select(["l_orderkey", "l_linenumber", "revenue"])
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+SQL_REVENUE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """Global sort + limit (top-k)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join (stream-table enrichment) + aggregate."""
+    from bento_ray.stages.join import broadcast_join
+
+    import pyarrow.parquet as pq
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_total"),
+    )
+    return _round_cols(out, ["sum_total"])
+
+
+SQL_SEGMENT = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_priority_revenue(sf_dir: str):
+    """Large-large equi-join (bucketed hash shuffle) + aggregate."""
+    from bento_ray.stages.join import shuffle_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        t = t.append_column("revenue", rev)
+        return t.select(["l_orderkey", "revenue"])
+
+    li = li.map_batches(_rev, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    joined = shuffle_join(li, orders, on="l_orderkey", how="inner")
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue", alias_name="revenue"),
+    )
+    return _round_cols(out, ["revenue"])
+
+
+SQL_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_switch_route(sf_dir: str):
+    """The switch processor: per-row routing into per-case transforms,
+    reassembled in input order, then aggregated."""
+    from bento_ray.stages.compose import switch_table
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount",
+             "l_tax"])
+
+    def _with_val(mult_expr):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("routed_val", mult_expr(t))
+        return fn
+
+    cases = [
+        (lambda t: pc.equal(t.column("l_returnflag"), pa.scalar("A")),
+         _with_val(lambda t: pc.multiply(
+             t.column("l_extendedprice"),
+             pc.subtract(pa.scalar(1.0), t.column("l_discount"))))),
+        (lambda t: pc.equal(t.column("l_returnflag"), pa.scalar("R")),
+         _with_val(lambda t: pc.multiply(
+             t.column("l_extendedprice"),
+             pc.add(pa.scalar(1.0), t.column("l_tax"))))),
+        (None,
+         _with_val(lambda t: t.column("l_extendedprice"))),
+    ]
+    routed = ds.map_batches(lambda t: switch_table(t, cases),
+                            batch_format="pyarrow")
+    out = routed.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("routed_val", alias_name="sum_routed"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, ["sum_routed"])
+
+
+SQL_SWITCH = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                      THEN l_extendedprice * (1 - l_discount)
+                      WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 + l_tax)
+                      ELSE l_extendedprice END), 4) AS sum_routed,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_docs_by_lang(sf_dir: str):
+    """group_by_value semantics as a global grouped aggregate."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+    return _round_cols(out, ["avg_chars"])
+
+
+SQL_DOCS_LANG = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_branch_enrich(sf_dir: str):
+    """The branch processor: request_map → child → result_map merge."""
+    from bento_ray.stages.compose import branch
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = branch(
+        ds,
+        request_map=lambda t: t.select(["source"]),
+        child=lambda t: pa.table(
+            {"source_upper": pc.utf8_upper(t.column("source"))}),
+        result_map=lambda orig, res: orig.append_column(
+            "source_upper", res.column("source_upper")),
+    )
+    return out.select_columns(["doc_id", "source_upper"])
+
+
+SQL_BRANCH = "SELECT doc_id, UPPER(source) AS source_upper FROM documents"
+
+
+def q_json_extract(sf_dir: str):
+    """JSON path extraction (the jq/jmespath escape hatch): parse the
+    events.props JSON column, aggregate an extracted field."""
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] if p else None
+              for p in t.column("props").to_pylist()]
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    ds = ds.map_batches(_f, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+
+
+SQL_JSON = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time windowing over the events stream
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(sf_dir: str):
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(lambda t: _tumble_naive(t, "ts", HOUR_US),
+                        batch_format="pyarrow")
+    out = ds.groupby(["window_end", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+    return _round_cols(out, ["sum_value"])
+
+
+SQL_TUMBLING = f"""
+SELECT make_timestamp(((epoch_us(ts) + {HOUR_US - 1}) // {HOUR_US}) * {HOUR_US})
+         AS window_end,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_sliding(sf_dir: str):
+    """Sliding windows size=1h slide=30m: every event lands in 2 panes."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e0 = ((ts + HALF_HOUR_US - 1) // HALF_HOUR_US) * HALF_HOUR_US
+        idx = np.repeat(np.arange(len(ts)), 2)
+        ends = np.column_stack([e0, e0 + HALF_HOUR_US]).reshape(-1)
+        out = t.take(pa.array(idx))
+        return out.append_column("window_end", pa.array(ends, pa.timestamp("us")))
+
+    ds = ds.map_batches(_assign, batch_format="pyarrow")
+    return ds.groupby(["window_end", "event_type"]).aggregate(
+        Count(alias_name="n_events"))
+
+
+SQL_SLIDING = f"""
+SELECT make_timestamp(we) AS window_end, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT ((epoch_us(ts) + {HALF_HOUR_US - 1}) // {HALF_HOUR_US}) * {HALF_HOUR_US}
+           AS we, event_type FROM events
+  UNION ALL
+  SELECT ((epoch_us(ts) + {HALF_HOUR_US - 1}) // {HALF_HOUR_US}) * {HALF_HOUR_US}
+           + {HALF_HOUR_US} AS we, event_type FROM events
+) GROUP BY we, event_type
+"""
+
+
+def q_window_session(sf_dir: str):
+    """Session windows per user (gap 30m) — the reference has no session
+    windows; new semantics per the north rule."""
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (ts[1:] - ts[:-1] > HALF_HOUR_US).astype(np.int64)
+        g["__sid"] = np.cumsum(brk)
+        out = (g.groupby("__sid")
+                .agg(user_id=("user_id", "first"),
+                     session_start=("ts", "min"),
+                     session_end=("ts", "max"),
+                     n_events=("ts", "size"),
+                     sum_value=("value", "sum"))
+                .reset_index(drop=True))
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+SQL_SESSION = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {HALF_HOUR_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q_dedupe_first_event(sf_dir: str):
+    """Streaming dedupe, FIFO strategy: first row per key by event time
+    (processor_dedupe.go FIFO semantics, globally)."""
+    from bento_ray.stages.dedupe import dedupe_exact
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    out = dedupe_exact(ds, ["user_id", "event_type"], keep="first",
+                       order_cols=["ts", "event_id"])
+    return out.select_columns(["user_id", "event_type", "event_id", "value"])
+
+
+SQL_DEDUPE_FIRST = """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+def q_dedupe_last_event(sf_dir: str):
+    """LIFO strategy: keep the LAST row per key."""
+    from bento_ray.stages.dedupe import dedupe_exact
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    out = dedupe_exact(ds, ["user_id", "event_type"], keep="last",
+                       order_cols=["ts", "event_id"])
+    return out.select_columns(["user_id", "event_type", "event_id", "value"])
+
+
+SQL_DEDUPE_LAST = """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    from bento_ray.textops import doc_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = doc_stats(ds)
+    return out.select_columns(["doc_id", "n_chars_calc", "n_words",
+                               "n_sentences"])
+
+
+SQL_DOC_STATS = r"""
+SELECT doc_id, LENGTH(text) AS n_chars_calc,
+       LEN(regexp_extract_all(text, '\S+')) AS n_words,
+       LEN(regexp_extract_all(text, '[.!?]')) AS n_sentences
+FROM documents
+"""
+
+
+def q_token_count_by_lang(sf_dir: str):
+    from bento_ray.textops import doc_stats
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    out = doc_stats(ds).groupby("lang").aggregate(
+        Sum("n_words", alias_name="total_tokens"),
+        Count(alias_name="n_docs"))
+    return out
+
+
+SQL_TOKENS = r"""
+SELECT lang,
+       CAST(SUM(LEN(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact content dedup: keep the lowest doc_id per distinct text."""
+    from bento_ray.stages.dedupe import dedupe_exact
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out = dedupe_exact(ds, ["text"], keep="first", order_cols=["doc_id"])
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
+SQL_DEDUP_DOCS = """
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    from bento_ray.textops import doc_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = doc_stats(ds)
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_words"), pa.scalar(60)))
+        return t.select(["doc_id", "n_words"])
+
+    return out.map_batches(_f, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = r"""
+SELECT doc_id, LEN(regexp_extract_all(text, '\S+')) AS n_words
+FROM documents
+WHERE LEN(regexp_extract_all(text, '\S+')) >= 60
+"""
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.array(df["embedding"].tolist(), np.float64), df["vec_id"].tolist()
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k against broadcast query vectors (queries
+    = the 5 lowest vec_ids, k=10, self excluded)."""
+    from bento_ray.textops import cosine_topk
+
+    qm, qids = _query_vectors(sf_dir, 5)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_topk(ds, qm, qids, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_ANN = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_norms(sf_dir: str):
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = np.array(t.column("embedding").to_pylist(), np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        return pa.table({"label": t.column("label"),
+                         "norm": pa.array(norms, pa.float64())})
+
+    ds = ds.map_batches(_f, batch_format="pyarrow")
+    out = ds.groupby("label").aggregate(
+        Count(alias_name="n_vecs"), Mean("norm", alias_name="avg_norm"))
+    return _round_cols(out, ["avg_norm"])
+
+
+SQL_NORMS = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4)
+         AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# -- rows-only (not SQL-expressible) ---------------------------------------
+
+def q_minhash_near_dups(sf_dir: str):
+    from bento_ray.textops import near_dup_pairs_minhash
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return near_dup_pairs_minhash(ds, threshold=0.15)
+
+
+def q_simhash(sf_dir: str):
+    from bento_ray.textops import simhash64
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash64(ds).select_columns(["doc_id", "simhash"])
+
+
+def q_lang_id(sf_dir: str):
+    from bento_ray.textops import lang_id_stage
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return lang_id_stage(ds).select_columns(["doc_id", "pred_lang", "lang_conf"])
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from bento_ray.textops import fingerprint_stage
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_stage(ds).select_columns(
+        ["doc_id", "fingerprint", "n_windows"])
+
+
+def q_quality_scores(sf_dir: str):
+    from bento_ray.textops import quality_stage
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return quality_stage(ds).select_columns(
+        ["doc_id", "stop_ratio", "mean_word_len", "digit_ratio",
+         "quality_score"])
+
+
+def q_ann_lsh(sf_dir: str):
+    from bento_ray.textops import lsh_cosine_topk
+
+    qm, qids = _query_vectors(sf_dir, 5)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_cosine_topk(ds, qm, qids, k=10)
+
+
+def q_flagship_stream(sf_dir: str):
+    """The streaming flagship (windows + dedupe + enrichment +
+    exactly-once sink) on a deterministic synthetic pages corpus —
+    rows-only check (the pages table is engine-generated, not a DuckDB
+    view)."""
+    import shutil
+
+    from bento_ray.pipelines.flagship import flagship_streaming
+    from bento_ray.streaming import ExactlyOnceParquetSink
+    from bento_ray.testgen import ensure_pages_dataset
+
+    pages = ensure_pages_dataset(2000, seed=42, files=4)
+    out_dir = "/tmp/bento_ray_gate_flagship"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    flagship_streaming(pages, out_dir, partitions=4, files_per_epoch=2)
+    df = ExactlyOnceParquetSink(out_dir).read().to_pandas()
+    return df.sort_values(["window_end", "lang"]).reset_index(drop=True)
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q_revenue_filter_map": (q_revenue_filter_map, SQL_REVENUE),
+    "q_topk_orders": (q_topk_orders, SQL_TOPK),
+    "q_orders_by_segment": (q_orders_by_segment, SQL_SEGMENT),
+    "q_priority_revenue": (q_priority_revenue, SQL_PRIORITY),
+    "q_switch_route": (q_switch_route, SQL_SWITCH),
+    "q_docs_by_lang": (q_docs_by_lang, SQL_DOCS_LANG),
+    "q_branch_enrich": (q_branch_enrich, SQL_BRANCH),
+    "q_json_extract": (q_json_extract, SQL_JSON),
+    "q_window_tumbling": (q_window_tumbling, SQL_TUMBLING),
+    "q_window_sliding": (q_window_sliding, SQL_SLIDING),
+    "q_window_session": (q_window_session, SQL_SESSION),
+    "q_dedupe_first_event": (q_dedupe_first_event, SQL_DEDUPE_FIRST),
+    "q_dedupe_last_event": (q_dedupe_last_event, SQL_DEDUPE_LAST),
+    "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "q_token_count_by_lang": (q_token_count_by_lang, SQL_TOKENS),
+    "q_dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_DOCS),
+    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "q_ann_topk": (q_ann_topk, SQL_ANN),
+    "q_embedding_norms": (q_embedding_norms, SQL_NORMS),
+    # rows-only (non-SQL-expressible)
+    "q_minhash_near_dups": (q_minhash_near_dups, None),
+    "q_simhash": (q_simhash, None),
+    "q_lang_id": (q_lang_id, None),
+    "q_doc_fingerprints": (q_doc_fingerprints, None),
+    "q_quality_scores": (q_quality_scores, None),
+    "q_ann_lsh": (q_ann_lsh, None),
+    "q_flagship_stream": (q_flagship_stream, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

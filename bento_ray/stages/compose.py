@@ -34,38 +34,52 @@ def _mask_of(pred: Predicate | None, t: pa.Table) -> np.ndarray:
 
 def switch_table(t: pa.Table, cases: Sequence[tuple[Predicate | None, BatchFn | None]],
                  fallthrough: Sequence[bool] | None = None) -> pa.Table:
-    """Bento ``switch`` (processor_switch.go:160): route each row to the
-    first case whose check passes (``fallthrough`` lets a row continue
-    into the next case); each case's transform runs on its row subset;
-    the result is reassembled in ORIGINAL input order (the reference's
-    SortGroup re-ordering, processor_switch.go:165,225).
+    """Bento ``switch`` (processor_switch.go:160-225): each row is
+    tested against cases in order; the first passing case's transform
+    runs on the row subset. A case marked ``fallthrough`` carries its
+    PROCESSED rows into the next case's transform unconditionally (the
+    reference's carryOver — carried rows skip the next case's check).
+    Non-matching rows pass through unchanged. Output is reassembled in
+    ORIGINAL input order (the reference's SortGroup re-ordering).
 
     Constraint inherited from columnar reassembly: case transforms must
     be 1:1 per row (no row drops/additions inside a case — drop via a
-    later filter on a marker column instead)."""
+    later filter on a marker column instead). Deviation from the
+    reference: rows still carried over after the LAST case are emitted
+    rather than silently dropped."""
     t = to_table(t)
     n = len(t)
     if fallthrough is None:
         fallthrough = [False] * len(cases)
-    order = np.arange(n)
-    active = np.ones(n, dtype=bool)
+    remaining_idx = np.arange(n)
+    remaining_tbl = t
+    carry_idx = np.zeros(0, np.int64)
+    carry_tbl: pa.Table | None = None
     pieces: list[tuple[np.ndarray, pa.Table]] = []
     for (pred, fn), ft in zip(cases, fallthrough):
-        m = _mask_of(pred, t) & active
-        if not m.any():
+        m = _mask_of(pred, remaining_tbl)
+        passed_idx = remaining_idx[m]
+        passed_tbl = remaining_tbl.filter(pa.array(m))
+        if carry_tbl is not None and len(carry_tbl):
+            passed_idx = np.concatenate([carry_idx, passed_idx])
+            passed_tbl = pa.concat_tables([carry_tbl, passed_tbl],
+                                          promote_options="default")
+        remaining_idx = remaining_idx[~m]
+        remaining_tbl = remaining_tbl.filter(pa.array(~m))
+        carry_idx, carry_tbl = np.zeros(0, np.int64), None
+        if len(passed_tbl) == 0:
             continue
-        idx = order[m]
-        sub = t.take(pa.array(idx))
-        out = fn(sub) if fn is not None else sub
-        if len(out) != len(sub):
+        out = fn(passed_tbl) if fn is not None else passed_tbl
+        if len(out) != len(passed_tbl):
             raise ValueError("switch case transforms must be 1:1 per row")
-        pieces.append((idx, out))
-        if not ft:
-            active &= ~m
-    # untouched rows pass through unchanged
-    if active.any():
-        idx = order[active]
-        pieces.append((idx, t.take(pa.array(idx))))
+        if ft:
+            carry_idx, carry_tbl = passed_idx, out
+        else:
+            pieces.append((passed_idx, out))
+    if carry_tbl is not None and len(carry_tbl):
+        pieces.append((carry_idx, carry_tbl))
+    if len(remaining_tbl):
+        pieces.append((remaining_idx, remaining_tbl))
     if not pieces:
         return t.slice(0, 0)
     all_idx = np.concatenate([p[0] for p in pieces])

@@ -40,12 +40,12 @@ def dedupe_pane(t: pa.Table, key_cols: list[str], strategy: str = "FIFO") -> pa.
     return t.filter(pa.array(mask.to_numpy()))
 
 
-def _partial_dedupe(key_cols: list[str], order_col: str | None, keep: str):
+def _partial_dedupe(key_cols: list[str], order_cols: list[str] | None, keep: str):
     def _f(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        if order_col is not None:
+        if order_cols:
             asc = keep == "first"
-            df = df.sort_values(order_col, ascending=asc, kind="stable")
+            df = df.sort_values(order_cols, ascending=asc, kind="stable")
             df = df.drop_duplicates(subset=key_cols, keep="first")
         else:
             df = df.drop_duplicates(subset=key_cols, keep=keep)
@@ -54,19 +54,23 @@ def _partial_dedupe(key_cols: list[str], order_col: str | None, keep: str):
 
 
 def dedupe_exact(ds, key_cols: list[str], keep: str = "first",
-                 order_col: str | None = None):
+                 order_cols: list[str] | None = None):
     """Global exact dedupe: keep the first/last row per key.
 
-    ``order_col`` defines first/last (e.g. ``warc_ts``); without it,
+    ``order_cols`` define first/last (e.g. ``["warc_ts", "event_id"]``
+    — include a unique tie-break column for determinism); without them,
     "first" is arbitrary-but-deterministic within Ray's block order.
     Two-phase: batch-local partial dedupe (no shuffle) → groupby(key)
     final (hash shuffle over ≤ unique-keys-per-block rows)."""
-    ds = ds.map_batches(_partial_dedupe(key_cols, order_col, keep),
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    ds = ds.map_batches(_partial_dedupe(key_cols, order_cols, keep),
                         batch_format="pyarrow")
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
-        if order_col is not None:
-            g = g.sort_values(order_col, ascending=(keep == "first"), kind="stable")
+        if order_cols:
+            g = g.sort_values(order_cols, ascending=(keep == "first"),
+                              kind="stable")
             return g.head(1)
         return g.head(1) if keep == "first" else g.tail(1)
 

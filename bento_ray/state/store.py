@@ -1,0 +1,157 @@
+"""Keyed state stores — the reference's cache resources.
+
+Reference semantics (SURVEY.md §2.5): caches are named shared resources
+with ``Get / Set / Add / Delete`` where **Add fails if the key already
+exists** — the dedupe primitive (processor_dedupe.go:175). The
+implementations mirrored here: ``memory`` (TTL map, cache_memory.go:16),
+``lru`` (cache_lru.go:42), ``ttlru`` (cache_ttlru.go:33).
+
+Ray-Data-first mapping: a cache used by a *single* pipeline stage lives
+inside that stage's actors (one shard per partition — no cross-actor
+traffic; this is how the streaming dedupe state works,
+streaming/actors.py). A cache shared *across* stages or pipelines is a
+small pool of ``CacheActor`` shards keyed by ``hash(key) % shards``,
+accessed through ``CacheClient`` — batch the ops (``madd``/``mget``)
+so the per-batch cost is one RPC per shard touched, never one per row.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+
+import ray
+
+
+class LocalCache:
+    """In-process cache shard: TTL + optional LRU capacity bound."""
+
+    def __init__(self, ttl_sec: float | None = None,
+                 max_items: int | None = None):
+        self.ttl = ttl_sec
+        self.cap = max_items
+        self._d: OrderedDict = OrderedDict()
+
+    def _expired(self, ts: float) -> bool:
+        return self.ttl is not None and (time.monotonic() - ts) > self.ttl
+
+    def _evict(self) -> None:
+        while self.cap is not None and len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is None:
+            return None
+        val, ts = v
+        if self._expired(ts):
+            del self._d[key]
+            return None
+        self._d.move_to_end(key)
+        return val
+
+    def set(self, key, value) -> None:
+        self._d[key] = (value, time.monotonic())
+        self._d.move_to_end(key)
+        self._evict()
+
+    def add(self, key, value) -> bool:
+        """Insert only if absent. Returns False when the key exists
+        (the dedupe contract: second add of the same key fails)."""
+        if self.get(key) is not None:
+            return False
+        self.set(key, value)
+        return True
+
+    def delete(self, key) -> None:
+        self._d.pop(key, None)
+
+    def madd(self, keys, value=b"t") -> list[bool]:
+        return [self.add(k, value) for k in keys]
+
+    def mget(self, keys) -> list:
+        return [self.get(k) for k in keys]
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+@ray.remote
+class CacheActor:
+    """One shard of a shared named cache."""
+
+    def __init__(self, ttl_sec: float | None = None,
+                 max_items: int | None = None):
+        self.cache = LocalCache(ttl_sec, max_items)
+
+    def get(self, key):
+        return self.cache.get(key)
+
+    def set(self, key, value):
+        self.cache.set(key, value)
+
+    def add(self, key, value=b"t") -> bool:
+        return self.cache.add(key, value)
+
+    def delete(self, key):
+        self.cache.delete(key)
+
+    def madd(self, keys, value=b"t") -> list[bool]:
+        return self.cache.madd(keys, value)
+
+    def mget(self, keys) -> list:
+        return self.cache.mget(keys)
+
+    def size(self) -> int:
+        return len(self.cache)
+
+
+class CacheClient:
+    """Sharded client for a shared cache: batch ops routed by key hash.
+    Serializable — workers holding a client talk straight to the shard
+    actors."""
+
+    def __init__(self, shards: int = 4, ttl_sec: float | None = None,
+                 max_items: int | None = None):
+        per = None if max_items is None else max(1, max_items // shards)
+        self.actors = [CacheActor.options(num_cpus=0).remote(ttl_sec, per)
+                       for _ in range(shards)]
+        self.shards = shards
+
+    def _route(self, keys) -> dict[int, list[tuple[int, object]]]:
+        out: dict[int, list[tuple[int, object]]] = {}
+        for i, k in enumerate(keys):
+            out.setdefault(hash(k) % self.shards, []).append((i, k))
+        return out
+
+    def madd(self, keys, value=b"t") -> list[bool]:
+        res = [False] * len(keys)
+        routed = self._route(keys)
+        futs = {s: self.actors[s].madd.remote([k for _, k in items], value)
+                for s, items in routed.items()}
+        for s, items in routed.items():
+            for (i, _), ok in zip(items, ray.get(futs[s])):
+                res[i] = ok
+        return res
+
+    def mget(self, keys) -> list:
+        res = [None] * len(keys)
+        routed = self._route(keys)
+        futs = {s: self.actors[s].mget.remote([k for _, k in items])
+                for s, items in routed.items()}
+        for s, items in routed.items():
+            for (i, _), v in zip(items, ray.get(futs[s])):
+                res[i] = v
+        return res
+
+    def add(self, key, value=b"t") -> bool:
+        return self.madd([key], value)[0]
+
+    def get(self, key):
+        return self.mget([key])[0]
+
+    def set(self, key, value):
+        ray.get(self.actors[hash(key) % self.shards].set.remote(key, value))
+
+    def delete(self, key):
+        ray.get(self.actors[hash(key) % self.shards].delete.remote(key))

@@ -61,9 +61,9 @@ class StreamConfig:
 
 
 class Feeder:
-    """Stateless extraction + partition + push stage. Runs as Ray tasks
-    over zero-copy Arrow batches; per-batch output is a one-row summary
-    (rows, max_ts) used by the driver for the watermark."""
+    """Stateless extraction + partition + push stage. Per-batch output
+    is a one-row summary (rows, max_ts) used by the driver for the
+    watermark."""
 
     def __init__(self, workers: list, partitions: int):
         self.workers = workers
@@ -89,6 +89,28 @@ class Feeder:
         mx = int(ts.max()) if len(ts) else -(1 << 62)
         return pa.table({"rows": pa.array([len(t)], pa.int64()),
                          "max_ts": pa.array([mx], pa.int64())})
+
+
+@ray.remote
+def _feed_file(path: str, workers: list, partitions: int,
+               batch_rows: int) -> tuple[int, int]:
+    """One raw task per input file: read (pruned columns) → extract →
+    partition → push to the state actors. Raw tasks instead of a
+    per-epoch Dataset job: the micro-batch epoch barrier made each
+    epoch pay ~2s of streaming-executor startup, which dominated wall
+    time; a task per file keeps the same parallelism (files ∝ input
+    size) with ~none of the fixed cost. Returns (rows, max_ts)."""
+    import pyarrow.parquet as pq
+
+    feeder = Feeder(workers, partitions)
+    rows, max_ts = 0, -(1 << 62)
+    pf = pq.ParquetFile(path)
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=["url", "warc_ts", "html", "lang"]):
+        s = feeder(pa.Table.from_batches([rb]))
+        rows += s.column("rows")[0].as_py()
+        max_ts = max(max_ts, s.column("max_ts")[0].as_py())
+    return rows, max_ts
 
 
 def _combine_and_enrich(partials: list[pa.Table], dim_versions: pa.Table | None,
@@ -169,16 +191,15 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     global_max_ts = -(1 << 62)
 
     for e in range(start_epoch, len(epochs)):
-        ds = rd.read_parquet(epochs[e], columns=["url", "warc_ts", "html", "lang"])
-        summary = ds.map_batches(
-            Feeder(workers, cfg.partitions),
-            batch_format="pyarrow",
-            batch_size=cfg.feeder_batch_size,
-        ).take_all()
-        rows_total += sum(r["rows"] for r in summary)
+        summary = ray.get([
+            _feed_file.remote(f, workers, cfg.partitions,
+                              cfg.feeder_batch_size)
+            for f in epochs[e]
+        ])
+        rows_total += sum(r for r, _ in summary)
         if summary:
             global_max_ts = max(global_max_ts,
-                                max(r["max_ts"] for r in summary))
+                                max(mt for _, mt in summary))
 
         final = e == len(epochs) - 1
         if final:
@@ -230,6 +251,10 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     elapsed = time.perf_counter() - t0
     metrics = ray.get([w.get_metrics.remote() for w in workers])
     agg = {k: sum(m[k] for m in metrics) for k in metrics[0]} if metrics else {}
+    # release actor resources — state is checkpointed on disk; a later
+    # resume builds fresh workers from the snapshots
+    for w in workers:
+        ray.kill(w)
     return {
         "epochs": len(epochs),
         "start_epoch": start_epoch,

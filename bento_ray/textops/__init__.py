@@ -1,0 +1,24 @@
+from bento_ray.textops.dedup import (
+    minhash_signatures,
+    near_dup_pairs_minhash,
+    simhash64,
+)
+from bento_ray.textops.quality import (
+    doc_stats,
+    fingerprint_stage,
+    lang_id_stage,
+    quality_stage,
+)
+from bento_ray.textops.similarity import cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "doc_stats",
+    "quality_stage",
+    "lang_id_stage",
+    "fingerprint_stage",
+    "minhash_signatures",
+    "near_dup_pairs_minhash",
+    "simhash64",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

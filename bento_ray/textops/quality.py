@@ -1,0 +1,171 @@
+"""Text analysis for large-scale training-data pipelines: document
+stats, quality scoring, language ID, token counting, fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms; the regex-holding
+ones are actor classes so patterns compile once per actor, not per
+batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# minimal per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic (public common-word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "por"},
+    "pt": {"o", "a", "os", "de", "e", "um", "uma", "que", "para", "com"},
+    "zh": set(),
+    "ar": set(),
+    "hi": set(),
+}
+
+
+def doc_stats(ds, text_col: str = "text"):
+    """Add n_chars / n_words / n_sentences columns. Pure pyarrow.compute
+    kernels — zero-copy, no Python row loop. Definitions (mirrored in
+    the DuckDB oracle): n_words = count of maximal \\S+ runs,
+    n_sentences = count of [.!?] characters."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        t = t.append_column("n_chars_calc", pc.utf8_length(txt).cast(pa.int64()))
+        t = t.append_column(
+            "n_words", pc.count_substring_regex(txt, r"\S+").cast(pa.int64()))
+        t = t.append_column(
+            "n_sentences", pc.count_substring_regex(txt, r"[.!?]").cast(pa.int64()))
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+class QualityScorer:
+    """Quality heuristics per document: stopword ratio, digit ratio,
+    mean word length, and a combined [0,1] score. Actor-pool stage —
+    the tokenizer regex compiles once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"\S+")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        stop_ratio = np.zeros(len(texts))
+        digit_ratio = np.zeros(len(texts))
+        mean_wlen = np.zeros(len(texts))
+        for i, s in enumerate(texts):
+            words = self.word.findall(s or "")
+            if not words:
+                continue
+            stop_ratio[i] = sum(w.lower() in self.stop for w in words) / len(words)
+            mean_wlen[i] = sum(len(w) for w in words) / len(words)
+            nd = sum(c.isdigit() for c in s)
+            digit_ratio[i] = nd / max(1, len(s))
+        # crude composite: plausible text has some stopwords, word
+        # lengths 3-8, few digits
+        score = (np.clip(stop_ratio * 5, 0, 1) * 0.4
+                 + np.clip(1 - np.abs(mean_wlen - 5.0) / 5.0, 0, 1) * 0.4
+                 + np.clip(1 - digit_ratio * 10, 0, 1) * 0.2)
+        t = t.append_column("stop_ratio", pa.array(np.round(stop_ratio, 6)))
+        t = t.append_column("mean_word_len", pa.array(np.round(mean_wlen, 6)))
+        t = t.append_column("digit_ratio", pa.array(np.round(digit_ratio, 6)))
+        return t.append_column("quality_score", pa.array(np.round(score, 6)))
+
+
+def quality_stage(ds, concurrency: int = 4):
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+class LangId:
+    """N-gram/stopword language-ID heuristic: score each language by
+    stopword hits + character-class evidence; emit the argmax and its
+    confidence. Deterministic; stopword profiles load once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"[^\W\d_]+", re.U)
+        self.langs = [lg for lg in _STOPWORDS if _STOPWORDS[lg]]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        preds, confs = [], []
+        for s in texts:
+            words = [w.lower() for w in self.word.findall(s or "")]
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {
+                lg: sum(w in _STOPWORDS[lg] for w in words) / len(words)
+                for lg in self.langs
+            }
+            best = max(sorted(scores), key=lambda lg: scores[lg])
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(round(scores[best], 6))
+        t = t.append_column("pred_lang", pa.array(preds, pa.string()))
+        return t.append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+def lang_id_stage(ds, concurrency: int = 4):
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (winnowing-style): polynomial
+    rolling hash over word-hash sequences with window w; fingerprint =
+    min rolling hash (plus the count of distinct window hashes)."""
+
+    def __init__(self, window: int = 8):
+        self.window = window
+
+    def _doc_fp(self, s: str) -> tuple[int, int]:
+        words = s.split()
+        if not words:
+            return 0, 0
+        hs = [hash_word(w) for w in words]
+        w = min(self.window, len(hs))
+        # rolling polynomial hash over windows of length w
+        pw = pow(_FP_BASE, w - 1, _FP_MOD)
+        cur = 0
+        for x in hs[:w]:
+            cur = (cur * _FP_BASE + x) % _FP_MOD
+        out = {cur}
+        for i in range(w, len(hs)):
+            cur = ((cur - hs[i - w] * pw) * _FP_BASE + hs[i]) % _FP_MOD
+        # (subtraction can go negative pre-mod in other languages; Python % is safe)
+            out.add(cur)
+        return min(out), len(out)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        res = [self._doc_fp(s or "") for s in t.column("text").to_pylist()]
+        t = t.append_column("fingerprint",
+                            pa.array([r[0] for r in res], pa.int64()))
+        return t.append_column("n_windows",
+                               pa.array([r[1] for r in res], pa.int64()))
+
+
+def hash_word(w: str) -> int:
+    """Deterministic 61-bit word hash (FNV-1a over utf-8, folded)."""
+    h = 0xCBF29CE484222325
+    for b in w.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _FP_MOD
+
+
+def fingerprint_stage(ds, window: int = 8, concurrency: int = 4):
+    return ds.map_batches(Fingerprinter, fn_constructor_args=(window,),
+                          batch_format="pyarrow", concurrency=concurrency)

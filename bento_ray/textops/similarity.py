@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — the query matrix is
+  broadcast once (``ray.put``); every batch does one float64 matmul
+  against it and emits only its local top-k per query, so the final
+  combine sees ``num_batches × k`` candidate rows per query instead of
+  the full score matrix. The combine is a tiny groupby.
+- ``lsh_cosine_topk``: the scale path — random-hyperplane LSH buckets
+  vectors; queries probe only their own bucket (plus optional
+  multi-probe neighbors), trading recall for a bounded candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteScorer:
+    def __init__(self, q_ref, k, id_col, vec_col):
+        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.qids = q["qids"]
+        self.qm = _normalize(q["matrix"])  # (Q, D) — loaded once per actor
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vm = _normalize(_stack(t.column(self.vec_col)))    # (N, D)
+        ids = np.asarray(t.column(self.id_col).to_pylist(), np.int64)
+        scores = self.qm @ vm.T                            # (Q, N)
+        out_q, out_id, out_s = [], [], []
+        k = min(self.k + 1, scores.shape[1])  # +1 to survive self-match removal
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            top = np.argpartition(-row, k - 1)[:k]
+            out_q.extend([self.qids[qi]] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True, concurrency: int = 4):
+    """Brute-force cosine top-k. Returns (query_id, vec_id, rank, score)
+    with rank 1..k per query, ties broken by vec_id ascending."""
+    q_ref = ray.put({"qids": list(query_ids),
+                     "matrix": np.asarray(query_matrix, np.float64)})
+    cands = ds.map_batches(
+        _BruteScorer, fn_constructor_args=(q_ref, k, id_col, vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["vec_id"] != g["query_id"]]
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["score"] = g["score"].round(6)
+        return g[["query_id", "vec_id", "rank", "score"]]
+
+    return cands.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+class _LshBucketer:
+    """Random-hyperplane signature: bucket = sign bits of R projections."""
+
+    def __init__(self, planes_ref, vec_col):
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.planes = p  # (R, D)
+        self.vec_col = vec_col
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (self.planes @ _normalize(m).T) > 0          # (R, N)
+        return (bits.T @ (1 << np.arange(self.planes.shape[0]))).astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        b = self.bucket_of(_stack(t.column(self.vec_col)))
+        return t.append_column("lsh_bucket", pa.array(b, pa.int64()))
+
+
+def lsh_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
+                    num_planes: int = 6, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    concurrency: int = 4):
+    """Approximate top-k: vectors hashed to 2**num_planes buckets by
+    random hyperplanes; each query searches only its bucket. Recall is
+    approximate by design (documented trade: candidates shrink by
+    ~2**num_planes). The shuffle is one groupby on the bucket id."""
+    rng = np.random.RandomState(seed)
+    dim = np.asarray(query_matrix).shape[1]
+    planes = rng.standard_normal((num_planes, dim))
+    planes_ref = ray.put(planes)
+
+    bucketed = ds.map_batches(_LshBucketer, fn_constructor_args=(planes_ref, vec_col),
+                              batch_format="pyarrow", concurrency=concurrency)
+
+    qm = _normalize(np.asarray(query_matrix, np.float64))
+    qb = _LshBucketer(planes, vec_col).bucket_of(np.asarray(query_matrix, np.float64))
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(qb):
+        by_bucket.setdefault(int(b), []).append(qi)
+    qids = list(query_ids)
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["lsh_bucket"].iloc[0])
+        qis = by_bucket.get(b, [])
+        if not qis:
+            return pd.DataFrame(columns=["query_id", "vec_id", "rank", "score"])
+        vm = _normalize(np.array(g[vec_col].tolist(), np.float64))
+        ids = g[id_col].to_numpy()
+        out = []
+        for qi in qis:
+            row = qm[qi] @ vm.T
+            order = np.lexsort((ids, -row))
+            cnt = 0
+            for j in order:
+                if ids[j] == qids[qi]:
+                    continue
+                cnt += 1
+                out.append((qids[qi], int(ids[j]), cnt, round(float(row[j]), 6)))
+                if cnt >= k:
+                    break
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "rank", "score"])
+
+    return bucketed.groupby("lsh_bucket").map_groups(_per_bucket,
+                                                     batch_format="pandas")

@@ -45,6 +45,15 @@ def rfc3339nano(ts_us: int) -> str:
     return base + "Z"
 
 
+def duckdb_round(a, digits: int = 4) -> np.ndarray:
+    """Bit-exact emulation of DuckDB's ROUND(x, d) on DOUBLE
+    (std::round half-away-from-zero after scaling): used so Ray-side
+    aggregate outputs hash identically to the DuckDB oracle."""
+    a = np.asarray(a, np.float64)
+    f = 10.0 ** digits
+    return np.trunc(a * f + np.where(a >= 0, 0.5, -0.5)) / f
+
+
 def to_table(batch) -> pa.Table:
     """Normalise a map_batches input to a pyarrow Table."""
     if isinstance(batch, pa.Table):

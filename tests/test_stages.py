@@ -1,0 +1,183 @@
+"""Golden fixture transcriptions (FIXTURES.md §4.1, §4.2, §4.4, §4.5):
+mapping/filter, dedupe FIFO/LIFO/cross-batch, batching policy,
+switch/group_by/branch ordering semantics."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from bento_ray.stages.batching import batch_rows, dedupe_stream
+from bento_ray.stages.compose import (
+    group_by_table,
+    group_by_value_table,
+    switch_table,
+)
+from bento_ray.stages.core import archive, select_parts, unarchive
+from bento_ray.stages.dedupe import dedupe_pane
+from bento_ray.state.store import LocalCache
+
+
+def _batch(vals):
+    return pa.table({"content": pa.array([str(v) for v in vals], pa.string())})
+
+
+def _contents(t):
+    return t.column("content").to_pylist()
+
+
+# -- 4.2 dedupe ------------------------------------------------------------
+
+def test_dedupe_fifo_cross_batch():
+    """config/test/deduplicate.yaml: batches [1,2,3,4,3,3,3] and
+    [4,1,1,3,4,4,2,1] with key=content → exactly one output batch
+    [1,2,3,4]; the fully-deduplicated second batch is dropped."""
+    batches = [_batch([1, 2, 3, 4, 3, 3, 3]), _batch([4, 1, 1, 3, 4, 4, 2, 1])]
+    out = list(dedupe_stream(batches, _contents))
+    assert len(out) == 1
+    assert _contents(out[0]) == ["1", "2", "3", "4"]
+
+
+def test_dedupe_batch_scoped():
+    """deduplicate_by_batch.yaml: key prefixed per batch → dedupe within
+    batch only: [1,2,3,4], [4,1,3,2] (first-seen order)."""
+    batches = [_batch([1, 2, 3, 4, 3, 3, 3]), _batch([4, 1, 1, 3, 4, 4, 2, 1])]
+    out = [dedupe_pane(b, ["content"], "FIFO") for b in batches]
+    assert _contents(out[0]) == ["1", "2", "3", "4"]
+    assert _contents(out[1]) == ["4", "1", "3", "2"]
+
+
+def test_dedupe_lifo_keeps_last_in_original_order():
+    """deduplicate_lifo.yaml semantics: LIFO keeps the LAST occurrence
+    per key; survivors emitted in original positional order
+    (processor_dedupe.go:165-201 reverse scan + prepend)."""
+    t = pa.table({
+        "content": pa.array(["a", "b", "a", "c", "b"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = dedupe_pane(t, ["content"], "LIFO")
+    assert out.column("content").to_pylist() == ["a", "c", "b"]
+    assert out.column("v").to_pylist() == [3, 4, 5]
+
+
+def test_dedupe_stream_lifo_within_batch():
+    t = pa.table({"content": pa.array(["a", "b", "a"], pa.string())})
+    out = list(dedupe_stream([t], _contents, strategy="LIFO"))
+    # reverse scan adds the last "a" first; survivors in original order
+    assert _contents(out[0]) == ["b", "a"]
+
+
+def test_dedupe_stream_ttl():
+    import time
+
+    cache = LocalCache(ttl_sec=0.05)
+    b1 = list(dedupe_stream([_batch([1])], _contents, cache=cache))
+    time.sleep(0.08)
+    b2 = list(dedupe_stream([_batch([1])], _contents, cache=cache))
+    assert _contents(b1[0]) == ["1"] and _contents(b2[0]) == ["1"]
+
+
+# -- 4.4 batching policy ---------------------------------------------------
+
+def test_batch_count_trigger():
+    """count=3 over 7 docs → batch sizes [3,3,1] (final flush)."""
+    out = list(batch_rows([_batch([1, 2, 3, 4, 5, 6, 7])], count=3))
+    assert [len(b) for b in out] == [3, 3, 1]
+    assert _contents(out[0]) == ["1", "2", "3"]
+    assert _contents(out[2]) == ["7"]
+
+
+def test_batch_check_trigger_inclusive():
+    """check fires on the 'end' doc → batch closes INCLUDING it."""
+    t = pa.table({"content": pa.array(["a", "end", "b", "c"], pa.string())})
+    out = list(batch_rows(
+        [t], check=lambda row, i: row.column("content")[i].as_py() == "end"))
+    assert [_contents(b) for b in out] == [["a", "end"], ["b", "c"]]
+
+
+def test_batch_byte_size_trigger():
+    t = pa.table({"content": pa.array(["aaaa", "bb", "c", "dddd"], pa.string())})
+    out = list(batch_rows([t], byte_size=5, size_col="content"))
+    assert [_contents(b) for b in out] == [["aaaa", "bb"], ["c", "dddd"]]
+
+
+# -- 4.5 switch / group_by / branch ---------------------------------------
+
+def test_switch_routes_and_restores_input_order():
+    t = pa.table({
+        "k": pa.array(["a", "r", "x", "a", "r"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+
+    def times(n):
+        def fn(sub):
+            return sub.set_column(1, "v", pc.multiply(sub.column("v"),
+                                                      pa.scalar(n)))
+        return fn
+
+    out = switch_table(t, [
+        (lambda t: pc.equal(t.column("k"), pa.scalar("a")), times(10)),
+        (lambda t: pc.equal(t.column("k"), pa.scalar("r")), times(100)),
+    ])
+    # original row order preserved, per-case transforms applied
+    assert out.column("k").to_pylist() == ["a", "r", "x", "a", "r"]
+    assert out.column("v").to_pylist() == [10, 200, 3, 40, 500]
+
+
+def test_switch_fallthrough():
+    t = pa.table({"v": pa.array([1, 2], pa.int64())})
+    out = switch_table(
+        t,
+        [
+            (None, lambda s: s.set_column(0, "v", pc.add(s.column("v"), pa.scalar(1)))),
+            (None, lambda s: s.set_column(0, "v", pc.multiply(s.column("v"), pa.scalar(10)))),
+        ],
+        fallthrough=[True, False],
+    )
+    assert out.column("v").to_pylist() == [20, 30]
+
+
+def test_group_by_declaration_order_then_groupless():
+    """processor_group_by.go:130-184: one batch per matching check in
+    declaration order, then the groupless batch."""
+    t = pa.table({"lang": pa.array(["en", "de", "fr", "en"], pa.string())})
+    groups = group_by_table(t, [
+        (lambda t: pc.equal(t.column("lang"), pa.scalar("en")), None),
+        (lambda t: pc.equal(t.column("lang"), pa.scalar("de")), None),
+    ])
+    assert [g.column("lang").to_pylist() for g in groups] == \
+        [["en", "en"], ["de"], ["fr"]]
+
+
+def test_group_by_value_insertion_order():
+    """processor_group_by_value.go:86: per-key batches ordered by first
+    occurrence of each key."""
+    t = pa.table({"lang": pa.array(["de", "en", "de", "fr"], pa.string())})
+    groups = group_by_value_table(t, "lang")
+    assert [k for k, _ in groups] == ["de", "en", "fr"]
+    assert [len(g) for _, g in groups] == [2, 1, 1]
+
+
+# -- archive / unarchive / select_parts ------------------------------------
+
+def test_archive_unarchive_json_roundtrip():
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array(["x", "y"], pa.string())})
+    arch = archive(t, "json_array")
+    assert len(arch) == 1
+    back = unarchive(arch, "json_array")
+    assert back.column("a").to_pylist() == [1, 2]
+    assert back.column("b").to_pylist() == ["x", "y"]
+
+
+def test_archive_lines_and_concatenate():
+    t = _batch(["x", "y", "z"])
+    assert archive(t, "lines").column("content")[0].as_py() == "x\ny\nz"
+    assert archive(t, "concatenate").column("content")[0].as_py() == "xyz"
+    lines = unarchive(archive(t, "lines"), "lines")
+    assert _contents(lines) == ["x", "y", "z"]
+
+
+def test_select_parts_negative_indexing():
+    t = _batch(["a", "b", "c", "d"])
+    assert _contents(select_parts(t, [0, -1])) == ["a", "d"]
+    assert _contents(select_parts(t, [-2, 99])) == ["c"]

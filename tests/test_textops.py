@@ -1,0 +1,129 @@
+"""Training-data operators: dedup (exact/minhash/simhash), similarity
+search, quality/langid/fingerprint stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def doc_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+        "the quick brown fox jumps over the lazy dog once more today",  # near dup
+        "completely different content about ray data pipelines at scale",
+        "der schnelle braune fuchs springt und der hund ist faul",
+        "le renard brun rapide saute et le chien est paresseux",
+    ]
+    return rd.from_items([
+        {"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+
+def test_exact_dedup_keeps_lowest_id(doc_ds):
+    from bento_ray.stages.dedupe import dedupe_exact
+
+    out = dedupe_exact(doc_ds, ["text"], keep="first",
+                       order_cols=["doc_id"]).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5]
+
+
+def test_minhash_finds_exact_and_near_dups(doc_ds):
+    from bento_ray.textops import near_dup_pairs_minhash
+
+    pairs = near_dup_pairs_minhash(doc_ds, threshold=0.3).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got  # exact duplicate: jaccard 1.0
+    row = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert float(row["jaccard"].iloc[0]) == 1.0
+    # the unrelated docs never pair up
+    assert not any({a, b} & {3} and {a, b} & {0, 1, 2} for a, b in got)
+
+
+def test_minhash_deterministic(doc_ds):
+    from bento_ray.textops import near_dup_pairs_minhash
+
+    p1 = near_dup_pairs_minhash(doc_ds, threshold=0.3).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    p2 = near_dup_pairs_minhash(doc_ds, threshold=0.3).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_simhash_similar_docs_close(doc_ds):
+    from bento_ray.textops import simhash64
+
+    out = simhash64(doc_ds).to_pandas().set_index("doc_id")["simhash"]
+    h = {i: np.uint64(out[i]).astype(np.uint64) for i in out.index}
+    def ham(a, b):
+        return bin(int(h[a]) ^ int(h[b])).count("1")
+    assert ham(0, 1) == 0               # identical text
+    assert ham(0, 2) < ham(0, 3)        # near dup closer than unrelated
+
+
+def test_cosine_topk_matches_numpy_bruteforce():
+    from bento_ray.textops import cosine_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)])
+    qm = vecs[:3].astype(np.float64)
+    out = cosine_topk(ds, qm, [0, 1, 2], k=5).to_pandas()
+
+    vm = vecs.astype(np.float64)
+    vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+    for q in range(3):
+        scores = vm @ vm[q]
+        scores[q] = -np.inf
+        want = np.argsort(-scores, kind="stable")[:5].tolist()
+        got = (out[out["query_id"] == q].sort_values("rank")["vec_id"]
+               .tolist())
+        assert got == want, f"query {q}: {got} != {want}"
+
+
+def test_lsh_topk_recall_vs_bruteforce():
+    from bento_ray.textops import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(500)])
+    qm = vecs[:5].astype(np.float64)
+    brute = cosine_topk(ds, qm, list(range(5)), k=10).to_pandas()
+    approx = lsh_cosine_topk(ds, qm, list(range(5)), k=10,
+                             num_planes=3).to_pandas()
+    # every query got candidates and recall is nontrivial: 3 planes ⇒
+    # each query probes ~1/8 of the space, but hyperplane buckets are
+    # correlated with cosine proximity so recall beats random (0.125)
+    recalls = []
+    for q in range(5):
+        b = set(brute[brute["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.15
+
+
+def test_quality_and_langid_stages(doc_ds):
+    from bento_ray.textops import lang_id_stage, quality_stage
+
+    q = quality_stage(doc_ds).to_pandas()
+    assert (q["quality_score"] >= 0).all() and (q["quality_score"] <= 1).all()
+    # English doc with many stopwords scores a high stop_ratio
+    assert q.loc[q["doc_id"] == 0, "stop_ratio"].iloc[0] > 0.2
+
+    lid = lang_id_stage(doc_ds).to_pandas().set_index("doc_id")
+    assert lid.loc[0, "pred_lang"] == "en"
+    assert lid.loc[4, "pred_lang"] == "de"
+    assert lid.loc[5, "pred_lang"] == "fr"
+
+
+def test_fingerprint_stable_and_discriminative(doc_ds):
+    from bento_ray.textops import fingerprint_stage
+
+    fp = fingerprint_stage(doc_ds).to_pandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]  # same text
+    assert fp.loc[0, "fingerprint"] != fp.loc[3, "fingerprint"]
