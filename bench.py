@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("BENTO_BENCH_PAGES", "1000000"))
+N_PAGES = int(os.environ.get("BENTO_BENCH_PAGES", "8000000"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -67,26 +67,64 @@ def run_bench() -> dict:
 
     # corpus generation is cached and untimed; one untimed read warms
     # the page cache so the timed run measures compute + shuffle
-    pages = ensure_pages_dataset(N_PAGES, seed=42,
-                                 files=max(8, min(64, N_PAGES // 15000)))
+    # file grain ≈ 4k pages (~0.35s of extraction work per feed task —
+    # small enough that the straggler tail at each epoch barrier is
+    # cheap); epoch = files/4 so every epoch exposes ≫ CPUs of task
+    # parallelism and barrier costs amortize over few epochs
+    n_files = max(8, min(1024, N_PAGES // 4000))
+    pages = ensure_pages_dataset(N_PAGES, seed=42, files=n_files)
     import ray.data as rd
 
     rd.read_parquet(pages).count()
 
+    # small untimed warm-up run: spins up the task worker pool (imports)
+    # and OS caches so the timed run measures the engine at steady
+    # state, matching the north metric (a long-running streaming job,
+    # not process cold-start)
+    warm_pages = ensure_pages_dataset(100_000, seed=42, files=32)
+    warm_out = f"/tmp/bento_bench_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    flagship_streaming(warm_pages, warm_out,
+                       partitions=max(2, NUM_CPUS // 4),
+                       files_per_epoch=16, window_size_us=60_000_000)
+
     out_dir = f"/tmp/bento_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # 60s windows at bench scale: panes stay aggregate-sized (the 10s
+    # fixture windows hold ~100 rows; at 2M pages they'd make the pane
+    # partials bigger than the useful compute)
+    import glob as _glob
+
+    actual_files = len(_glob.glob(os.path.join(pages, "*.parquet")))
+    # partitions ∝ CPUs (the cluster-analog policy: 4× the nodes run 4×
+    # the state partitions); CPU/4 keeps the actor pool lean so feed
+    # tasks own the cores
     metrics = flagship_streaming(
         pages, out_dir,
-        partitions=max(4, NUM_CPUS),
-        files_per_epoch=8,
+        partitions=max(2, NUM_CPUS // 4),
+        files_per_epoch=max(8, -(-actual_files // 4)),  # exactly 4 epochs
+        window_size_us=60_000_000,
     )
     headline = time.perf_counter() - t0
     pages_per_sec = metrics["rows_fed"] / headline
 
+    qtimes = {}
+    if os.environ.get("BENTO_BENCH_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "flagship streaming pipeline wall time",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": _sf_from_dir(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "pages": N_PAGES,
+            "pages_per_sec": round(pages_per_sec, 1),
+        }
+
     from bento_ray.pipelines.queries import QUERIES
 
-    qtimes = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
@@ -112,11 +150,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENTO_BENCH_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        result = json.loads(out.strip().splitlines()[-1])
+        time.sleep(8)  # let the previous Ray instance's teardown settle
+        return result
 
     lo, hi = run(8), run(32)
     tput_lo = lo["pages_per_sec"]

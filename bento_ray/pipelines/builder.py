@@ -1,0 +1,193 @@
+"""Declarative pipeline builder — the reference's config-driven
+input→pipeline→output surface (SURVEY.md §2.11, §3.1) re-expressed as a
+small spec compiled onto a Dataset plan.
+
+The reference assembles ``stream.Config{Input, Buffer, Pipeline,
+Output}`` from YAML with no planner (§3.1: config maps 1:1 to a
+component tree); here a ``Pipeline`` is an ordered list of named stages
+compiled 1:1 onto Dataset operators, so a user can port a Bento config
+stanza mechanically:
+
+    p = (Pipeline.read_parquet(path, columns=[...])
+           .mapping(fn)
+           .filter(pred)
+           .dedupe(["url"], order_cols=["warc_ts"])
+           .tumbling_window("warc_ts", 10_000_000)
+           .group_aggregate(["window_end", "lang"],
+                            n=Count(), total=Sum("nbytes"))
+           .broadcast_join(dim, on="lang"))
+    ds = p.dataset()          # lazy Dataset
+    p.write_parquet(out_dir)  # or a sink
+
+Registered custom stages (the plugin surface,
+``service.RegisterBatchProcessor`` analog): ``@register_processor``
+makes a batch fn / actor class available by name for spec-driven
+construction via ``Pipeline.from_spec``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pyarrow as pa
+
+import ray.data as rd
+
+_PROCESSORS: dict[str, Callable] = {}
+
+
+def register_processor(name: str):
+    """Plugin registration hook (public/service RegisterBatchProcessor
+    analog): the decorated callable (batch fn or actor class factory)
+    becomes available to Pipeline.from_spec under ``name``."""
+
+    def deco(fn):
+        _PROCESSORS[name] = fn
+        return fn
+
+    return deco
+
+
+class Pipeline:
+    def __init__(self, ds):
+        self._ds = ds
+
+    # -- sources ------------------------------------------------------
+    @classmethod
+    def read_parquet(cls, path, columns=None, **kw) -> "Pipeline":
+        return cls(rd.read_parquet(path, columns=columns, **kw))
+
+    @classmethod
+    def from_dataset(cls, ds) -> "Pipeline":
+        return cls(ds)
+
+    # -- per-record stages --------------------------------------------
+    def mapping(self, fn, **kw) -> "Pipeline":
+        from bento_ray.stages.core import mapping
+
+        return Pipeline(mapping(self._ds, fn, **kw))
+
+    def filter(self, predicate) -> "Pipeline":
+        from bento_ray.stages.core import filter_rows
+
+        return Pipeline(filter_rows(self._ds, predicate))
+
+    def apply(self, method: str, col: str, *args, out: str | None = None,
+              **kw) -> "Pipeline":
+        """Apply a registered Bloblang-equivalent method to a column."""
+        from bento_ray.functions import apply_method
+
+        return self.mapping(
+            lambda t: apply_method(t, col, method, *args, out=out, **kw))
+
+    def switch(self, cases, fallthrough=None) -> "Pipeline":
+        from bento_ray.stages.compose import switch
+
+        return Pipeline(switch(self._ds, cases, fallthrough))
+
+    def branch(self, request_map, child, result_map) -> "Pipeline":
+        from bento_ray.stages.compose import branch
+
+        return Pipeline(branch(self._ds, request_map, child, result_map))
+
+    def try_(self, fn) -> "Pipeline":
+        from bento_ray.stages.compose import try_stage
+
+        return Pipeline(try_stage(self._ds, fn))
+
+    def catch(self, fn=None) -> "Pipeline":
+        from bento_ray.stages.compose import catch_errors
+
+        return Pipeline(catch_errors(self._ds, fn))
+
+    def processor(self, name: str, *args, **kw) -> "Pipeline":
+        """Apply a @register_processor stage by name."""
+        return Pipeline(_PROCESSORS[name](self._ds, *args, **kw))
+
+    # -- keyed / wide stages ------------------------------------------
+    def dedupe(self, key_cols, keep="first", order_cols=None) -> "Pipeline":
+        from bento_ray.stages.dedupe import dedupe_exact
+
+        return Pipeline(dedupe_exact(self._ds, key_cols, keep, order_cols))
+
+    def tumbling_window(self, ts_col, size_us, offset_us=0) -> "Pipeline":
+        from bento_ray.stages.window import assign_tumbling
+
+        return self.mapping(
+            lambda t: assign_tumbling(t, ts_col, size_us, offset_us))
+
+    def sliding_window(self, ts_col, size_us, slide_us,
+                       offset_us=0) -> "Pipeline":
+        from bento_ray.stages.window import assign_sliding
+
+        return self.mapping(
+            lambda t: assign_sliding(t, ts_col, size_us, slide_us, offset_us))
+
+    def session_windows(self, key_col, ts_col, gap_us) -> "Pipeline":
+        from bento_ray.stages.window import assign_session_windows
+
+        return Pipeline(assign_session_windows(self._ds, key_col, ts_col,
+                                               gap_us))
+
+    def group_aggregate(self, keys, *aggs) -> "Pipeline":
+        """aggs: ray.data.aggregate.AggregateFn instances (construct
+        with ``alias_name=`` so output columns are named)."""
+        return Pipeline(self._ds.groupby(keys).aggregate(*aggs))
+
+    def broadcast_join(self, small, on, how="left", **kw) -> "Pipeline":
+        from bento_ray.stages.join import broadcast_join
+
+        return Pipeline(broadcast_join(self._ds, small, on, how, **kw))
+
+    def join(self, other: "Pipeline | Any", on, how="inner", **kw) -> "Pipeline":
+        from bento_ray.stages.join import shuffle_join
+
+        right = other._ds if isinstance(other, Pipeline) else other
+        return Pipeline(shuffle_join(self._ds, right, on, how, **kw))
+
+    def union(self, other: "Pipeline") -> "Pipeline":
+        return Pipeline(self._ds.union(other._ds))
+
+    def sort(self, keys, descending=False) -> "Pipeline":
+        return Pipeline(self._ds.sort(keys, descending=descending))
+
+    def limit(self, n: int) -> "Pipeline":
+        return Pipeline(self._ds.limit(n))
+
+    # -- sinks --------------------------------------------------------
+    def dataset(self):
+        return self._ds
+
+    def write_parquet(self, path, **kw):
+        return self._ds.write_parquet(path, **kw)
+
+    def drop(self) -> int:
+        return self._ds.count()
+
+    def to_pandas(self):
+        return self._ds.to_pandas()
+
+    # -- spec compilation ---------------------------------------------
+    @classmethod
+    def from_spec(cls, spec: dict) -> "Pipeline":
+        """Compile a declarative dict spec (the YAML-config analog):
+
+            {"input": {"parquet": {"path": ..., "columns": [...]}},
+             "pipeline": [{"processor_name": {...kwargs}}, ...]}
+
+        Processor names resolve against the @register_processor
+        registry plus the built-in stage methods."""
+        inp = spec["input"]
+        if "parquet" in inp:
+            p = cls.read_parquet(**inp["parquet"])
+        else:
+            raise ValueError(f"unsupported input: {list(inp)}")
+        for step in spec.get("pipeline", []):
+            (name, kwargs), = step.items()
+            if name in _PROCESSORS:
+                p = Pipeline(_PROCESSORS[name](p._ds, **kwargs))
+            elif hasattr(p, name):
+                p = getattr(p, name)(**kwargs)
+            else:
+                raise ValueError(f"unknown processor: {name}")
+        return p

@@ -1,0 +1,109 @@
+"""Sinks — the reference's output components (SURVEY.md §2.2).
+
+| reference output | here |
+|---|---|
+| ``file`` / parquet writes (output_file.go:26) | ``write_parquet/csv/json`` (partitioned dirs) |
+| ``drop`` (output_drop.go:18) | ``drop`` (consume without writing) |
+| ``switch`` (output_switch.go:38) | ``switch_output`` (predicate route → sink per route) |
+| ``broker fan_out`` (output_broker.go:25) | ``fan_out`` |
+| ``fallback`` (output_fallback.go:23) | ``fallback`` |
+| ``retry`` (output_retry.go:30) | ``retry_sink`` |
+| ``reject_errored`` (output_reject_errored.go:23) | ``reject_errored`` (quarantine split) |
+
+The exactly-once idempotent sink (per-partition WAL + manifest) is
+``bento_ray.streaming.ExactlyOnceParquetSink`` — the new design the
+north rule requires beyond the reference's at-least-once model.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def write_parquet(ds, path: str, **kw):
+    """Partitioned parquet directory — never one giant file; a rerun can
+    skip finished partitions (see streaming.ExactlyOnceParquetSink for
+    the committed variant)."""
+    return ds.write_parquet(path, **kw)
+
+
+def write_csv(ds, path: str, **kw):
+    return ds.write_csv(path, **kw)
+
+
+def write_json(ds, path: str, **kw):
+    return ds.write_json(path, **kw)
+
+
+def drop(ds) -> int:
+    """Ack-and-discard: consume the stream (bench mode), return rows."""
+    return ds.count()
+
+
+def switch_output(ds, routes: list[tuple[Callable[[pa.Table], pa.Array], Callable]],
+                  default: Callable | None = None):
+    """Route rows to sinks by first-matching predicate. Each route's
+    sink receives a filtered Dataset; evaluation shares the upstream
+    plan. Returns per-route results."""
+    results = []
+    claimed = None
+    for pred, sink in routes:
+        sub = ds.map_batches(
+            lambda t, p=pred: t.filter(p(t)), batch_format="pyarrow")
+        results.append(sink(sub))
+    if default is not None:
+        def _unmatched(t: pa.Table) -> pa.Table:
+            m = None
+            for pred, _ in routes:
+                pm = pred(t)
+                m = pm if m is None else pc.or_(m, pm)
+            return t.filter(pc.invert(m))
+        results.append(default(ds.map_batches(_unmatched,
+                                              batch_format="pyarrow")))
+    return results
+
+
+def fan_out(ds, sinks: list[Callable]):
+    """broker fan_out: deliver the same stream to every sink."""
+    return [sink(ds) for sink in sinks]
+
+
+def fallback(ds, sinks: list[Callable]):
+    """Try sinks in order; first success wins (output_fallback.go:23)."""
+    last_exc = None
+    for sink in sinks:
+        try:
+            return sink(ds)
+        except Exception as exc:  # noqa: BLE001 — fallback by contract
+            last_exc = exc
+    raise last_exc
+
+
+def retry_sink(ds, sink: Callable, attempts: int = 3, backoff_sec: float = 0.5):
+    """Retry the sink with exponential backoff until success/limit."""
+    for i in range(attempts):
+        try:
+            return sink(ds)
+        except Exception:  # noqa: BLE001
+            if i == attempts - 1:
+                raise
+            time.sleep(backoff_sec * (2 ** i))
+
+
+def reject_errored(ds, sink: Callable, quarantine: Callable,
+                   err_col: str = "err"):
+    """Route rows with a non-null ``err`` to the quarantine sink instead
+    of nacking (the reject_errored/drop_on idiom)."""
+    ok = ds.map_batches(
+        lambda t: t.filter(pc.is_null(t.column(err_col)))
+        if err_col in t.column_names else t,
+        batch_format="pyarrow")
+    bad = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(err_col)))
+        if err_col in t.column_names else t.slice(0, 0),
+        batch_format="pyarrow")
+    return sink(ok), quarantine(bad)

@@ -1,0 +1,99 @@
+"""Sources — the reference's input components re-expressed as Dataset
+constructors (SURVEY.md §2.1).
+
+| reference input | here |
+|---|---|
+| ``parquet`` (input_parquet.go:17) | ``read_parquet`` |
+| ``file`` + lines/csv scanners (input_file.go:25) | ``read_lines`` / ``read_csv`` |
+| ``generate`` (input_generate.go:33) | ``from_generate`` |
+| ``sequence`` (input_sequence.go:35) | ``sequence`` (serial concat) |
+| ``broker`` fan-in (input_broker.go:25) | ``broker`` (parallel union) |
+| ``read_until`` (input_read_until.go:34) | ``read_until`` |
+| ``inproc`` / ``resource`` | named registry (``register_stream`` / ``resource``) |
+
+Scanner codecs (§2.10 — lines/csv/chunker/decompress/json_documents)
+map onto the readers' own decoding plus ``flat_map`` for container
+formats.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def read_parquet(paths, columns=None, **kw):
+    """Primary source. Always pass ``columns`` — reading all columns for
+    a 2-column transform wastes the scan at scale."""
+    return rd.read_parquet(paths, columns=columns, **kw)
+
+
+def read_csv(paths, **kw):
+    return rd.read_csv(paths, **kw)
+
+
+def read_json(paths, **kw):
+    return rd.read_json(paths, **kw)
+
+
+def read_lines(paths, **kw):
+    """file input + lines scanner: one row per line, column ``text``."""
+    return rd.read_text(paths, **kw)
+
+
+def from_generate(fn: Callable[[pa.Table], pa.Table], count: int,
+                  batch_size: int = 1000, num_blocks: int | None = None):
+    """The ``generate`` input: synthesize ``count`` rows by mapping a
+    batch fn over row ids (column ``id``) — the deterministic fixture
+    generator. ``interval`` pacing is meaningless in a batch DAG and is
+    dropped."""
+    ds = rd.range(count, override_num_blocks=num_blocks)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def sequence(*datasets):
+    """Chain child inputs serially (input_sequence.go): in a bounded DAG
+    this is a union; block order preserves argument order."""
+    if not datasets:
+        raise ValueError("sequence needs at least one dataset")
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
+
+
+#: ``broker`` fan-in of N child inputs — in a pull-based DAG, union is
+#: both the serial and parallel merge (the executor interleaves blocks).
+broker = sequence
+
+
+def read_until(ds, check: Callable[[pa.Table], bool], max_batches: int = 10_000,
+               batch_size: int = 1024):
+    """Consume the child input until ``check(batch)`` returns True (the
+    triggering batch is included), mirroring input_read_until.go:34.
+    Inherently sequential — the driver pulls batches in order; use only
+    for bounded control flows, not hot paths."""
+    out = []
+    for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=batch_size)):
+        out.append(batch)
+        if check(batch) or i + 1 >= max_batches:
+            break
+    if not out:
+        return rd.from_items([])
+    return rd.from_arrow(pa.concat_tables(out, promote_options="default"))
+
+
+_REGISTRY: dict[str, object] = {}
+
+
+def register_stream(name: str, ds) -> None:
+    """``inproc`` / named resources: register a Dataset under a label."""
+    _REGISTRY[name] = ds
+
+
+def resource(name: str):
+    return _REGISTRY[name]

@@ -53,10 +53,14 @@ class _BroadcastJoiner:
 
 
 def broadcast_join(ds, small, on, how: str = "left", suffix: str = "_r",
-                   concurrency: int = 4):
+                   concurrency: int | None = None):
     """Broadcast hash join: ship the small side to the object store once
     (``ray.put``), every joiner actor reads it once. Left row order is
     preserved within each batch."""
+    from bento_ray.util import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
     ref = ray.put(small)
     return ds.map_batches(
         _BroadcastJoiner,
@@ -93,7 +97,11 @@ class _VersionedJoiner:
 
 
 def broadcast_join_versioned(ds, dim_versions, on: str, fact_ts: str,
-                             version_ts: str, concurrency: int = 4):
+                             version_ts: str, concurrency: int | None = None):
+    from bento_ray.util import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
     ref = ray.put(dim_versions)
     return ds.map_batches(
         _VersionedJoiner,

@@ -66,19 +66,32 @@ class PartitionWorker:
             "nbytes": np.empty(0, np.int64),
         }
         self.seen: dict[int, int] = {}  # url hash → first event ts
+        self._seen_delta: dict[int, int] = {}  # added since last snapshot
+        self.chunks_received = 0
         self.latest_flushed_end = -(1 << 62)
         self.max_ts = -(1 << 62)
         self.metrics = {"rows_in": 0, "late_dropped": 0, "dedupe_dropped": 0,
                         "panes_emitted": 0, "rows_emitted": 0}
 
     # -- ingest (many concurrent calls per epoch) ---------------------
-    def ingest(self, ts: np.ndarray, urlh: np.ndarray, lang: np.ndarray,
+    def ingest(self, ts: np.ndarray, urlh: np.ndarray,
+               lang_codes: np.ndarray, vocab: list,
                nbytes: np.ndarray) -> int:
+        """Accept one compact columnar chunk. ``lang`` arrives
+        dictionary-encoded (int8 codes + small vocab) — decoding is one
+        vectorized fancy-index, no per-string pickling. Feed tasks push
+        fire-and-forget; the epoch barrier is the driver comparing
+        ``chunks_received`` against the sum each task reported."""
         self.metrics["rows_in"] += len(ts)
+        self.chunks_received += 1
         if len(ts):
             self.max_ts = max(self.max_ts, int(ts.max()))
+        lang = np.asarray(vocab, dtype=object)[lang_codes]
         self._raw.append((ts, urlh, lang, nbytes))
         return len(ts)
+
+    def get_chunks_received(self) -> int:
+        return self.chunks_received
 
     def get_max_ts(self) -> int:
         return self.max_ts
@@ -105,12 +118,15 @@ class PartitionWorker:
             keep = np.zeros(len(ts), dtype=bool)
             keep[first_idx] = True
             seen = self.seen
+            delta = self._seen_delta
             for i in first_idx:
                 h = int(urlh[i])
                 if h in seen:
                     keep[i] = False
                 else:
-                    seen[h] = int(ts[i])
+                    v = int(ts[i])
+                    seen[h] = v
+                    delta[h] = v
             self.metrics["dedupe_dropped"] += int((~keep).sum())
             ts, urlh, lang, nbytes = ts[keep], urlh[keep], lang[keep], nbytes[keep]
 
@@ -174,20 +190,127 @@ class PartitionWorker:
 
     # -- checkpointing ------------------------------------------------
     def snapshot(self) -> bytes:
+        """INCREMENTAL state snapshot: the small per-epoch mutable state
+        (pending panes, frontier, metrics) plus only the dedupe keys
+        ADDED since the last snapshot. Serializing the full seen-set
+        every epoch is O(stream length) driver time — a scaling
+        bottleneck (and impossible at 10^12 docs); deltas are O(epoch).
+        Restore applies the epoch chain 0..E in order."""
+        delta = self._seen_delta
+        self._seen_delta = {}
         return pickle.dumps({
             "part_id": self.part_id,
             "ready": self._ready,
-            "seen": self.seen,
+            "seen_delta": delta,
             "latest_flushed_end": self.latest_flushed_end,
             "max_ts": self.max_ts,
             "metrics": self.metrics,
         })
 
-    def restore(self, blob: bytes) -> None:
-        st = pickle.loads(blob)
+    def restore(self, blobs: list[bytes]) -> None:
+        """Rebuild from the ordered chain of epoch snapshots: the dedupe
+        set is the union of all deltas; the rest of the state comes from
+        the newest snapshot."""
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        self.seen = {}
+        for blob in blobs:
+            st = pickle.loads(blob)
+            self.seen.update(st.get("seen_delta", st.get("seen", {})))
+        self._seen_delta = {}
         self._ready = st["ready"]
-        self.seen = st["seen"]
         self.latest_flushed_end = st["latest_flushed_end"]
+        self.max_ts = st["max_ts"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)
+
+
+@ray.remote
+class SessionWorker:
+    """Keyed session windows over the stream (north-rule addition — the
+    reference has no session windows). Partitioned by hash(key); each
+    worker tracks at most one OPEN session per key:
+
+        session extends [start, last] while events arrive with
+        ts − last ≤ gap; on flush, sessions with
+        last + gap ≤ watermark close and emit
+        (key, session_start, session_end=last, n_events, sum_value).
+
+    Rows are merged in event-time order within each flush cycle, so
+    emission is independent of arrival order (deterministic replay).
+    State = open sessions only — bounded by active keys within one gap
+    of the watermark."""
+
+    def __init__(self, part_id: int, gap_us: int):
+        self.part_id = part_id
+        self.gap_us = gap_us
+        self._raw: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        # key → [start, last, n, sum]
+        self.open: dict = {}
+        self.max_ts = -(1 << 62)
+        self.metrics = {"rows_in": 0, "sessions_emitted": 0}
+
+    def ingest(self, ts: np.ndarray, keys: np.ndarray,
+               values: np.ndarray) -> int:
+        self.metrics["rows_in"] += len(ts)
+        if len(ts):
+            self.max_ts = max(self.max_ts, int(ts.max()))
+        self._raw.append((ts, keys, values))
+        return len(ts)
+
+    def get_max_ts(self) -> int:
+        return self.max_ts
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        closed: list[tuple] = []
+        if self._raw:
+            ts = np.concatenate([c[0] for c in self._raw])
+            keys = np.concatenate([c[1] for c in self._raw]).astype(object)
+            vals = np.concatenate([c[2] for c in self._raw])
+            self._raw = []
+            order = np.lexsort((keys, ts))
+            for i in order:
+                k = keys[i]
+                t, v = int(ts[i]), float(vals[i])
+                s = self.open.get(k)
+                if s is None:
+                    self.open[k] = [t, t, 1, v]
+                elif t - s[1] > self.gap_us:
+                    closed.append((k, *s))
+                    self.open[k] = [t, t, 1, v]
+                else:
+                    s[1] = max(s[1], t)
+                    s[2] += 1
+                    s[3] += v
+        # close open sessions the watermark has passed
+        for k in [k for k, s in self.open.items()
+                  if s[1] + self.gap_us <= watermark_us]:
+            closed.append((k, *self.open.pop(k)))
+        self.metrics["sessions_emitted"] += len(closed)
+        closed.sort()
+        return pa.table({
+            "key": pa.array([c[0] for c in closed]),
+            "session_start": pa.array([c[1] for c in closed],
+                                      pa.timestamp("us")),
+            "session_end": pa.array([c[2] for c in closed],
+                                    pa.timestamp("us")),
+            "n_events": pa.array([c[3] for c in closed], pa.int64()),
+            "sum_value": pa.array([round(c[4], 4) for c in closed],
+                                  pa.float64()),
+        })
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"open": self.open, "max_ts": self.max_ts,
+                             "metrics": self.metrics})
+
+    def restore(self, blobs) -> None:
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        st = pickle.loads(blobs[-1])
+        self.open = st["open"]
         self.max_ts = st["max_ts"]
         self.metrics = st["metrics"]
         self._raw = []

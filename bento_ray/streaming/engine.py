@@ -61,13 +61,23 @@ class StreamConfig:
 
 
 class Feeder:
-    """Stateless extraction + partition + push stage. Per-batch output
-    is a one-row summary (rows, max_ts) used by the driver for the
-    watermark."""
+    """Stateless extraction + partition + push stage.
+
+    Cost discipline for the actor handoff (each ingest call costs
+    serialization + a serial slot on a near-zero-CPU actor):
+    - accumulate per-partition chunks across the whole file and push
+      ONCE per (file, partition), not per read batch;
+    - dictionary-encode ``lang`` (int8 codes + tiny vocab) so no Python
+      object arrays cross the wire;
+    - pushes are fire-and-forget, settled once via ``settle()`` before
+      the task reports done (blocking per batch serialized the feed
+      when every CPU was busy)."""
 
     def __init__(self, workers: list, partitions: int):
         self.workers = workers
         self.partitions = partitions
+        self._pending: list = []
+        self._acc: list[list] = [[] for _ in range(partitions)]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         # html → text extraction (byte-identical invariant stage)
@@ -76,19 +86,96 @@ class Feeder:
                            for x in texts], np.int64)
         ts = t.column("warc_ts").cast(pa.int64()).to_numpy()
         urlh = stable_hash(t.column("url")).astype(np.uint64)
-        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        lang_dict = t.column("lang").combine_chunks().dictionary_encode()
+        codes = np.asarray(lang_dict.indices.to_numpy(
+            zero_copy_only=False), np.int8)
+        vocab = lang_dict.dictionary.to_pylist()
         part = (urlh % np.uint64(self.partitions)).astype(np.int64)
 
-        refs = []
         for p in range(self.partitions):
             m = part == p
             if m.any():
-                refs.append(self.workers[p].ingest.remote(
-                    ts[m], urlh[m], lang[m], nbytes[m]))
-        ray.get(refs)  # backpressure: batch is done when state accepted
+                self._acc[p].append((ts[m], urlh[m], codes[m], vocab,
+                                     nbytes[m]))
         mx = int(ts.max()) if len(ts) else -(1 << 62)
         return pa.table({"rows": pa.array([len(t)], pa.int64()),
                          "max_ts": pa.array([mx], pa.int64())})
+
+    def push(self) -> list[int]:
+        """One ingest call per partition for everything accumulated.
+        Returns chunks pushed per partition (the barrier accounting)."""
+        pushed = [0] * self.partitions
+        for p, chunks in enumerate(self._acc):
+            if not chunks:
+                continue
+            pushed[p] = 1
+            ts = np.concatenate([c[0] for c in chunks])
+            urlh = np.concatenate([c[1] for c in chunks])
+            nbytes = np.concatenate([c[4] for c in chunks])
+            # merge per-chunk vocabs into one
+            vocab: list[str] = []
+            vidx: dict[str, int] = {}
+            code_parts = []
+            for c_ts, _, codes, cvocab, _ in chunks:
+                remap = np.empty(len(cvocab), np.int8)
+                for i, v in enumerate(cvocab):
+                    if v not in vidx:
+                        vidx[v] = len(vocab)
+                        vocab.append(v)
+                    remap[i] = vidx[v]
+                code_parts.append(remap[codes])
+            codes = np.concatenate(code_parts)
+            self._pending.append(self.workers[p].ingest.remote(
+                ts, urlh, codes, vocab, nbytes))
+        self._acc = [[] for _ in range(self.partitions)]
+        return pushed
+
+    def settle(self) -> None:
+        """Block until every pushed chunk is accepted by its actor."""
+        self.push()
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
+
+
+def _await_chunk_counters(workers, expected, base, timeout_sec: float = 120.0):
+    """Epoch barrier: poll each worker until it has accepted all chunks
+    pushed this epoch (feed tasks push fire-and-forget and free their
+    CPU slot as soon as extraction finishes)."""
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        got = ray.get([w.get_chunks_received.remote() for w in workers])
+        if all(g >= base[p] + expected[p] for p, g in enumerate(got)):
+            return
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"epoch barrier: chunks received {got} < expected "
+                f"{[b + x for b, x in zip(base, expected)]}")
+        time.sleep(0.01)
+
+
+def _submit_in_waves(submit, items, max_inflight: int | None = None) -> list:
+    """Submit remote tasks with a bounded in-flight window. Submitting a
+    whole epoch at once makes the raylet pre-start one worker process
+    per backlogged task; the resulting import storm (dozens of fresh
+    Python processes) saturates every core before any real work runs.
+    A window ≈ CPU count keeps a small warm pool that gets reused."""
+    if max_inflight is None:
+        try:
+            # leave headroom for the state actors + the epoch-finalize
+            # task so they never queue behind a full feed wave
+            max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        except Exception:
+            max_inflight = 8
+    pending: list = []
+    results: list = []
+    for it in items:
+        if len(pending) >= max_inflight:
+            done, pending = ray.wait(pending, num_returns=1)
+            results.extend(ray.get(done))
+        pending.append(submit(it))
+    results.extend(ray.get(pending))
+    return results
 
 
 @ray.remote
@@ -102,6 +189,7 @@ def _feed_file(path: str, workers: list, partitions: int,
     size) with ~none of the fixed cost. Returns (rows, max_ts)."""
     import pyarrow.parquet as pq
 
+    t0 = time.perf_counter()
     feeder = Feeder(workers, partitions)
     rows, max_ts = 0, -(1 << 62)
     pf = pq.ParquetFile(path)
@@ -110,7 +198,10 @@ def _feed_file(path: str, workers: list, partitions: int,
         s = feeder(pa.Table.from_batches([rb]))
         rows += s.column("rows")[0].as_py()
         max_ts = max(max_ts, s.column("max_ts")[0].as_py())
-    return rows, max_ts
+    # fire-and-forget pushes: the worker slot frees as soon as compute
+    # is done; the driver barriers on per-partition chunk counters
+    pushed = feeder.push()
+    return rows, max_ts, pushed, time.perf_counter() - t0
 
 
 def _combine_and_enrich(partials: list[pa.Table], dim_versions: pa.Table | None,
@@ -165,8 +256,11 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
 
+    # num_cpus=0.05: ingest/flush work is tiny (appends + one groupby per
+    # epoch); reserving real CPU slices for the pool starves the feed
+    # tasks that do the actual extraction compute
     workers = [
-        PartitionWorker.options(num_cpus=0.25).remote(
+        PartitionWorker.options(num_cpus=0.05).remote(
             p, cfg.window_size_us, cfg.slide_us, cfg.offset_us,
             cfg.dedupe_ttl_us)
         for p in range(cfg.partitions)
@@ -178,28 +272,80 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     if resume:
         last_done = sink.last_done_epoch()
         if last_done >= 0:
-            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
-            blobs = []
-            for p in range(cfg.partitions):
-                with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
-                    blobs.append(fh.read())
-            ray.get([w.restore.remote(b) for w, b in zip(workers, blobs)])
+            # snapshots are incremental — restore the chain 0..last_done
+            chains: list[list[bytes]] = [[] for _ in range(cfg.partitions)]
+            for e in range(last_done + 1):
+                snap_dir = os.path.join(state_dir, f"epoch={e}")
+                for p in range(cfg.partitions):
+                    with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
+                        chains[p].append(fh.read())
+            ray.get([w.restore.remote(c) for w, c in zip(workers, chains)])
             start_epoch = last_done + 1
 
     t0 = time.perf_counter()
     rows_total = 0
     global_max_ts = -(1 << 62)
 
+    debug = bool(os.environ.get("BENTO_DEBUG_TIMING"))
+
+    def _finalize(e: int, flush_refs: list, snap_refs: list,
+                  watermark: int, lineage: dict) -> None:
+        """Driver-side finalize — used only on the crash-injection test
+        path (deterministic sequential commits)."""
+        nonlocal replayed_partitions, skipped_partitions
+        written, skipped = _finalize_epoch_body(
+            e, ray.get(flush_refs), ray.get(snap_refs), watermark, lineage,
+            dim_versions, cfg, out_dir, state_dir,
+            crash_after=cfg.extra.get("crash_after"))
+        replayed_partitions += written
+        skipped_partitions += skipped
+
+    # Epoch pipeline: after epoch e's flush+snapshot calls are SUBMITTED
+    # (actor method order guarantees they see exactly epochs ≤ e), the
+    # next epoch's feed starts immediately; e's finalize runs as ONE
+    # off-driver Ray task in the shadow of that feed (running it on a
+    # driver thread stalled the feed-submission loop with pandas GIL
+    # bursts). Crash windows stay safe: an epoch is only _EPOCH_DONE
+    # after its commits, and resume replays any epoch without the marker
+    # (idempotent partition skips).
+    fin_ref = None
+    _chunk_base = [0] * cfg.partitions
+
+    def _join_finalize() -> None:
+        nonlocal fin_ref, replayed_partitions, skipped_partitions
+        if fin_ref is not None:
+            written, skipped = ray.get(fin_ref)
+            replayed_partitions += written
+            skipped_partitions += skipped
+            fin_ref = None
+
     for e in range(start_epoch, len(epochs)):
-        summary = ray.get([
-            _feed_file.remote(f, workers, cfg.partitions,
-                              cfg.feeder_batch_size)
-            for f in epochs[e]
-        ])
-        rows_total += sum(r for r, _ in summary)
+        te = time.perf_counter()
+        summary = _submit_in_waves(
+            lambda f: _feed_file.remote(f, workers, cfg.partitions,
+                                        cfg.feeder_batch_size),
+            epochs[e])
+        # epoch barrier: every pushed chunk must be accepted by its
+        # actor before the flush may run
+        expected = [0] * cfg.partitions
+        for x in summary:
+            for p, n in enumerate(x[2]):
+                expected[p] += n
+        _await_chunk_counters(workers, expected, _chunk_base)
+        for p in range(cfg.partitions):
+            _chunk_base[p] += expected[p]
+        if debug:
+            import numpy as _np
+            work = _np.array([x[3] for x in summary])
+            print(f"[epoch {e}] feed {time.perf_counter() - te:.2f}s "
+                  f"(task work p50={_np.median(work):.2f} "
+                  f"max={work.max():.2f} sum={work.sum():.1f})",
+                  flush=True)
+            te = time.perf_counter()
+        rows_total += sum(x[0] for x in summary)
         if summary:
             global_max_ts = max(global_max_ts,
-                                max(mt for _, mt in summary))
+                                max(x[1] for x in summary))
 
         final = e == len(epochs) - 1
         if final:
@@ -208,45 +354,26 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
         else:
             watermark = global_max_ts - cfg.allowed_lateness_us
 
-        partials = ray.get([w.flush.remote(watermark) for w in workers])
-        out = _combine_and_enrich(partials, dim_versions, cfg.window_size_us)
-
-        # per-output-partition exactly-once commit (partition by pane key
-        # hash so every epoch writes the same partition layout)
-        if len(out):
-            h = pd.util.hash_pandas_object(
-                out[["window_end", "lang"]], index=False).to_numpy()
-            op = (h % np.uint64(cfg.out_partitions)).astype(np.int64)
-        else:
-            op = np.zeros(0, np.int64)
+        # Submit flush + snapshot BEFORE anything from the next epoch
+        # touches the actors — per-actor call ordering guarantees they
+        # capture exactly epochs ≤ e.
+        flush_refs = [w.flush.remote(watermark) for w in workers]
+        snap_refs = [w.snapshot.remote() for w in workers]
         lineage = {"input_files": epochs[e], "watermark": int(watermark),
                    "epoch": e}
-        for p in range(cfg.out_partitions):
-            sub = out[op == p]
-            tbl = pa.Table.from_pandas(sub, preserve_index=False)
-            tbl = _finalize_schema(tbl)
-            wrote = sink.write_partition(e, p, tbl, lineage=lineage)
-            if wrote:
-                replayed_partitions += 1
-            else:
-                skipped_partitions += 1
-            # test hook: simulated crash mid-epoch, after some partitions
-            # committed but before the epoch's snapshot + _EPOCH_DONE
-            if cfg.extra.get("crash_after") == (e, p):
-                raise RuntimeError(f"injected crash after epoch={e} part={p}")
+        if "crash_after" in cfg.extra:
+            # crash tests need strictly sequential commits
+            _finalize(e, flush_refs, snap_refs, watermark, lineage)
+        else:
+            _join_finalize()  # keep per-epoch commit order
+            fin_ref = _finalize_epoch_task.remote(
+                e, flush_refs, snap_refs, watermark, lineage,
+                dim_versions, cfg, out_dir, state_dir)
+        if debug:
+            print(f"[epoch {e}] flush+spawn "
+                  f"{time.perf_counter() - te:.2f}s", flush=True)
 
-        # snapshot state AFTER commits so resume replays an epoch whose
-        # outputs may be partially committed (idempotent skips)
-        snap_dir = os.path.join(state_dir, f"epoch={e}")
-        os.makedirs(snap_dir, exist_ok=True)
-        blobs = ray.get([w.snapshot.remote() for w in workers])
-        for p, b in enumerate(blobs):
-            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(b)
-            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
-        sink.finish_epoch(e, {"watermark": int(watermark),
-                              "max_ts": int(global_max_ts)})
+    _join_finalize()
 
     elapsed = time.perf_counter() - t0
     metrics = ray.get([w.get_metrics.remote() for w in workers])
@@ -267,6 +394,57 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     }
 
 
+def _finalize_epoch_body(e: int, partials: list, snap_blobs: list,
+                         watermark: int, lineage: dict, dim_versions,
+                         cfg, out_dir: str, state_dir: str,
+                         crash_after=None) -> tuple[int, int]:
+    """Combine + enrich + per-partition exactly-once commit + snapshot
+    persist + _EPOCH_DONE for one epoch. Pane partials are
+    metadata-scale (pre-aggregated per state partition), so one task
+    handles them; per-partition fan-out was measured slower."""
+    sink = ExactlyOnceParquetSink(out_dir)
+    out = _combine_and_enrich(partials, dim_versions, cfg.window_size_us)
+    if len(out):
+        h = pd.util.hash_pandas_object(
+            out[["window_end", "lang"]], index=False).to_numpy()
+        op = (h % np.uint64(cfg.out_partitions)).astype(np.int64)
+    else:
+        op = np.zeros(0, np.int64)
+    written = skipped = 0
+    for p in range(cfg.out_partitions):
+        tbl = _finalize_schema(
+            pa.Table.from_pandas(out[op == p], preserve_index=False))
+        if sink.write_partition(e, p, tbl, lineage=lineage):
+            written += 1
+        else:
+            skipped += 1
+        # test hook: simulated crash mid-epoch, after some partitions
+        # committed but before the epoch's snapshot + _EPOCH_DONE
+        if crash_after == (e, p):
+            raise RuntimeError(f"injected crash after epoch={e} part={p}")
+    snap_dir = os.path.join(state_dir, f"epoch={e}")
+    os.makedirs(snap_dir, exist_ok=True)
+    for p, b in enumerate(snap_blobs):
+        tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(b)
+        os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+    sink.finish_epoch(e, {"watermark": int(watermark)})
+    return written, skipped
+
+
+@ray.remote(num_cpus=1)
+def _finalize_epoch_task(e: int, flush_refs: list, snap_refs: list,
+                         watermark: int, lineage: dict, dim_versions,
+                         cfg, out_dir: str, state_dir: str) -> tuple[int, int]:
+    """Off-driver epoch finalize (single-node: the task shares the
+    local filesystem with the driver; on a real cluster pin it to the
+    head node or point state_dir/out_dir at shared storage)."""
+    return _finalize_epoch_body(
+        e, ray.get(list(flush_refs)), ray.get(list(snap_refs)),
+        watermark, lineage, dim_versions, cfg, out_dir, state_dir)
+
+
 def _finalize_schema(t: pa.Table) -> pa.Table:
     """Stable output schema: window_end as UTC timestamp."""
     if "window_end" in t.column_names and pa.types.is_integer(
@@ -275,3 +453,113 @@ def _finalize_schema(t: pa.Table) -> pa.Table:
         t = t.set_column(i, "window_end",
                          t.column("window_end").cast(pa.timestamp("us", tz="UTC")))
     return t
+
+
+@ray.remote
+def _feed_session_file(path: str, workers: list, partitions: int,
+                       key_col: str, ts_col: str, value_col: str,
+                       batch_rows: int) -> tuple[int, int]:
+    """Session-stream feeder: one raw task per file, partitioned by
+    hash(key) so every session lives wholly inside one worker."""
+    import pyarrow.parquet as pq
+
+    rows, max_ts = 0, -(1 << 62)
+    pf = pq.ParquetFile(path)
+    refs = []
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[key_col, ts_col, value_col]):
+        t = pa.Table.from_batches([rb])
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        keys = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        vals = t.column(value_col).cast(pa.float64()).to_numpy()
+        part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
+        for p in range(partitions):
+            m = part == p
+            if m.any():
+                refs.append(workers[p].ingest.remote(ts[m], keys[m], vals[m]))
+        rows += len(t)
+        if len(ts):
+            max_ts = max(max_ts, int(ts.max()))
+    ray.get(refs)  # settle before the epoch barrier
+    return rows, max_ts
+
+
+def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
+                       ts_col: str, value_col: str, gap_us: int,
+                       partitions: int = 8, files_per_epoch: int = 2,
+                       allowed_lateness_us: int = 0,
+                       resume: bool = True) -> dict:
+    """Streaming session windows with the same epoch/watermark/
+    exactly-once machinery as run_stream. Sessions are partition-local
+    (keyed partitioning), so worker outputs are FINAL — each epoch's
+    partition table commits directly, no cross-partition combine."""
+    from bento_ray.streaming.actors import SessionWorker
+
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    epochs = [files[i:i + files_per_epoch]
+              for i in range(0, len(files), files_per_epoch)]
+
+    sink = ExactlyOnceParquetSink(out_dir)
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    workers = [SessionWorker.options(num_cpus=0.05).remote(p, gap_us)
+               for p in range(partitions)]
+
+    start_epoch = 0
+    written = skipped = 0
+    if resume:
+        last_done = sink.last_done_epoch()
+        if last_done >= 0:
+            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
+            blobs = []
+            for p in range(partitions):
+                with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
+                    blobs.append(fh.read())
+            ray.get([w.restore.remote(b) for w, b in zip(workers, blobs)])
+            start_epoch = last_done + 1
+
+    t0 = time.perf_counter()
+    rows_total = 0
+    global_max_ts = -(1 << 62)
+    for e in range(start_epoch, len(epochs)):
+        summary = _submit_in_waves(
+            lambda f: _feed_session_file.remote(f, workers, partitions,
+                                                key_col, ts_col, value_col,
+                                                16384),
+            epochs[e])
+        rows_total += sum(r for r, _ in summary)
+        if summary:
+            global_max_ts = max(global_max_ts, max(mt for _, mt in summary))
+        final = e == len(epochs) - 1
+        watermark = (global_max_ts + gap_us + 1 if final
+                     else global_max_ts - allowed_lateness_us)
+        lineage = {"input_files": epochs[e], "watermark": int(watermark),
+                   "epoch": e}
+        tables = ray.get([w.flush.remote(watermark) for w in workers])
+        for p, tbl in enumerate(tables):
+            if sink.write_partition(e, p, tbl, lineage=lineage):
+                written += 1
+            else:
+                skipped += 1
+        snap_dir = os.path.join(state_dir, f"epoch={e}")
+        os.makedirs(snap_dir, exist_ok=True)
+        blobs = ray.get([w.snapshot.remote() for w in workers])
+        for p, b in enumerate(blobs):
+            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b)
+            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        sink.finish_epoch(e, {"watermark": int(watermark)})
+
+    metrics = ray.get([w.get_metrics.remote() for w in workers])
+    agg = {k: sum(m[k] for m in metrics) for k in metrics[0]} if metrics else {}
+    for w in workers:
+        ray.kill(w)
+    return {
+        "epochs": len(epochs), "start_epoch": start_epoch,
+        "rows_fed": rows_total, "elapsed_sec": time.perf_counter() - t0,
+        "partitions_written": written, "partitions_skipped": skipped,
+        "worker_metrics": agg, "out_dir": out_dir,
+    }

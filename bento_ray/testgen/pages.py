@@ -212,7 +212,8 @@ def ensure_pages_dataset(
     corpus is itself a resumable, partitioned layout; generation fans
     out over Ray when a session is active and n is large.
     """
-    out_dir = os.path.join(cache_root, f"n{n_rows}_s{seed}")
+    out_dir = os.path.join(cache_root, f"n{n_rows}_s{seed}"
+                           + (f"_f{files}" if files else ""))
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
@@ -225,8 +226,11 @@ def ensure_pages_dataset(
 
         fn = make_pages_batch_fn(seed)
         ds = rd.range(n_rows, override_num_blocks=files)
-        ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=shard)
-        ds.write_parquet(out_dir)
+        # batch_size=None: one batch per block — a row-count batch_size
+        # makes map_batches coalesce adjacent blocks (block = shard-1
+        # rows due to integer split), silently halving the file count
+        ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+        ds.write_parquet(out_dir, min_rows_per_file=1)
     else:
         for f in range(files):
             lo, hi = f * shard, min((f + 1) * shard, n_rows)

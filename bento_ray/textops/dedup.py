@@ -20,6 +20,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from bento_ray.util import default_concurrency as _dc
+
+
+def _conc(c):
+    return c if c is not None else _dc()
+
 from bento_ray.textops.quality import hash_word
 
 _MERS = (1 << 61) - 1
@@ -71,9 +77,10 @@ class MinHasher:
 
 
 def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 3,
-                       seed: int = 42, concurrency: int = 4):
+                       seed: int = 42, concurrency: int | None = None):
     return ds.map_batches(MinHasher, fn_constructor_args=(num_perm, shingle_k, seed),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=_conc(concurrency))
 
 
 class _BandExploder:
@@ -116,14 +123,15 @@ class _BandExploder:
 
 def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, threshold: float = 0.5,
-                           seed: int = 42, concurrency: int = 4):
+                           seed: int = 42, concurrency: int | None = None):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard ≥ threshold, deduplicated across buckets."""
     exploded = ds.map_batches(
         _BandExploder, fn_constructor_args=(num_perm, bands, shingle_k, seed),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+                          concurrency=_conc(concurrency))
 
     def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -181,6 +189,6 @@ class SimHasher:
         return t.append_column("simhash", pa.array(vals, pa.int64()))
 
 
-def simhash64(ds, concurrency: int = 4):
+def simhash64(ds, concurrency: int | None = None):
     return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=_conc(concurrency))

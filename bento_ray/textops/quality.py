@@ -10,6 +10,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from bento_ray.util import default_concurrency as _dc
+
+
+def _conc(c):
+    return c if c is not None else _dc()
 import pyarrow.compute as pc
 
 # minimal per-language stopword profiles for the n-gram/stopword
@@ -79,9 +85,9 @@ class QualityScorer:
         return t.append_column("quality_score", pa.array(np.round(score, 6)))
 
 
-def quality_stage(ds, concurrency: int = 4):
+def quality_stage(ds, concurrency: int | None = None):
     return ds.map_batches(QualityScorer, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=_conc(concurrency))
 
 
 class LangId:
@@ -115,9 +121,9 @@ class LangId:
         return t.append_column("lang_conf", pa.array(confs, pa.float64()))
 
 
-def lang_id_stage(ds, concurrency: int = 4):
+def lang_id_stage(ds, concurrency: int | None = None):
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=_conc(concurrency))
 
 
 _FP_MOD = (1 << 61) - 1
@@ -166,6 +172,7 @@ def hash_word(w: str) -> int:
     return h % _FP_MOD
 
 
-def fingerprint_stage(ds, window: int = 8, concurrency: int = 4):
+def fingerprint_stage(ds, window: int = 8, concurrency: int | None = None):
     return ds.map_batches(Fingerprinter, fn_constructor_args=(window,),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=_conc(concurrency))

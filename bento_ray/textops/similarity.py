@@ -16,6 +16,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from bento_ray.util import default_concurrency as _dc
+
+
+def _conc(c):
+    return c if c is not None else _dc()
+
 import ray
 
 
@@ -59,14 +65,15 @@ class _BruteScorer:
 
 def cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True, concurrency: int = 4):
+                exclude_self: bool = True, concurrency: int | None = None):
     """Brute-force cosine top-k. Returns (query_id, vec_id, rank, score)
     with rank 1..k per query, ties broken by vec_id ascending."""
     q_ref = ray.put({"qids": list(query_ids),
                      "matrix": np.asarray(query_matrix, np.float64)})
     cands = ds.map_batches(
         _BruteScorer, fn_constructor_args=(q_ref, k, id_col, vec_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+                          concurrency=_conc(concurrency))
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
@@ -100,7 +107,7 @@ class _LshBucketer:
 def lsh_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
                     num_planes: int = 6, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    concurrency: int = 4):
+                    concurrency: int | None = None):
     """Approximate top-k: vectors hashed to 2**num_planes buckets by
     random hyperplanes; each query searches only its bucket. Recall is
     approximate by design (documented trade: candidates shrink by
@@ -111,7 +118,8 @@ def lsh_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
     planes_ref = ray.put(planes)
 
     bucketed = ds.map_batches(_LshBucketer, fn_constructor_args=(planes_ref, vec_col),
-                              batch_format="pyarrow", concurrency=concurrency)
+                              batch_format="pyarrow",
+                          concurrency=_conc(concurrency))
 
     qm = _normalize(np.asarray(query_matrix, np.float64))
     qb = _LshBucketer(planes, vec_col).bucket_of(np.asarray(query_matrix, np.float64))

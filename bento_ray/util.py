@@ -45,6 +45,19 @@ def rfc3339nano(ts_us: int) -> str:
     return base + "Z"
 
 
+def default_concurrency(cap: int = 4) -> int:
+    """Actor-pool size that leaves CPU headroom: an actor pool sized at
+    or above the CPU count starves the surrounding task stages (and can
+    stall an execution waiting for actors that never get slots)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(cap, cpus // 2))
+
+
 def duckdb_round(a, digits: int = 4) -> np.ndarray:
     """Bit-exact emulation of DuckDB's ROUND(x, d) on DOUBLE
     (std::round half-away-from-zero after scaling): used so Ray-side

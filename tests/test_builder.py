@@ -1,0 +1,68 @@
+"""Declarative Pipeline builder (the config-driven surface)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+from ray.data.aggregate import Count, Sum
+
+from bento_ray.pipelines.builder import Pipeline, register_processor
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_builder_chain_matches_direct():
+    p = (Pipeline.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+         .filter(lambda t: pc.greater(t.column("l_quantity"), pa.scalar(40.0)))
+         .group_aggregate("l_returnflag",
+                          Count(alias_name="n"),
+                          Sum("l_quantity", alias_name="qty")))
+    df = p.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    assert set(df.columns) == {"l_returnflag", "n", "qty"}
+    assert df["n"].sum() > 0
+
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT l_returnflag, COUNT(*) n, SUM(l_quantity) qty "
+        f"FROM read_parquet('{SF}/lineitem.parquet') "
+        f"WHERE l_quantity > 40 GROUP BY 1 ORDER BY 1").df()
+    assert df["n"].tolist() == want["n"].tolist()
+    assert df["qty"].tolist() == pytest.approx(want["qty"].tolist())
+
+
+def test_builder_apply_method():
+    p = (Pipeline.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "source"])
+         .apply("uppercase", "source", out="SRC")
+         .limit(5))
+    df = p.to_pandas()
+    assert (df["SRC"] == df["source"].str.upper()).all()
+
+
+def test_registered_processor_and_spec():
+    @register_processor("double_qty")
+    def double_qty(ds, col="l_quantity"):
+        return ds.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index(col), col,
+                pc.multiply(t.column(col), pa.scalar(2.0))),
+            batch_format="pyarrow")
+
+    spec = {
+        "input": {"parquet": {"path": f"{SF}/lineitem.parquet",
+                              "columns": ["l_quantity"]}},
+        "pipeline": [
+            {"double_qty": {}},
+            {"limit": {"n": 3}},
+        ],
+    }
+    df = Pipeline.from_spec(spec).to_pandas()
+    assert len(df) == 3
+
+    import pyarrow.parquet as pq
+
+    orig = pq.read_table(f"{SF}/lineitem.parquet",
+                         columns=["l_quantity"]).to_pandas()
+    # every doubled value exists in 2*original (order-insensitive spot check)
+    assert set(df["l_quantity"]).issubset(set(orig["l_quantity"] * 2))

@@ -1,0 +1,97 @@
+"""Bloblang-equivalent scalar function library (SURVEY.md §2.8)."""
+
+import pyarrow as pa
+import pytest
+
+from bento_ray.functions import FUNCTIONS, METHODS, apply_method, call
+
+
+def col(vals, t=None):
+    return pa.array(vals, t)
+
+
+def test_string_methods():
+    c = col(["Hello World", "  pad  ", None])
+    assert METHODS["uppercase"](c).to_pylist() == ["HELLO WORLD", "  PAD  ", None]
+    assert METHODS["lowercase"](c).to_pylist()[0] == "hello world"
+    assert METHODS["trim"](c).to_pylist()[1] == "pad"
+    assert METHODS["has_prefix"](c, "Hello").to_pylist() == [True, False, None]
+    assert METHODS["contains"](c, "World").to_pylist()[0] is True
+    assert METHODS["replace_all"](col(["a-b-c"]), "-", "_").to_pylist() == ["a_b_c"]
+    assert METHODS["re_replace_all"](col(["a1b22c"]), r"\d+", "#").to_pylist() == ["a#b#c"]
+    assert METHODS["slug"](col(["Hello, World!"])).to_pylist() == ["hello-world"]
+    assert METHODS["split"](col(["a,b,c"]), ",").to_pylist() == [["a", "b", "c"]]
+    assert METHODS["quote"](col(['say "hi"'])).to_pylist() == ['"say \\"hi\\""']
+
+
+def test_strip_html_method_matches_reference_example():
+    c = col(["<p>the plain <strong>old text</strong></p>"])
+    assert METHODS["strip_html"](c).to_pylist() == ["the plain old text"]
+
+
+def test_encode_decode_hash():
+    c = col(["hello"])
+    b64 = METHODS["encode"](c, "base64").to_pylist()[0]
+    assert b64 == "aGVsbG8="
+    assert METHODS["decode"](col([b64]), "base64").to_pylist()[0] == b"hello"
+    hx = METHODS["encode"](c, "hex").to_pylist()[0]
+    assert hx == "68656c6c6f"
+    assert METHODS["hash"](c, "sha256").to_pylist()[0].startswith("2cf24dba")
+
+
+def test_number_methods():
+    c = col([1.5, -2.7, 4.0])
+    assert METHODS["ceil"](c).to_pylist() == [2, -2, 4]
+    assert METHODS["floor"](c).to_pylist() == [1, -3, 4]
+    assert METHODS["abs"](c).to_pylist() == [1.5, 2.7, 4.0]
+    assert METHODS["min"](c, 2.0).to_pylist() == [1.5, -2.7, 2.0]
+    assert METHODS["int64"](col([3.0])).to_pylist() == [3]
+
+
+def test_structured_methods():
+    c = col([[3, 1, 2, 1]], pa.list_(pa.int64()))
+    assert METHODS["sum"](c).to_pylist() == [7.0]
+    assert METHODS["unique"](c).to_pylist() == [[1, 2, 3]]
+    assert METHODS["sort"](c).to_pylist() == [[1, 1, 2, 3]]
+    assert METHODS["flatten"](col([[[1], [2, 3]]],
+                                  pa.list_(pa.list_(pa.int64())))).to_pylist() == [[1, 2, 3]]
+    assert METHODS["length"](c).to_pylist() == [4]
+
+
+def test_time_methods():
+    ts = col(["2024-01-01 00:00:07"])
+    parsed = METHODS["ts_strptime"](ts, "%Y-%m-%d %H:%M:%S")
+    assert METHODS["ts_unix"](parsed).to_pylist() == [1704067200 + 7]
+    rounded = METHODS["ts_round"](parsed, 10_000_000)
+    assert METHODS["ts_unix"](rounded).to_pylist() == [1704067210]
+
+
+def test_generators_deterministic_with_seed():
+    a = call("uuid_v4", 3, seed=7).to_pylist()
+    b = call("uuid_v4", 3, seed=7).to_pylist()
+    assert a == b and len(set(a)) == 3
+    r = call("random_int", 5, seed=1, lo=0, hi=10).to_pylist()
+    assert r == call("random_int", 5, seed=1, lo=0, hi=10).to_pylist()
+    assert call("range", 4, start=2, step=3).to_pylist() == [2, 5, 8, 11]
+
+
+def test_apply_method_on_table():
+    t = pa.table({"s": ["x", "y"]})
+    out = apply_method(t, "s", "uppercase", out="S")
+    assert out.column("S").to_pylist() == ["X", "Y"]
+    out2 = apply_method(t, "s", "uppercase")
+    assert out2.column("s").to_pylist() == ["X", "Y"]
+
+
+def test_registry_coverage():
+    # the registries cover the inventoried families
+    for name in ["uppercase", "lowercase", "trim", "hash", "encode", "decode",
+                 "re_match", "re_replace_all", "split", "join", "strip_html",
+                 "parse_json", "format_json", "parse_url", "ceil", "floor",
+                 "round", "abs", "log", "sqrt", "sum", "unique", "sort",
+                 "flatten", "ts_parse", "ts_strftime", "ts_unix", "compress",
+                 "decompress"]:
+        assert name in METHODS, name
+    for name in ["uuid_v4", "nanoid", "ksuid", "now", "random_int", "range",
+                 "hostname", "env"]:
+        assert name in FUNCTIONS, name
