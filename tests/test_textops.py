@@ -34,7 +34,7 @@ def test_exact_dedup_keeps_lowest_id(doc_ds):
 def test_minhash_finds_exact_and_near_dups(doc_ds):
     from bento_ray.textops import near_dup_pairs_minhash
 
-    pairs = near_dup_pairs_minhash(doc_ds, threshold=0.3).to_pandas()
+    pairs = near_dup_pairs_minhash(doc_ds, threshold=0.3)
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (0, 1) in got  # exact duplicate: jaccard 1.0
     row = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
@@ -46,9 +46,9 @@ def test_minhash_finds_exact_and_near_dups(doc_ds):
 def test_minhash_deterministic(doc_ds):
     from bento_ray.textops import near_dup_pairs_minhash
 
-    p1 = near_dup_pairs_minhash(doc_ds, threshold=0.3).to_pandas() \
+    p1 = near_dup_pairs_minhash(doc_ds, threshold=0.3) \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    p2 = near_dup_pairs_minhash(doc_ds, threshold=0.3).to_pandas() \
+    p2 = near_dup_pairs_minhash(doc_ds, threshold=0.3) \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(p1, p2)
 
