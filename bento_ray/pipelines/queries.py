@@ -572,6 +572,140 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_salted_hot_key_agg(sf_dir: str):
+    """Salted-key skew mitigation, verified: ``event_type`` has only 5
+    values (every key is hot), so a naive groupby serializes 2k+ rows
+    per reducer on one key. Two-phase with salt: partial aggregates per
+    (event_type, salt) inside map_batches — 16× more, far smaller groups
+    — then a final merge re-combines the salted groups. Result must
+    equal the plain GROUP BY."""
+    from bento_ray.util import stable_hash
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    SALTS = 16
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["__salt"] = (stable_hash(df["event_id"]) % SALTS).astype("int64")
+        agg = (df.groupby(["event_type", "__salt"])
+                 .agg(n=("value", "size"), s=("value", "sum"))
+                 .reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    out = partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+
+    def _fix(t: pa.Table) -> pa.Table:
+        from bento_ray.util import duckdb_round
+
+        t = t.set_column(t.column_names.index("n_events"), "n_events",
+                         t.column("n_events").cast(pa.int64()))
+        vals = duckdb_round(t.column("sum_value").to_numpy(
+            zero_copy_only=False), 4)
+        return t.set_column(t.column_names.index("sum_value"), "sum_value",
+                            pa.array(vals, pa.float64()))
+
+    return out.map_batches(_fix, batch_format="pyarrow")
+
+
+SQL_SALTED = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """Multi-join: orders ⋈ customer (hash shuffle) ⋈ nation (broadcast)
+    → revenue per nation."""
+    import pyarrow.parquet as pq
+
+    from bento_ray.stages.join import broadcast_join, shuffle_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = shuffle_join(orders, cust, on="c_custkey", how="inner")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["c_nationkey", "n_name"])
+    joined = broadcast_join(joined, nation, on="c_nationkey", how="inner")
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"))
+    return _round_cols(out, ["revenue"])
+
+
+SQL_NATION = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_minmax_events(sf_dir: str):
+    ds = _t(sf_dir, "events", ["event_type", "value", "ts"])
+    out = ds.groupby("event_type").aggregate(
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+    return _round_cols(out, ["min_value", "max_value"])
+
+
+SQL_MINMAX = """
+SELECT event_type, ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT …): two-level grouped aggregate (the distributed
+    distinct idiom — dedupe to pairs, then count)."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="__c")).select_columns(["event_type", "user_id"])
+    return pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+
+
+SQL_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_union_streams(sf_dir: str):
+    """broker fan-in (union) of two filtered streams + aggregate."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    a = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), pa.scalar("click"))),
+        batch_format="pyarrow")
+    b = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), pa.scalar("view"))),
+        batch_format="pyarrow")
+    out = a.union(b).groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    return _round_cols(out, ["sum_value"])
+
+
+SQL_UNION = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT event_type, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_type = 'view'
+) GROUP BY event_type
+"""
+
+
 # -- rows-only (not SQL-expressible) ---------------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
@@ -660,6 +794,11 @@ QUERIES = {
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_embedding_norms": (q_embedding_norms, SQL_NORMS),
+    "q_salted_hot_key_agg": (q_salted_hot_key_agg, SQL_SALTED),
+    "q_nation_revenue": (q_nation_revenue, SQL_NATION),
+    "q_minmax_events": (q_minmax_events, SQL_MINMAX),
+    "q_distinct_users": (q_distinct_users, SQL_DISTINCT),
+    "q_union_streams": (q_union_streams, SQL_UNION),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),
