@@ -4,6 +4,7 @@ from bento_ray.sinks.outputs import (
     fan_out,
     reject_errored,
     retry_sink,
+    round_robin,
     switch_output,
     write_csv,
     write_json,
@@ -20,4 +21,5 @@ __all__ = [
     "fallback",
     "retry_sink",
     "reject_errored",
+    "round_robin",
 ]

@@ -72,6 +72,15 @@ def fan_out(ds, sinks: list[Callable]):
     return [sink(ds) for sink in sinks]
 
 
+def round_robin(ds, sinks: list[Callable]):
+    """broker round_robin/greedy (output_broker.go:247-253): split the
+    stream into len(sinks) disjoint shards, one per sink. Ray's
+    ``split`` assigns blocks; per-message alternation is meaningless in
+    a columnar engine — the contract is disjoint near-equal shares."""
+    shards = ds.split(len(sinks), equal=True)
+    return [sink(shard) for sink, shard in zip(sinks, shards)]
+
+
 def fallback(ds, sinks: list[Callable]):
     """Try sinks in order; first success wins (output_fallback.go:23)."""
     last_exc = None

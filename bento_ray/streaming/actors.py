@@ -98,6 +98,14 @@ class PartitionWorker:
 
     # -- flush (one call per epoch, after all ingests) ----------------
     def flush(self, watermark_us: int) -> pa.Table:
+        # TTL GC BEFORE deduping this cycle's rows: an entry older than
+        # (watermark − ttl) must not suppress a re-occurrence (the
+        # reference's TTL'd memory cache evicts at access time)
+        if self.dedupe_ttl_us is not None:
+            horizon = watermark_us - self.dedupe_ttl_us
+            self.seen = {h: t for h, t in self.seen.items() if t >= horizon}
+            self._seen_delta = {h: t for h, t in self._seen_delta.items()
+                                if t >= horizon}
         if self._raw:
             ts = np.concatenate([c[0] for c in self._raw])
             urlh = np.concatenate([c[1] for c in self._raw])
@@ -182,10 +190,6 @@ class PartitionWorker:
             open_rows[np.unique(idx[open_mask])] = True
         self._ready = {k: v[open_rows] for k, v in r.items()}
 
-        # watermark GC of the dedupe seen-set
-        if self.dedupe_ttl_us is not None:
-            horizon = watermark_us - self.dedupe_ttl_us
-            self.seen = {h: t for h, t in self.seen.items() if t >= horizon}
         return emitted
 
     # -- checkpointing ------------------------------------------------

@@ -144,3 +144,56 @@ def test_streaming_sliding_windows(pages_small, tmp_path):
             .reset_index().sort_values(["window_end", "lang"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedupe_ttl(tmp_path):
+    """dedupe_ttl_us: a url re-seen after the TTL horizon is NOT
+    deduplicated (the reference's TTL'd memory cache)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "ttl_in")
+    os.makedirs(d)
+    base = BASE_TS_US
+
+    def mk(path, rows):
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([base + r[1] for r in rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b"<p>x</p>"] * len(rows), pa.binary()),
+            "lang": pa.array(["en"] * len(rows)),
+        })
+        pq.write_table(t, path)
+
+    # same url at t=1s and t=200s; TTL=60s → both kept
+    mk(os.path.join(d, "a.parquet"), [("u", 1_000_000), ("x", 2_000_000)])
+    mk(os.path.join(d, "b.parquet"), [("u", 200_000_000), ("y", 201_000_000)])
+    cfg = StreamConfig(partitions=2, out_partitions=2, files_per_epoch=1,
+                       allowed_lateness_us=0, dedupe_ttl_us=60_000_000,
+                       window_size_us=10_000_000)
+    m = run_stream(d, cfg, str(tmp_path / "ttl_out"), dim_versions=None)
+    assert m["worker_metrics"]["dedupe_dropped"] == 0
+    df = ExactlyOnceParquetSink(str(tmp_path / "ttl_out")).read().to_pandas()
+    assert int(df["pages"].sum()) == 4
+
+    # control: without TTL the repeat is dropped
+    m2 = run_stream(d, StreamConfig(partitions=2, out_partitions=2,
+                                    files_per_epoch=1, allowed_lateness_us=0,
+                                    window_size_us=10_000_000),
+                    str(tmp_path / "nottl_out"), dim_versions=None)
+    assert m2["worker_metrics"]["dedupe_dropped"] == 1
+
+
+def test_streaming_window_offset(pages_small, tmp_path):
+    """offset_us shifts the UTC-epoch alignment: window ends land on
+    offset + k*size."""
+    out = str(tmp_path / "off")
+    cfg = StreamConfig(window_size_us=10_000_000, offset_us=3_000_000,
+                       allowed_lateness_us=2_000_000, partitions=2,
+                       out_partitions=2, files_per_epoch=3)
+    run_stream(pages_small, cfg, out, dim_versions=None)
+    df = ExactlyOnceParquetSink(out).read().to_pandas()
+    ends = pd.to_datetime(df["window_end"], utc=True).astype(
+        "datetime64[us, UTC]").astype("int64")
+    assert ((ends - 3_000_000) % 10_000_000 == 0).all()
+    assert len(df) > 0
