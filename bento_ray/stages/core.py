@@ -111,6 +111,38 @@ def unarchive(table: pa.Table, fmt: str = "json_array", content_col: str = "cont
     return pa.Table.from_pylist(out_rows)
 
 
+def insert_part(table: pa.Table, index: int, row: dict) -> pa.Table:
+    """Bento ``insert_part`` (processor_insert_part.go): insert a new
+    message at a batch index; negative indices count from the end, out
+    of range appends/prepends."""
+    t = to_table(table)
+    n = len(t)
+    i = index if index >= 0 else n + index + 1
+    i = max(0, min(n, i))
+    new = pa.Table.from_pylist([row], schema=t.schema)
+    return pa.concat_tables([t.slice(0, i), new, t.slice(i)],
+                            promote_options="default")
+
+
+def noop(ds):
+    """Bento ``noop``: identity."""
+    return ds
+
+
+def log_stage(ds, logger=None, prefix: str = "batch"):
+    """Bento ``log`` processor: observe batches without altering them
+    (driver-side logging per batch via print/logger)."""
+    import logging
+
+    log = logger or logging.getLogger("bento_ray")
+
+    def _f(t: pa.Table) -> pa.Table:
+        log.info("%s: %d rows, %d cols", prefix, len(t), len(t.column_names))
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def select_parts(table: pa.Table, indices: list[int]) -> pa.Table:
     """Bento ``select_parts``: pick rows of a semantic batch by index,
     negative indices from the end (message.go:47-61)."""

@@ -181,3 +181,17 @@ def test_select_parts_negative_indexing():
     t = _batch(["a", "b", "c", "d"])
     assert _contents(select_parts(t, [0, -1])) == ["a", "d"]
     assert _contents(select_parts(t, [-2, 99])) == ["c"]
+
+
+def test_insert_part_positions():
+    from bento_ray.stages.core import insert_part
+
+    t = _batch(["a", "b", "c"])
+    out = insert_part(t, 1, {"content": "X"})
+    assert _contents(out) == ["a", "X", "b", "c"]
+    out = insert_part(t, -1, {"content": "X"})
+    assert _contents(out) == ["a", "b", "c", "X"]
+    out = insert_part(t, 99, {"content": "X"})
+    assert _contents(out) == ["a", "b", "c", "X"]
+    out = insert_part(t, 0, {"content": "X"})
+    assert _contents(out) == ["X", "a", "b", "c"]
