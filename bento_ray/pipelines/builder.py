@@ -27,9 +27,7 @@ construction via ``Pipeline.from_spec``.
 
 from __future__ import annotations
 
-from typing import Any, Callable
-
-import pyarrow as pa
+from typing import Callable
 
 import ray.data as rd
 

@@ -17,12 +17,11 @@ Two scopes here:
   pass keeping the first/last row by an ordering column. The groupby is
   the one unavoidable all-to-all; the partial pass bounds its input to
   ≤ one row per key per batch. Cross-epoch streaming dedupe state lives
-  in the actor-pool stage (bento_ray.streaming.actors.DedupeActor).
+  in the actor-pool stage (bento_ray.streaming.actors.PartitionWorker).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -38,7 +38,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-import ray.data as rd
 
 from bento_ray.html import strip_html_batch
 from bento_ray.streaming.actors import PartitionWorker

@@ -147,8 +147,6 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
 
     Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard ≥ threshold."""
-    import ray
-
     exploded = ds.map_batches(
         _BandExploder, fn_constructor_args=(num_perm, bands, shingle_k, seed),
         batch_format="pyarrow", concurrency=_conc(concurrency))
