@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q_doc_stats",
     "q_minhash_near_dups",
     "q_ann_topk",
+    "q_salted_hot_key_agg",
+    "q_nation_revenue",
 ]
 
 

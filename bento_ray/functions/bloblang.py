@@ -288,3 +288,38 @@ def apply_method(table: pa.Table, col: str, method: str, *args,
     if name in table.column_names:
         return table.set_column(table.column_names.index(name), name, res)
     return table.append_column(name, res)
+
+
+_INTERP = re.compile(r"\$\{!?\s*([a-zA-Z_][\w.]*)\s*\}")
+
+
+def interpolate(table: pa.Table, template: str) -> pa.Array:
+    """Bento field interpolation (``${! expr }`` / ``${column}`` —
+    internal/bloblang/field/expression.go:19-60): render a template per
+    row, substituting column references. The workhorse for dedupe keys,
+    cache keys and path patterns:
+
+        interpolate(t, "${lang}:${url}")  →  StringArray
+
+    Only column references are supported in the placeholder (the full
+    method library composes via apply_method beforehand)."""
+    cols = _INTERP.findall(template)
+    for c in cols:
+        if c not in table.column_names:
+            raise KeyError(f"interpolation references unknown column {c!r}")
+    parts = _INTERP.split(template)
+    # parts alternate: literal, colname, literal, colname, ...
+    n = len(table)
+    arrays = []
+    for i, piece in enumerate(parts):
+        if i % 2 == 0:
+            if piece:
+                arrays.append(pa.array([piece] * n))
+        else:
+            arrays.append(pc.cast(table.column(piece), pa.string()))
+    if not arrays:
+        return pa.array([""] * n)
+    out = arrays[0]
+    for a in arrays[1:]:
+        out = pc.binary_join_element_wise(out, a, "")
+    return out if isinstance(out, pa.Array) else out.combine_chunks()

@@ -95,3 +95,17 @@ def test_registry_coverage():
     for name in ["uuid_v4", "nanoid", "ksuid", "now", "random_int", "range",
                  "hostname", "env"]:
         assert name in FUNCTIONS, name
+
+
+def test_interpolation():
+    import pyarrow as pa
+
+    from bento_ray.functions.bloblang import interpolate
+
+    t = pa.table({"lang": ["en", "de"], "n": [1, 2]})
+    assert interpolate(t, "k-${lang}:${n}!").to_pylist() == \
+        ["k-en:1!", "k-de:2!"]
+    assert interpolate(t, "${! lang }").to_pylist() == ["en", "de"]
+    assert interpolate(t, "static").to_pylist() == ["static", "static"]
+    with pytest.raises(KeyError):
+        interpolate(t, "${missing}")

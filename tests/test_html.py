@@ -51,3 +51,13 @@ def test_byte_identical_other_seed():
     t = generate_pages_table(200, seed=7)
     for i in range(t.num_rows):
         assert strip_html(t["html"][i].as_py()) == t["text"][i].as_py()
+
+
+def test_byte_identical_many_seeds():
+    """Parity fuzz: fresh grammar corpora across seeds — every page's
+    sanitized text must match the generator's golden byte-for-byte."""
+    for seed in (0, 1, 13, 99, 12345):
+        t = generate_pages_table(80, seed=seed)
+        for i in range(t.num_rows):
+            assert strip_html(t["html"][i].as_py()) == t["text"][i].as_py(), \
+                f"seed={seed} row={i}"
