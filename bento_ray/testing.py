@@ -62,8 +62,19 @@ def json_contains(t: pa.Table, row: int, want, col: str = "content") -> None:
     assert _contains(want, got), f"json_contains[{row}]: {want!r} ⊄ {got!r}"
 
 
+def _strip_nulls(v):
+    """Normalize Arrow's struct-type unification (heterogeneous structs
+    in one list column gain null-valued fields) back to JSON-like
+    shape before comparing."""
+    if isinstance(v, dict):
+        return {k: _strip_nulls(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_nulls(x) for x in v]
+    return v
+
+
 def metadata_equals(t: pa.Table, row: int, col: str, want) -> None:
-    got = t.column(col)[row].as_py()
+    got = _strip_nulls(t.column(col)[row].as_py())
     assert got == want, f"metadata_equals[{row}].{col}: {got!r} != {want!r}"
 
 
