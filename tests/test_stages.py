@@ -195,3 +195,23 @@ def test_insert_part_positions():
     assert _contents(out) == ["a", "b", "c", "X"]
     out = insert_part(t, 0, {"content": "X"})
     assert _contents(out) == ["X", "a", "b", "c"]
+
+
+def test_dedupe_lru_cache_cross_batch():
+    """deduplicate_lru.yaml: same cross-batch golden through an LRU
+    cache resource — one output batch [1,2,3,4]."""
+    cache = LocalCache(max_items=100)
+    batches = [_batch([1, 2, 3, 4, 3, 3, 3]), _batch([4, 1, 1, 3, 4, 4, 2, 1])]
+    out = list(dedupe_stream(batches, _contents, cache=cache))
+    assert len(out) == 1
+    assert _contents(out[0]) == ["1", "2", "3", "4"]
+
+
+def test_dedupe_lru_eviction_readmits():
+    """An LRU-evicted key is admitted again (capacity-bounded dedupe —
+    the documented trade of the lru cache resource)."""
+    cache = LocalCache(max_items=2)
+    out = list(dedupe_stream(
+        [_batch(["a", "b", "c"]), _batch(["a"])], _contents, cache=cache))
+    # 'a' was evicted when 'c' arrived (cap 2) → re-admitted
+    assert [_contents(b) for b in out] == [["a", "b", "c"], ["a"]]
