@@ -343,7 +343,7 @@ FROM events GROUP BY 1, 2
 
 def q_window_sliding(sf_dir: str):
     """Sliding windows size=1h slide=30m: every event lands in 2 panes."""
-    ds = _t(sf_dir, "events", ["ts", "event_type"])
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
 
     def _assign(t: pa.Table) -> pa.Table:
         ts = t.column("ts").cast(pa.int64()).to_numpy()
@@ -354,18 +354,21 @@ def q_window_sliding(sf_dir: str):
         return out.append_column("window_end", pa.array(ends, pa.timestamp("us")))
 
     ds = ds.map_batches(_assign, batch_format="pyarrow")
-    return ds.groupby(["window_end", "event_type"]).aggregate(
-        Count(alias_name="n_events"))
+    out = ds.groupby(["window_end", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"))
+    return _round_cols(out, ["sum_value"])
 
 
 SQL_SLIDING = f"""
-SELECT make_timestamp(we) AS window_end, event_type, COUNT(*) AS n_events
+SELECT make_timestamp(we) AS window_end, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
 FROM (
   SELECT ((epoch_us(ts) + {HALF_HOUR_US - 1}) // {HALF_HOUR_US}) * {HALF_HOUR_US}
-           AS we, event_type FROM events
+           AS we, event_type, value FROM events
   UNION ALL
   SELECT ((epoch_us(ts) + {HALF_HOUR_US - 1}) // {HALF_HOUR_US}) * {HALF_HOUR_US}
-           + {HALF_HOUR_US} AS we, event_type FROM events
+           + {HALF_HOUR_US} AS we, event_type, value FROM events
 ) GROUP BY we, event_type
 """
 
