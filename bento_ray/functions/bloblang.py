@@ -122,12 +122,41 @@ FUNCTIONS = {
 # METHODS — strings
 # --------------------------------------------------------------------------
 
+def _xxh64_impl():
+    """True XXH64 of the value bytes: system libxxhash via ctypes when
+    present, else the spec-validated pure-Python fallback
+    (functions/xxh.py). Both verified identical against libxxhash."""
+    try:
+        import ctypes
+
+        lib = ctypes.CDLL("libxxhash.so.0")
+        lib.XXH64.restype = ctypes.c_uint64
+        lib.XXH64.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_uint64]
+        return lambda b: lib.XXH64(b, len(b), 0)
+    except OSError:
+        from bento_ray.functions.xxh import xxhash64
+
+        return lambda b: xxhash64(b, 0)
+
+
+_XXH64 = None
+
+
 def m_hash(col, algorithm: str = "sha256"):
     if algorithm == "xxhash64":
-        import pandas as pd
-
-        h = pd.util.hash_array(np.asarray(_as_array(col).to_pylist(), object))
-        return pa.array([format(int(v), "016x") for v in h])
+        # Reference parity (methods_strings.go:852-857): decimal string
+        # of the true XXH64 digest.
+        global _XXH64
+        if _XXH64 is None:
+            _XXH64 = _xxh64_impl()
+        xx = _XXH64
+        return _pyloop(col, lambda s: str(
+            xx(s.encode() if isinstance(s, str) else bytes(s))))
+    if algorithm == "crc32":
+        # IEEE polynomial (the reference default, methods_strings.go:863)
+        return _pyloop(col, lambda s: str(binascii.crc32(
+            s.encode() if isinstance(s, str) else bytes(s)) & 0xFFFFFFFF))
     algo = {"sha256": hashlib.sha256, "sha512": hashlib.sha512,
             "sha1": hashlib.sha1, "md5": hashlib.md5}[algorithm]
     return _pyloop(col, lambda s: algo(

@@ -375,27 +375,58 @@ FROM (
 
 def q_window_session(sf_dir: str):
     """Session windows per user (gap 30m) — the reference has no session
-    windows; new semantics per the north rule."""
+    windows; new semantics per the north rule.
+
+    Partition-level vectorized (VERDICT r1 item 5): hash user_id into P
+    coarse partitions, then ONE numpy break-scan + segment-reduce per
+    partition — P Python calls total, not one per user. Scales with the
+    cluster core count; the per-key map_groups it replaces paid one
+    Python call per user (measured 20s+/80k rows on small groups)."""
+    from bento_ray.util import salted_partition
+
     ds = _t(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
+    P = 16
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        brk = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (ts[1:] - ts[:-1] > HALF_HOUR_US).astype(np.int64)
-        g["__sid"] = np.cumsum(brk)
-        out = (g.groupby("__sid")
-                .agg(user_id=("user_id", "first"),
-                     session_start=("ts", "min"),
-                     session_end=("ts", "max"),
-                     n_events=("ts", "size"),
-                     sum_value=("value", "sum"))
-                .reset_index(drop=True))
-        out["sum_value"] = out["sum_value"].round(4)
-        return out
+    def _pid(t: pa.Table) -> pa.Table:
+        pid = salted_partition(t.column("user_id"), P)
+        return t.append_column("__pid", pa.array(pid, pa.int64()))
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    def _sessions(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.string()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            })
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        t = t.take(idx)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy()
+        from bento_ray.stages.window import session_breaks
+
+        brk = session_breaks(t.column("user_id"), ts, HALF_HOUR_US)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, n])
+        seg_last = np.r_[starts[1:], n] - 1
+        vals = t.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sums = np.round(np.add.reduceat(vals, starts), 4)
+        users = t.column("user_id").take(pa.array(starts))
+        return pa.table({
+            "user_id": users,
+            "session_start": pa.array(ts[starts], pa.timestamp("us")),
+            "session_end": pa.array(ts[seg_last], pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        })
+
+    return (ds.map_batches(_pid, batch_format="pyarrow")
+              .groupby("__pid")
+              .map_groups(_sessions, batch_format="pyarrow"))
 
 
 SQL_SESSION = f"""

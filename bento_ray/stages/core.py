@@ -57,15 +57,36 @@ def split_batches(ds, size: int):
     """Bento ``split`` processor (processor_split.go:61): re-chunk the
     stream into batches of at most ``size`` messages. In Ray Data batch
     boundaries are physical; semantic re-batching = map_batches with an
-    explicit batch_size, tagging each batch with a ``batch_id``."""
-    counter = {"next": 0}
+    explicit batch_size, tagging each batch with a ``batch_id``.
 
-    def _tag(t: pa.Table) -> pa.Table:
-        bid = counter["next"]
-        counter["next"] += 1
-        return t.append_column("batch_id", pa.array([bid] * len(t), pa.int64()))
+    batch_id uniqueness: a plain closure counter would be re-pickled per
+    Ray task (restarting at 0 in every worker), so each map_batches
+    WORKER leases a disjoint id block from a zero-CPU counter actor —
+    one RPC per lease of 2^16 ids, amortized to ~zero per batch."""
+    from bento_ray.metrics import _CounterActor
 
-    return ds.map_batches(_tag, batch_format="pyarrow", batch_size=size)
+    counter = _CounterActor.remote()
+    block = 1 << 16
+
+    class _Tagger:
+        def __init__(self):
+            self._next = 0
+            self._end = 0
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._next >= self._end:
+                import ray
+
+                lease = ray.get(counter.next_value.remote("split_batches"))
+                self._next = (lease - 1) * block
+                self._end = lease * block
+            bid = self._next
+            self._next += 1
+            return t.append_column(
+                "batch_id", pa.array([bid] * len(t), pa.int64()))
+
+    return ds.map_batches(_Tagger, batch_format="pyarrow", batch_size=size,
+                          concurrency=(1, 4))
 
 
 def archive(table: pa.Table, fmt: str = "json_array", content_col: str = "content") -> pa.Table:

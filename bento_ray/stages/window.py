@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 US = 1_000_000
 
@@ -99,15 +100,78 @@ def session_windows_group(g: pd.DataFrame, ts_col: str, gap_us: int,
     return g
 
 
+def session_breaks(keys: pa.Array, ts: np.ndarray, gap_us: int) -> np.ndarray:
+    """Boolean session-start mask over rows sorted by (key, ts): a new
+    session starts at row 0, at every key change, and whenever the gap
+    from the previous event exceeds ``gap_us``. One vectorized pass —
+    no per-key Python (measured: ``groupby(key).map_groups`` costs one
+    Python call per key, 20s+ on 80k rows of mostly-small groups)."""
+    n = len(ts)
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        same = pc.fill_null(
+            pc.equal(keys.slice(1), keys.slice(0, n - 1)), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        brk[1:] = (~same) | ((ts[1:] - ts[:-1]) > gap_us)
+    return brk
+
+
+def assign_sessions_table(t: pa.Table, key_col: str, ts_col: str,
+                          gap_us: int, end_col: str = "window_end") -> pa.Table:
+    """Vectorized session assignment over one whole hash partition
+    (all keys at once): sort by (key, ts), one break scan, one
+    segment-max for window_end. Replaces the per-key map_groups path."""
+    n = len(t)
+    if n == 0:
+        return t.append_column(
+            end_col, pa.array([], pa.timestamp("us", tz="UTC")))
+    idx = pc.sort_indices(
+        t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")])
+    t = t.take(idx)
+    ts = _ts_us(t.column(ts_col))
+    brk = session_breaks(t.column(key_col), ts, gap_us)
+    starts = np.flatnonzero(brk)
+    counts = np.diff(np.r_[starts, n])
+    seg_last = ts[np.r_[starts[1:], n] - 1]
+    wend = np.repeat(seg_last + gap_us, counts)
+    return t.append_column(
+        end_col, pa.array(wend, pa.timestamp("us", tz="UTC")))
+
+
 def assign_session_windows(ds, key_col: str, ts_col: str, gap_us: int,
-                           end_col: str = "window_end"):
-    """Session windows per key. Shuffle: one groupby on the key; within
-    each group sorting is local. At 100 TB scale the grouping key should
-    be high-cardinality (e.g. user id / url), so groups stay small."""
-    return ds.groupby(key_col).map_groups(
-        lambda g: session_windows_group(g, ts_col, gap_us, end_col),
-        batch_format="pandas",
-    )
+                           end_col: str = "window_end",
+                           num_partitions: int | None = None):
+    """Session windows per key, partition-level vectorized: hash the key
+    into ``num_partitions`` coarse partitions (one shuffle), then run
+    ONE vectorized multi-key break scan per partition — P Python calls
+    total instead of one per key. At 100 TB, P scales with the cluster
+    core count and each partition must fit a worker's heap; the key
+    hash keeps all rows of a key co-located regardless of P."""
+    from bento_ray.util import salted_partition
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(4, int(ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_partitions = 8
+
+    P = num_partitions
+
+    def _pid(t: pa.Table) -> pa.Table:
+        pid = salted_partition(t.column(key_col), P)
+        return t.append_column("__pid", pa.array(pid, pa.int64()))
+
+    def _sessions(t: pa.Table) -> pa.Table:
+        out = assign_sessions_table(t, key_col, ts_col, gap_us, end_col)
+        return out.drop_columns(["__pid"])
+
+    return (ds.map_batches(_pid, batch_format="pyarrow")
+              .groupby("__pid")
+              .map_groups(_sessions, batch_format="pyarrow"))
 
 
 def windowed_aggregate(ds, ts_col: str, size_us: int, group_cols: list[str],

@@ -17,6 +17,7 @@ so the per-batch cost is one RPC per shard touched, never one per row.
 
 from __future__ import annotations
 
+import hashlib
 import time
 from collections import OrderedDict
 
@@ -118,10 +119,20 @@ class CacheClient:
                        for _ in range(shards)]
         self.shards = shards
 
+    def _shard(self, key) -> int:
+        # Builtin hash() is PYTHONHASHSEED-salted per process for
+        # str/bytes, so two Ray workers would route the same key to
+        # different shards and Add-based dedupe would silently admit
+        # duplicates. Use a process-stable digest instead.
+        if not isinstance(key, (bytes, bytearray)):
+            key = str(key).encode()
+        return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(),
+                              "big") % self.shards
+
     def _route(self, keys) -> dict[int, list[tuple[int, object]]]:
         out: dict[int, list[tuple[int, object]]] = {}
         for i, k in enumerate(keys):
-            out.setdefault(hash(k) % self.shards, []).append((i, k))
+            out.setdefault(self._shard(k), []).append((i, k))
         return out
 
     def madd(self, keys, value=b"t") -> list[bool]:
@@ -151,7 +162,7 @@ class CacheClient:
         return self.mget([key])[0]
 
     def set(self, key, value):
-        ray.get(self.actors[hash(key) % self.shards].set.remote(key, value))
+        ray.get(self.actors[self._shard(key)].set.remote(key, value))
 
     def delete(self, key):
-        ray.get(self.actors[hash(key) % self.shards].delete.remote(key))
+        ray.get(self.actors[self._shard(key)].delete.remote(key))

@@ -236,15 +236,27 @@ class PartitionWorker:
 class SessionWorker:
     """Keyed session windows over the stream (north-rule addition — the
     reference has no session windows). Partitioned by hash(key); each
-    worker tracks at most one OPEN session per key:
+    worker tracks the OPEN sessions per key (possibly several until the
+    watermark passes them):
 
-        session extends [start, last] while events arrive with
-        ts − last ≤ gap; on flush, sessions with
-        last + gap ≤ watermark close and emit
-        (key, session_start, session_end=last, n_events, sum_value).
+        a session covers [start, last]; an event at ts merges into any
+        session with start − gap ≤ ts ≤ last + gap (bridging events can
+        merge two sessions); a session closes and emits
+        (key, session_start, session_end=last, n_events, sum_value)
+        ONLY when watermark ≥ last + gap — never eagerly on a same-flush
+        gap-exceeding event, so an out-of-order event in a later epoch
+        still lands in its (still-open) session.
 
-    Rows are merged in event-time order within each flush cycle, so
-    emission is independent of arrival order (deterministic replay).
+    Late-drop rule (mirrors PartitionWorker.latest_flushed_end): events
+    with ts ≤ the last flush watermark are dropped and counted in
+    ``late_dropped`` — by construction any event that could touch an
+    already-emitted session satisfies ts ≤ emitted.last + gap ≤ that
+    watermark, so emission stays deterministic under replay.
+
+    Flush is vectorized: one lexsort + break-scan + segment-reduce forms
+    "mini-sessions" (O(events) numpy), then a Python merge runs only
+    over mini-sessions × open keys — never per event.
+
     State = open sessions only — bounded by active keys within one gap
     of the watermark."""
 
@@ -252,10 +264,12 @@ class SessionWorker:
         self.part_id = part_id
         self.gap_us = gap_us
         self._raw: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        # key → [start, last, n, sum]
+        # key → sorted list of [start, last, n, sum] (disjoint by > gap)
         self.open: dict = {}
         self.max_ts = -(1 << 62)
-        self.metrics = {"rows_in": 0, "sessions_emitted": 0}
+        self.frontier = -(1 << 62)  # last flush watermark
+        self.metrics = {"rows_in": 0, "sessions_emitted": 0,
+                        "late_dropped": 0}
 
     def ingest(self, ts: np.ndarray, keys: np.ndarray,
                values: np.ndarray) -> int:
@@ -269,30 +283,61 @@ class SessionWorker:
         return self.max_ts
 
     def flush(self, watermark_us: int) -> pa.Table:
-        closed: list[tuple] = []
+        gap = self.gap_us
         if self._raw:
-            ts = np.concatenate([c[0] for c in self._raw])
+            ts = np.concatenate([c[0] for c in self._raw]).astype(np.int64)
             keys = np.concatenate([c[1] for c in self._raw]).astype(object)
-            vals = np.concatenate([c[2] for c in self._raw])
+            vals = np.concatenate([c[2] for c in self._raw]).astype(np.float64)
             self._raw = []
-            order = np.lexsort((keys, ts))
-            for i in order:
-                k = keys[i]
-                t, v = int(ts[i]), float(vals[i])
-                s = self.open.get(k)
-                if s is None:
-                    self.open[k] = [t, t, 1, v]
-                elif t - s[1] > self.gap_us:
+            on_time = ts > self.frontier
+            n_late = int(len(ts) - on_time.sum())
+            if n_late:
+                self.metrics["late_dropped"] += n_late
+                ts, keys, vals = ts[on_time], keys[on_time], vals[on_time]
+            if len(ts):
+                order = np.lexsort((ts, keys))
+                ts, keys, vals = ts[order], keys[order], vals[order]
+                brk = np.ones(len(ts), dtype=bool)
+                if len(ts) > 1:
+                    brk[1:] = (keys[1:] != keys[:-1]) | \
+                        ((ts[1:] - ts[:-1]) > gap)
+                starts = np.flatnonzero(brk)
+                counts = np.diff(np.r_[starts, len(ts)])
+                seg_last = ts[np.r_[starts[1:], len(ts)] - 1]
+                seg_sum = np.add.reduceat(vals, starts)
+                # merge mini-sessions into open state (per mini, not
+                # per event; bridging minis can merge two open sessions)
+                for j in range(len(starts)):
+                    k = keys[starts[j]]
+                    mini = [int(ts[starts[j]]), int(seg_last[j]),
+                            int(counts[j]), float(seg_sum[j])]
+                    sess = self.open.get(k)
+                    if sess is None:
+                        self.open[k] = [mini]
+                        continue
+                    keep = []
+                    for s in sess:
+                        if mini[0] - gap <= s[1] and s[0] - gap <= mini[1]:
+                            mini = [min(mini[0], s[0]), max(mini[1], s[1]),
+                                    mini[2] + s[2], mini[3] + s[3]]
+                        else:
+                            keep.append(s)
+                    keep.append(mini)
+                    keep.sort()
+                    self.open[k] = keep
+        # close only sessions the watermark has passed
+        closed: list[tuple] = []
+        for k in list(self.open):
+            sess = self.open[k]
+            still = [s for s in sess if s[1] + gap > watermark_us]
+            for s in sess:
+                if s[1] + gap <= watermark_us:
                     closed.append((k, *s))
-                    self.open[k] = [t, t, 1, v]
-                else:
-                    s[1] = max(s[1], t)
-                    s[2] += 1
-                    s[3] += v
-        # close open sessions the watermark has passed
-        for k in [k for k, s in self.open.items()
-                  if s[1] + self.gap_us <= watermark_us]:
-            closed.append((k, *self.open.pop(k)))
+            if still:
+                self.open[k] = still
+            else:
+                del self.open[k]
+        self.frontier = max(self.frontier, watermark_us)
         self.metrics["sessions_emitted"] += len(closed)
         closed.sort()
         return pa.table({
@@ -308,6 +353,7 @@ class SessionWorker:
 
     def snapshot(self) -> bytes:
         return pickle.dumps({"open": self.open, "max_ts": self.max_ts,
+                             "frontier": self.frontier,
                              "metrics": self.metrics})
 
     def restore(self, blobs) -> None:
@@ -316,7 +362,9 @@ class SessionWorker:
         st = pickle.loads(blobs[-1])
         self.open = st["open"]
         self.max_ts = st["max_ts"]
+        self.frontier = st.get("frontier", -(1 << 62))
         self.metrics = st["metrics"]
+        self.metrics.setdefault("late_dropped", 0)
         self._raw = []
 
     def get_metrics(self) -> dict:

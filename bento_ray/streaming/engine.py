@@ -284,6 +284,13 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     t0 = time.perf_counter()
     rows_total = 0
     global_max_ts = -(1 << 62)
+    if resume and start_epoch > 0:
+        # Re-seed the watermark from restored worker state: without this
+        # a replayed epoch's watermark derives only from replayed files,
+        # and for non-monotone event times it can REGRESS below the
+        # crashed run's, diverging partition content from already-
+        # committed partitions (breaking exactly-once).
+        global_max_ts = max(ray.get([w.get_max_ts.remote() for w in workers]))
 
     debug = bool(os.environ.get("BENTO_DEBUG_TIMING"))
 
@@ -522,6 +529,9 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
     t0 = time.perf_counter()
     rows_total = 0
     global_max_ts = -(1 << 62)
+    if resume and start_epoch > 0:
+        # Re-seed watermark from restored state (see run_stream above).
+        global_max_ts = max(ray.get([w.get_max_ts.remote() for w in workers]))
     for e in range(start_epoch, len(epochs)):
         summary = _submit_in_waves(
             lambda f: _feed_session_file.remote(f, workers, partitions,

@@ -109,3 +109,53 @@ def test_interpolation():
     assert interpolate(t, "static").to_pylist() == ["static", "static"]
     with pytest.raises(KeyError):
         interpolate(t, "${missing}")
+
+
+def test_xxhash64_spec_vectors():
+    """Pure-Python XXH64 against the public spec test vectors and (when
+    present) the system libxxhash."""
+    from bento_ray.functions.xxh import xxhash64
+
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+    try:
+        import ctypes
+
+        lib = ctypes.CDLL("libxxhash.so.0")
+        lib.XXH64.restype = ctypes.c_uint64
+        lib.XXH64.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_uint64]
+        import random
+
+        rng = random.Random(3)
+        for ln in [0, 7, 31, 32, 33, 100, 1000]:
+            data = bytes(rng.randrange(256) for _ in range(ln))
+            assert xxhash64(data, 5) == lib.XXH64(data, ln, 5)
+    except OSError:
+        pass
+
+
+def test_hash_xxhash64_reference_format():
+    """hash("xxhash64") returns the DECIMAL string of the true digest
+    (methods_strings.go:852-857 formats with strconv.FormatUint base
+    10)."""
+    import pyarrow as pa
+
+    from bento_ray.functions.bloblang import METHODS
+    from bento_ray.functions.xxh import xxhash64
+
+    vals = ["hello world", "", "bento"]
+    out = METHODS["hash"](pa.array(vals), "xxhash64").to_pylist()
+    assert out == [str(xxhash64(v.encode())) for v in vals]
+
+
+def test_hash_crc32_decimal():
+    import binascii
+
+    import pyarrow as pa
+
+    from bento_ray.functions.bloblang import METHODS
+
+    out = METHODS["hash"](pa.array(["hello"]), "crc32").to_pylist()
+    assert out == [str(binascii.crc32(b"hello"))]

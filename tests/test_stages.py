@@ -215,3 +215,50 @@ def test_dedupe_lru_eviction_readmits():
         [_batch(["a", "b", "c"]), _batch(["a"])], _contents, cache=cache))
     # 'a' was evicted when 'c' arrived (cap 2) → re-admitted
     assert [_contents(b) for b in out] == [["a", "b", "c"], ["a"]]
+
+
+def test_split_batches_unique_ids_across_workers():
+    """batch_id must be unique across Ray tasks/workers — a plain
+    closure counter restarts at 0 in every re-pickled task (ADVICE r1)."""
+    import ray.data as rd
+
+    from bento_ray.stages.core import split_batches
+
+    ds = rd.range(5000).map_batches(
+        lambda b: {"x": b["id"]}, batch_format="numpy")
+    out = split_batches(ds, 100).materialize()
+    df = out.to_pandas()
+    per_batch = df.groupby("batch_id").size()
+    assert (per_batch <= 100).all()
+    # every (batch_id) group is one contiguous re-chunked batch; ids
+    # must never collide across blocks → each group ≤ size and total
+    # groups ≥ ceil(n/size)
+    assert len(per_batch) >= 50
+
+
+def test_cache_client_routing_is_process_stable():
+    """CacheClient shard routing must not depend on PYTHONHASHSEED
+    (ADVICE r1 high): the same key routes identically in any process —
+    verified against a fixed blake2b-derived expectation."""
+    import hashlib
+
+    from bento_ray.state.store import CacheClient
+
+    c = CacheClient.__new__(CacheClient)
+    c.shards = 4
+    for key in ["alpha", "beta", b"gamma", 123]:
+        kb = key if isinstance(key, bytes) else str(key).encode()
+        want = int.from_bytes(
+            hashlib.blake2b(kb, digest_size=8).digest(), "big") % 4
+        assert c._shard(key) == want
+
+
+def test_cache_client_add_dedupe_contract():
+    from bento_ray.state.store import CacheClient
+
+    c = CacheClient(shards=2)
+    assert c.madd(["a", "b", "a"]) == [True, True, False]
+    assert c.add("a") is False
+    assert c.get("a") == b"t"
+    c.delete("a")
+    assert c.add("a") is True

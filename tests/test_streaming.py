@@ -189,3 +189,64 @@ def test_late_rows_dropped():
     assert m["worker_metrics"]["late_dropped"] == 1
     df = ExactlyOnceParquetSink(os.path.join(d, "out")).read().to_pandas()
     assert int(df["pages"].sum()) == 11  # late row excluded
+
+
+def test_resume_reseeds_watermark_nonmonotone(tmp_path):
+    """ADVICE r1 (medium): with NON-monotone event times across epoch
+    files, a crash-resume must re-seed the watermark from restored
+    worker state — otherwise the replayed epoch's watermark regresses
+    and partition content diverges from the clean run."""
+    import pyarrow.parquet as pq
+
+    from bento_ray.testgen.pages import BASE_TS_US
+
+    d = str(tmp_path / "nonmono")
+    os.makedirs(d)
+
+    def mk(path, rows):
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([BASE_TS_US + r[1] for r in rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b"<p>x</p>"] * len(rows), pa.binary()),
+            "lang": pa.array(["en"] * len(rows)),
+        })
+        pq.write_table(t, path)
+
+    s = 1_000_000
+    # epoch 0 (file a): ts up to 300s — the GLOBAL max.  epoch 1 (file
+    # b, FINAL): ts 207..270s, below epoch 0's max (non-monotone).
+    # Without the reseed, the resumed final watermark derives only from
+    # file b (270+60+100=430 < clean 460) — still above every pane end
+    # here, so ALSO place epoch-0 events near 300s whose pane end (360)
+    # exceeds the regressed watermark... 430 > 360. Make epoch 0 reach
+    # 400s: pane end 420 < 430 still flushed. So push epoch 0 max to
+    # 600s: clean final watermark 760, regressed 430 → panes (420, 600]
+    # from epoch 0 never flush without the reseed (lost rows).
+    mk(os.path.join(d, "a.parquet"),
+       [(f"u{i}", 20 * s * i) for i in range(1, 31)])      # 20..600s
+    mk(os.path.join(d, "b.parquet"),
+       [(f"v{i}", 200 * s + 7 * s * i) for i in range(1, 11)])  # 207..270s
+
+    def cfg(crash=None):
+        return StreamConfig(window_size_us=60_000_000,
+                            allowed_lateness_us=100_000_000,
+                            partitions=2, out_partitions=2,
+                            files_per_epoch=1,
+                            extra={"crash_after": crash} if crash else {})
+
+    def read(out_dir):
+        df = ExactlyOnceParquetSink(out_dir).read().to_pandas()
+        df["window_end"] = pd.to_datetime(df["window_end"], utc=True)
+        return (df.sort_values(["window_end", "lang"])
+                .reset_index(drop=True)[["window_end", "lang", "pages"]])
+
+    clean_out = str(tmp_path / "clean")
+    run_stream(d, cfg(), clean_out, dim_versions=None)
+    clean = read(clean_out)
+
+    crash_out = str(tmp_path / "crashed")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_stream(d, cfg(crash=(1, 0)), crash_out, dim_versions=None)
+    run_stream(d, cfg(), crash_out, dim_versions=None, resume=True)
+    pd.testing.assert_frame_equal(read(crash_out), clean)

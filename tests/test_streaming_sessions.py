@@ -197,3 +197,77 @@ def test_streaming_window_offset(pages_small, tmp_path):
         "datetime64[us, UTC]").astype("int64")
     assert ((ends - 3_000_000) % 10_000_000 == 0).all()
     assert len(df) > 0
+
+
+def test_session_worker_out_of_order_across_flushes():
+    """An out-of-order event arriving in a later flush that falls inside
+    a still-open session's gap merges into it (no spurious session), and
+    sessions close only when the watermark passes last+gap (ADVICE r1)."""
+    import ray
+
+    from bento_ray.streaming.actors import SessionWorker
+
+    w = SessionWorker.remote(0, 10_000_000)  # gap 10s
+    s = 1_000_000
+    # flush 1: events at t=0s and t=30s for key A — gap exceeded within
+    # the flush, but watermark (20s) has NOT passed 0s+gap... it has
+    # (0+10 <= 20): first session closes; second (30s) stays open.
+    ray.get(w.ingest.remote(np.array([0, 30 * s]),
+                            np.array(["A", "A"], object),
+                            np.array([1.0, 2.0])))
+    t1 = ray.get(w.flush.remote(20 * s))
+    assert t1.num_rows == 1
+    assert t1.column("session_end").cast(pa.int64()).to_pylist() == [0]
+    # flush 2: out-of-order event at 25s — within gap of the OPEN 30s
+    # session → merges (session [25,30]), NOT a spurious new session.
+    ray.get(w.ingest.remote(np.array([25 * s]), np.array(["A"], object),
+                            np.array([4.0])))
+    t2 = ray.get(w.flush.remote(50 * s))
+    assert t2.num_rows == 1
+    assert t2.column("session_start").cast(pa.int64()).to_pylist() == [25 * s]
+    assert t2.column("n_events").to_pylist() == [2]
+    assert t2.column("sum_value").to_pylist() == [6.0]
+
+
+def test_session_worker_late_drop_counted():
+    """Events at or before the last flush watermark are dropped and
+    counted — the frontier rule that keeps replay deterministic."""
+    import ray
+
+    from bento_ray.streaming.actors import SessionWorker
+
+    w = SessionWorker.remote(0, 10_000_000)
+    s = 1_000_000
+    ray.get(w.ingest.remote(np.array([100 * s]), np.array(["A"], object),
+                            np.array([1.0])))
+    ray.get(w.flush.remote(60 * s))
+    # late: 59s <= frontier(60s) → dropped; 61s is accepted
+    ray.get(w.ingest.remote(np.array([59 * s, 61 * s]),
+                            np.array(["B", "C"], object),
+                            np.array([1.0, 1.0])))
+    t = ray.get(w.flush.remote(200 * s))
+    m = ray.get(w.get_metrics.remote())
+    assert m["late_dropped"] == 1
+    assert sorted(t.column("key").to_pylist()) == ["A", "C"]
+
+
+def test_session_worker_bridge_merges_two_sessions():
+    """A bridging event merges two open sessions into one."""
+    import ray
+
+    from bento_ray.streaming.actors import SessionWorker
+
+    w = SessionWorker.remote(0, 10_000_000)
+    s = 1_000_000
+    ray.get(w.ingest.remote(np.array([0, 15 * s]),
+                            np.array(["A", "A"], object),
+                            np.array([1.0, 2.0])))
+    ray.get(w.flush.remote(5 * s))  # nothing closes (0+10 > 5)
+    # 8s bridges [0,0] and [15,15] (8-0<=10, 15-8<=10) → one session
+    ray.get(w.ingest.remote(np.array([8 * s]), np.array(["A"], object),
+                            np.array([4.0])))
+    t = ray.get(w.flush.remote(60 * s))
+    assert t.num_rows == 1
+    assert t.column("n_events").to_pylist() == [3]
+    assert t.column("session_start").cast(pa.int64()).to_pylist() == [0]
+    assert t.column("session_end").cast(pa.int64()).to_pylist() == [15 * s]
