@@ -1,0 +1,119 @@
+"""Bloblang function registry (scalar, per-message).
+
+Reference: internal/bloblang/query/functions.go registrations. Only
+environment/message accessors and generators — methods live in
+methods.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+import socket
+import time
+import uuid
+
+from bento_ray.blobl.values import (
+    DELETE, BloblangError, get_int, get_string,
+)
+
+
+def _dot_path(path: str) -> list[str]:
+    if path == "":
+        return []
+    # gabs DotPathToSlice with ~1 escape for literal dots
+    return [p.replace("~1", ".").replace("~0", "~")
+            for p in path.split(".")]
+
+
+def call_function(name, arg_qs, kwarg_qs, ctx, ev):
+    args = [ev(q, ctx) for q in arg_qs]
+    kwargs = {k: ev(q, ctx) for k, q in kwarg_qs.items()}
+
+    if name == "deleted":
+        return DELETE
+    if name == "content":
+        return ctx.batch[ctx.index].content_bytes()
+    if name == "json":
+        path = get_string(args[0]) if args else kwargs.get("path", "")
+        doc = ctx.batch[ctx.index].structured()
+        from bento_ray.blobl.interp import walk_path
+
+        return walk_path(doc, _dot_path(path))
+    if name in ("meta", "metadata"):
+        if args or kwargs:
+            key = get_string(args[0] if args else kwargs.get("key"))
+            return ctx.meta.get(key)
+        return dict(ctx.meta)
+    if name == "env":
+        key = get_string(args[0] if args else kwargs.get("name"))
+        v = ctx.env.get(key)
+        return v
+    if name == "var":
+        key = get_string(args[0])
+        return ctx.vars.get(key)
+    if name == "batch_index":
+        return ctx.index
+    if name == "batch_size":
+        return len(ctx.batch)
+    if name == "count":
+        key = get_string(args[0])
+        ctx.counters[key] = ctx.counters.get(key, 0) + 1
+        return ctx.counters[key]
+    if name == "error":
+        return ctx.legacy.get("error")
+    if name == "errored":
+        return ctx.legacy.get("error") is not None
+    if name == "range":
+        start = get_int(args[0] if args else kwargs.get("start", 0))
+        stop = get_int(args[1] if len(args) > 1 else kwargs.get("stop"))
+        step = get_int(args[2] if len(args) > 2 else kwargs.get("step", 1))
+        return list(range(start, stop, step))
+    if name == "now":
+        return datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    if name == "timestamp_unix":
+        return int(time.time())
+    if name == "timestamp_unix_milli":
+        return int(time.time() * 1000)
+    if name == "timestamp_unix_micro":
+        return int(time.time() * 1e6)
+    if name == "timestamp_unix_nano":
+        return int(time.time() * 1e9)
+    if name == "uuid_v4":
+        return str(uuid.uuid4())
+    if name == "uuid_v7":
+        return str(uuid.uuid4())  # v7 unavailable in stdlib; random
+    if name == "nanoid":
+        alphabet = ("useandom26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjkl"
+                    "qvwyzrict")
+        ln = get_int(args[0]) if args else 21
+        return "".join(random.choice(alphabet) for _ in range(ln))
+    if name == "ksuid":
+        import base64 as _b
+
+        return _b.b32encode(os.urandom(17)).decode().lower()[:27]
+    if name == "snowflake_id":
+        return str((int(time.time() * 1000) << 22) | random.getrandbits(22))
+    if name == "random_int":
+        seed = kwargs.get("seed")
+        mn = get_int(kwargs.get("min", args[0] if args else 0))
+        mx = get_int(kwargs.get("max", args[1] if len(args) > 1
+                                else (1 << 63) - 1))
+        rng = random.Random(seed) if seed is not None else random
+        return rng.randint(mn, mx)
+    if name == "hostname":
+        return socket.gethostname()
+    if name == "file":
+        raise BloblangError("file function is disabled in this runtime")
+    if name == "throw":
+        raise BloblangError(get_string(args[0]))
+    if name == "fake":
+        kind = get_string(args[0]) if args else ""
+        return f"fake:{kind}"
+    if name == "ulid":
+        import base64 as _b
+
+        return _b.b32encode(os.urandom(16)).decode().rstrip("=")[:26]
+    raise BloblangError(f"unrecognised function '{name}'")

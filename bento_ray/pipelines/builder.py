@@ -165,7 +165,63 @@ class Pipeline:
     def to_pandas(self):
         return self._ds.to_pandas()
 
+    # -- Bloblang ------------------------------------------------------
+    def bloblang(self, src: str, mode: str = "structured",
+                 **kw) -> "Pipeline":
+        """Apply a Bloblang mapping STRING distributed over the
+        Dataset (the reference's ``mapping``/``bloblang`` processor,
+        processor_mapping.go) — compiled once per actor."""
+        from bento_ray.blobl.stage import mapping_stage
+
+        return Pipeline(mapping_stage(self._ds, src, mode=mode, **kw))
+
+    def mutation(self, src: str, mode: str = "structured",
+                 **kw) -> "Pipeline":
+        from bento_ray.blobl.stage import mapping_stage
+
+        return Pipeline(mapping_stage(self._ds, src, is_mutation=True,
+                                      mode=mode, **kw))
+
     # -- spec compilation ---------------------------------------------
+    @classmethod
+    def from_yaml(cls, path_or_text: str, env: dict | None = None
+                  ) -> "Pipeline":
+        """Compile a Bento-shaped YAML config (input → pipeline →
+        output sections) with ``${FOO:default}`` env interpolation
+        (internal/config/env_vars.go, reader.go). Supported inputs:
+        ``parquet``/``file``/``csv``/``generate``; processors: any
+        ``from_spec`` name plus ``mapping``/``bloblang``/``mutation``
+        mapping strings."""
+        import os as _os
+
+        import yaml as _yaml
+
+        from bento_ray.config.envsubst import interpolate_env
+
+        text = path_or_text
+        if "\n" not in path_or_text and _os.path.exists(path_or_text):
+            text = open(path_or_text).read()
+        doc = _yaml.safe_load(interpolate_env(
+            text, env if env is not None else _os.environ)) or {}
+        spec: dict = {}
+        if "input" in doc:
+            spec["input"] = doc["input"]
+        steps = (doc.get("pipeline") or {})
+        if isinstance(steps, dict):
+            steps = steps.get("processors", [])
+        spec["pipeline"] = []
+        for step in steps or []:
+            step = dict(step)
+            step.pop("label", None)
+            (name, cfg), = step.items()
+            if name in ("mapping", "bloblang"):
+                spec["pipeline"].append({"bloblang": {"src": cfg}})
+            elif name == "mutation":
+                spec["pipeline"].append({"mutation": {"src": cfg}})
+            else:
+                spec["pipeline"].append({name: cfg or {}})
+        return cls.from_spec(spec)
+
     @classmethod
     def from_spec(cls, spec: dict) -> "Pipeline":
         """Compile a declarative dict spec (the YAML-config analog):
@@ -178,6 +234,22 @@ class Pipeline:
         inp = spec["input"]
         if "parquet" in inp:
             p = cls.read_parquet(**inp["parquet"])
+        elif "csv" in inp:
+            from bento_ray.sources.inputs import read_csv
+
+            cfg = dict(inp["csv"])
+            p = cls(read_csv(cfg.pop("paths", cfg.pop("path", None)), **cfg))
+        elif "file" in inp:
+            from bento_ray.sources.inputs import read_lines
+
+            cfg = dict(inp["file"])
+            p = cls(read_lines(cfg.pop("paths", cfg.pop("path", None))))
+        elif "resource" in inp:
+            from bento_ray.sources.inputs import resource
+
+            name = inp["resource"] if isinstance(inp["resource"], str) \
+                else inp["resource"]["name"]
+            p = cls(resource(name))
         else:
             raise ValueError(f"unsupported input: {list(inp)}")
         for step in spec.get("pipeline", []):

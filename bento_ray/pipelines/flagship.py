@@ -45,7 +45,7 @@ def dim_versions_table(include_updates: bool = True) -> pa.Table:
         v2["update_ts"] = v2["update_ts"].astype("int64")
         frames.append(v2)
     dim = pd.concat(frames, ignore_index=True)
-    return pa.Table.from_pandas(dim, preserve_index=False)
+    return pa.Table.from_pandas(dim, preserve_index=False).replace_schema_metadata(None)
 
 
 class _Extract:
@@ -100,18 +100,12 @@ def flagship_batch(pages, window_size_us: int = 10_000_000,
         ds = pages
     ds = ds.map_batches(_Extract(), batch_format="pyarrow")
 
-    # dedupe: first crawl per url (two-phase: per-batch partial, then
-    # hash-shuffle groupby on url)
-    def _partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values("warc_ts", kind="stable").drop_duplicates(
-            subset=["url"], keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+    # dedupe: first crawl per url — two-phase via dedupe_exact
+    # (per-batch partial, then ONE coarse-partition pass; the previous
+    # groupby("url").map_groups paid a Python call per distinct url)
+    from bento_ray.stages.dedupe import dedupe_exact
 
-    ds = ds.map_batches(_partial, batch_format="pyarrow")
-    ds = ds.groupby("url").map_groups(
-        lambda g: g.sort_values("warc_ts", kind="stable").head(1),
-        batch_format="pandas")
+    ds = dedupe_exact(ds, ["url"], keep="first", order_cols=["warc_ts"])
 
     ds = ds.map_batches(
         lambda t: assign_tumbling(t, "warc_ts", window_size_us),
@@ -136,7 +130,7 @@ def flagship_batch(pages, window_size_us: int = 10_000_000,
                             by="lang", direction="backward")
         out["window_end_timestamp"] = [rfc3339nano(v) for v in out["__we_us"]]
         out = out.drop(columns=["__we_us", "update_ts"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return agg.map_batches(_enrich, batch_format="pyarrow")
 

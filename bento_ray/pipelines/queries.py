@@ -292,19 +292,30 @@ SQL_BRANCH = "SELECT doc_id, UPPER(source) AS source_upper FROM documents"
 
 
 def q_json_extract(sf_dir: str):
-    """JSON path extraction (the jq/jmespath escape hatch): parse the
-    events.props JSON column, aggregate an extracted field."""
+    """JSON path extraction through the real ``jq`` engine
+    (processor_jq.go semantics, bento_ray.jqlang): the query compiles
+    once per actor and extracts ``.k`` per document; the aggregate
+    stays a vectorized groupby."""
     ds = _t(sf_dir, "events", ["event_type", "props"])
 
-    def _f(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p)["k"] if p else None
-              for p in t.column("props").to_pylist()]
-        return pa.table({
-            "event_type": t.column("event_type"),
-            "k": pa.array(ks, pa.int64()),
-        })
+    class _JQExtract:
+        def __init__(self):
+            from bento_ray.jqlang import JQ
 
-    ds = ds.map_batches(_f, batch_format="pyarrow")
+            self.q = JQ(".k")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = []
+            for p in t.column("props").to_pylist():
+                out = self.q(json.loads(p)) if p else []
+                ks.append(out[0] if out else None)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            })
+
+    ds = ds.map_batches(_JQExtract, batch_format="pyarrow",
+                        concurrency=(1, 8))
     return ds.groupby("event_type").aggregate(
         Sum("k", alias_name="sum_k"), Count(alias_name="n"))
 
@@ -635,7 +646,7 @@ def q_salted_hot_key_agg(sf_dir: str):
         agg = (df.groupby(["event_type", "__salt"])
                  .agg(n=("value", "size"), s=("value", "sum"))
                  .reset_index())
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     out = partials.groupby("event_type").aggregate(
@@ -818,8 +829,41 @@ def q_flagship_stream(sf_dir: str):
     return df.sort_values(["window_end", "lang"]).reset_index(drop=True)
 
 
+def q_bloblang_revenue(sf_dir: str):
+    """Revenue per (returnflag, size-class) where the per-row compute
+    runs through a COMPILED Bloblang mapping string — the reference's
+    user surface (`root.x = this.y...`, executor.go:115-207) executing
+    distributed inside map_batches. The aggregate stays vectorized."""
+    from bento_ray.blobl.stage import mapping_stage
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
+    src = '''
+root.flag = this.l_returnflag
+root.revenue = this.l_extendedprice * (1.0 - this.l_discount)
+root.size_class = if this.l_quantity > 30.0 { "big" } else { "small" }
+'''
+    mapped = mapping_stage(ds, src, concurrency=(1, 8))
+    out = mapped.groupby(["flag", "size_class"]).aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, ["revenue"])
+
+
+SQL_BLOBLANG_REVENUE = """
+SELECT l_returnflag AS flag,
+       CASE WHEN l_quantity > 30 THEN 'big' ELSE 'small' END AS size_class,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q_bloblang_revenue": (q_bloblang_revenue, SQL_BLOBLANG_REVENUE),
     "q_revenue_filter_map": (q_revenue_filter_map, SQL_REVENUE),
     "q_topk_orders": (q_topk_orders, SQL_TOPK),
     "q_orders_by_segment": (q_orders_by_segment, SQL_SEGMENT),

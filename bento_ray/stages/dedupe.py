@@ -48,7 +48,7 @@ def _partial_dedupe(key_cols: list[str], order_cols: list[str] | None, keep: str
             df = df.drop_duplicates(subset=key_cols, keep="first")
         else:
             df = df.drop_duplicates(subset=key_cols, keep=keep)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
     return _f
 
 
@@ -66,12 +66,33 @@ def dedupe_exact(ds, key_cols: list[str], keep: str = "first",
     ds = ds.map_batches(_partial_dedupe(key_cols, order_cols, keep),
                         batch_format="pyarrow")
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        if order_cols:
-            g = g.sort_values(order_cols, ascending=(keep == "first"),
-                              kind="stable")
-            return g.head(1)
-        return g.head(1) if keep == "first" else g.tail(1)
+    # Final pass: co-locate keys by a COARSE hash partition and run the
+    # vectorized drop_duplicates once per partition — P Python calls
+    # total, not one per distinct key (groupby(key).map_groups pays a
+    # Python callback per group; ruinous at 10^12 distinct keys).
+    import numpy as np
 
-    key = key_cols[0] if len(key_cols) == 1 else key_cols
-    return ds.groupby(key).map_groups(_final, batch_format="pandas")
+    from bento_ray.util import stable_hash
+
+    try:
+        import ray
+
+        P = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        P = 8
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(1_000_003) + stable_hash(t.column(c))
+        return t.append_column(
+            "__dpid", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    final = _partial_dedupe(key_cols, order_cols, keep)
+
+    def _final_part(t: pa.Table) -> pa.Table:
+        return final(t.drop_columns(["__dpid"]))
+
+    return (ds.map_batches(_pid, batch_format="pyarrow")
+              .groupby("__dpid")
+              .map_groups(_final_part, batch_format="pyarrow"))

@@ -36,20 +36,54 @@ def _small_to_pandas(small) -> pd.DataFrame:
 class _BroadcastJoiner:
     """Actor-pool stage: resolves the broadcast ref ONCE per actor in
     __init__ (not per batch), then does a columnar hash lookup per
-    batch."""
+    batch.
+
+    Hot path (single key, unique on the small side — the dimension-
+    lookup case): zero-copy Arrow ``pc.index_in`` + ``take``; the big
+    side's batch is never converted to pandas. Multi-key or
+    duplicate-key small sides fall back to a pandas merge."""
 
     def __init__(self, small_ref, on, how, suffix):
+        import pyarrow.compute as pc
+
         small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
         self.small = _small_to_pandas(small)
         self.on = on
         self.how = how
         self.suffix = suffix
+        self._arrow_path = False
+        if isinstance(on, str) and how in ("left", "inner"):
+            small_t = pa.Table.from_pandas(self.small,
+                                           preserve_index=False).replace_schema_metadata(None)
+            keys = small_t.column(on).combine_chunks()
+            if len(pc.unique(keys)) == len(keys):
+                self._arrow_path = True
+                self._keys = keys
+                self._payload = [
+                    (f.name, small_t.column(f.name).combine_chunks())
+                    for f in small_t.schema if f.name != on]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = df.merge(self.small, on=self.on, how=self.how,
-                       suffixes=("", self.suffix), sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        import pyarrow.compute as pc
+
+        if not self._arrow_path:
+            df = t.to_pandas()
+            out = df.merge(self.small, on=self.on, how=self.how,
+                           suffixes=("", self.suffix), sort=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        idx = pc.index_in(t.column(self.on),
+                          value_set=self._keys)
+        if self.how == "inner":
+            keep = pc.is_valid(idx)
+            t = t.filter(keep)
+            idx = idx.filter(keep) if isinstance(idx, pa.ChunkedArray) \
+                else pc.filter(idx, keep)
+        existing = set(t.column_names)
+        for name, col in self._payload:
+            out_name = name if name not in existing \
+                else name + self.suffix
+            t = t.append_column(out_name, col.take(idx))
+        return t
 
 
 def broadcast_join(ds, small, on, how: str = "left", suffix: str = "_r",
@@ -93,7 +127,7 @@ class _VersionedJoiner:
             by=self.on, direction="backward", suffixes=("", "_dim"),
         )
         out = out.sort_values("__pos", kind="stable").drop(columns=["__pos"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def broadcast_join_versioned(ds, dim_versions, on: str, fact_ts: str,
@@ -112,18 +146,21 @@ def broadcast_join_versioned(ds, dim_versions, on: str, fact_ts: str,
 
 
 def shuffle_join(left, right, on: str, how: str = "inner",
-                 num_buckets: int = 32, suffix: str = "_r"):
+                 num_buckets: int = 32, suffix: str = "_r",
+                 force_fallback: bool = False):
     """Large-large equi-join.
 
     Preferred path: ``Dataset.join`` (hash-partitioned shuffle join,
-    available in recent Ray releases). Portable fallback: explicit
-    bucketed hash join — both sides gain ``__bucket = hash(key) % B``,
-    the right side's buckets are broadcast via ``ray.put`` and matching
-    buckets merged inside ``map_groups`` of the left (one shuffle of the
-    left, broadcast of the right per bucket). Skewed keys: raise
-    ``num_buckets`` or salt the hot key upstream
-    (util.salted_partition) and re-merge after."""
-    if hasattr(left, "join"):
+    available in recent Ray releases). Portable fallback: a fully
+    DISTRIBUTED co-bucketed hash join — both sides are projected onto
+    ONE combined schema (the other side's columns null) with a side
+    tag, unioned, and grouped by ``hash(key) % B``; each bucket merges
+    its two sides in a single vectorized pandas merge. No driver
+    materialization, no per-bucket ``ray.put``; the only data movement
+    is the one groupby shuffle. Skewed keys: raise ``num_buckets`` or
+    salt the hot key upstream (util.salted_partition) and re-merge
+    after."""
+    if hasattr(left, "join") and not force_fallback:
         # Dataset.join spawns one hash-shuffle aggregator actor per
         # partition; oversubscribing them (partitions ≈ CPUs) thrashes
         # the worker pool. Cap partitions at ~CPU/4 — measured 4.6s vs
@@ -141,23 +178,60 @@ def shuffle_join(left, right, on: str, how: str = "inner",
 
     from bento_ray.util import stable_hash
 
-    def _bucketize(t: pa.Table) -> pa.Table:
-        b = (stable_hash(t.column(on)) % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f.name for f in lschema]
+    rcols = [(f.name if f.name == on or f.name not in lcols
+              else f.name + suffix) for f in rschema]
+    combined = pa.schema(
+        [lschema.field(i) for i in range(len(lschema))] +
+        [pa.field(rcols[i], rschema.field(i).type)
+         for i in range(len(rschema)) if rcols[i] != on] +
+        [pa.field("__bucket", pa.int64()), pa.field("__side", pa.int8())])
 
-    lb = left.map_batches(_bucketize, batch_format="pyarrow")
-    rb = right.map_batches(_bucketize, batch_format="pyarrow")
-    bucket_refs = {
-        int(k): ray.put(v.drop(columns=["__bucket"]))
-        for k, v in rb.to_pandas().groupby("__bucket")
-    }
+    def _project(side: int, rename: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = []
+            for f in combined:
+                if f.name == "__bucket":
+                    b = (stable_hash(t.column(on))
+                         % np.uint64(num_buckets)).astype(np.int64)
+                    cols.append(pa.array(b, pa.int64()))
+                elif f.name == "__side":
+                    cols.append(pa.array(np.full(n, side, np.int8())))
+                else:
+                    src = rename.get(f.name, f.name)
+                    if src in t.column_names:
+                        cols.append(t.column(src).cast(f.type))
+                    else:
+                        cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=combined)
+        return _f
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["__bucket"].iloc[0])
-        ref = bucket_refs.get(b)
-        g = g.drop(columns=["__bucket"])
-        if ref is None:
-            return g.head(0) if how == "inner" else g
-        return g.merge(ray.get(ref), on=on, how=how, suffixes=("", suffix))
+    r_rename = {rcols[i]: rschema.field(i).name
+                for i in range(len(rschema))}
+    lt = left.map_batches(_project(0, {}), batch_format="pyarrow")
+    rt = right.map_batches(
+        _project(1, r_rename), batch_format="pyarrow")
+    both = lt.union(rt)
 
-    return lb.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    right_payload = [c for c in rcols if c != on]
+    left_only = [c for c in lcols if c != on]
+
+    def _merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # split sides while still Arrow — converting the unioned table
+        # (with cross-side nulls) to pandas first would degrade int
+        # columns to float64
+        side = g.column("__side")
+        lg = g.filter(pc.equal(side, 0)).select(
+            [on, *left_only]).to_pandas()
+        rg = g.filter(pc.equal(side, 1)).select(
+            [on, *right_payload]).to_pandas()
+        out = lg.merge(rg, on=on, how=how, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return both.groupby("__bucket").map_groups(
+        _merge_bucket, batch_format="pyarrow")

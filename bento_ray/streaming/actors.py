@@ -168,7 +168,7 @@ class PartitionWorker:
             agg = (df.groupby(["window_end", "lang"], sort=True)
                      .agg(pages=("nbytes", "size"), nbytes=("nbytes", "sum"))
                      .reset_index())
-            emitted = pa.Table.from_pandas(agg, preserve_index=False)
+            emitted = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
             self.metrics["panes_emitted"] += len(agg)
             self.metrics["rows_emitted"] += int(len(eidx))
 

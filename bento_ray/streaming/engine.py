@@ -419,7 +419,7 @@ def _finalize_epoch_body(e: int, partials: list, snap_blobs: list,
     written = skipped = 0
     for p in range(cfg.out_partitions):
         tbl = _finalize_schema(
-            pa.Table.from_pandas(out[op == p], preserve_index=False))
+            pa.Table.from_pandas(out[op == p], preserve_index=False).replace_schema_metadata(None))
         if sink.write_partition(e, p, tbl, lineage=lineage):
             written += 1
         else:

@@ -118,81 +118,206 @@ class _BandExploder:
 
 
 class _ShingleSets:
+    """doc → packed sorted-unique shingle hashes. Packed as BINARY
+    (int64 little-endian bytes) rather than list<int64> because
+    Arrow's hash-join kernel rejects list-typed payload columns; the
+    binary round-trips through np.frombuffer zero-copy."""
+
     def __init__(self, shingle_k):
         self.k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
         sets = [
-            _shingle_hashes(s or "", self.k).astype(np.int64).tolist()
+            _shingle_hashes(s or "", self.k).astype(np.int64).tobytes()
             for s in t.column("text").to_pylist()
         ]
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "shingles": pa.array(sets, pa.list_(pa.int64())),
+            "shingles": pa.array(sets, pa.binary()),
         })
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _exploder_for(num_perm, bands, shingle_k, seed):
+    return _BandExploder(num_perm, bands, shingle_k, seed)
+
+
+def _pair_partition_scan(t: pa.Table, num_pair_parts: int) -> pa.Table:
+    """Vectorized candidate-pair emission over ONE coarse bucket
+    partition: sort by (band_id, band_hash, doc_id), boundary-scan for
+    buckets, expand pairs only inside multi-doc buckets (rare), tag
+    each pair with a pair-hash partition id for the downstream dedup
+    groupby."""
+    n = len(t)
+    if n == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "pair_part": pa.array([], pa.int64())})
+    idx = pa.compute.sort_indices(t, sort_keys=[
+        ("band_id", "ascending"), ("band_hash", "ascending"),
+        ("doc_id", "ascending")])
+    t = t.take(idx)
+    bid = t.column("band_id").to_numpy()
+    bh = t.column("band_hash").to_numpy()
+    docs = t.column("doc_id").to_numpy()
+    brk = np.flatnonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1
+    bounds = np.concatenate([[0], brk, [n]])
+    pa_list, pb_list = [], []
+    for start, end in zip(bounds[:-1], bounds[1:]):
+        if end - start > 1:
+            bucket = np.unique(docs[start:end])
+            m = len(bucket)
+            if m > 1:
+                ia, ib = np.triu_indices(m, k=1)
+                pa_list.append(bucket[ia])
+                pb_list.append(bucket[ib])
+    if not pa_list:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "pair_part": pa.array([], pa.int64())})
+    A = np.concatenate(pa_list).astype(np.int64)
+    B = np.concatenate(pb_list).astype(np.int64)
+    # local dedup (same pair from several buckets in this partition)
+    packed = np.unique(A.astype(np.uint64) << np.uint64(32) |
+                       B.astype(np.uint64))
+    A = (packed >> np.uint64(32)).astype(np.int64)
+    B = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    pair_part = (packed % np.uint64(num_pair_parts)).astype(np.int64)
+    return pa.table({"doc_a": pa.array(A, pa.int64()),
+                     "doc_b": pa.array(B, pa.int64()),
+                     "pair_part": pa.array(pair_part, pa.int64())})
+
+
+def _unique_pairs_partition(t: pa.Table) -> pa.Table:
+    """Global pair dedup within one pair-hash partition (cross-band
+    duplicates land in the same partition by construction)."""
+    if len(t) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    A = t.column("doc_a").to_numpy().astype(np.uint64)
+    B = t.column("doc_b").to_numpy().astype(np.uint64)
+    packed = np.unique((A << np.uint64(32)) | B)
+    return pa.table({
+        "doc_a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+        "doc_b": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+    })
 
 
 def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, threshold: float = 0.5,
-                           seed: int = 42, concurrency: int | None = None):
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+                           seed: int = 42, concurrency: int | None = None,
+                           num_parts: int | None = None):
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard
+    verification — fully distributed, no driver-side materialization.
 
-    Shape: signatures per batch → explode to tiny (band, hash, doc_id)
-    rows → ONE groupby shuffle brings candidates together → per-bucket
-    candidate pairs, deduped across bands → verify exact Jaccard against
-    a broadcast {doc_id → shingle set} map built in one pass over the
-    docs. At corpus sizes where the shingle map outgrows the object
-    store, replace the broadcast with a bucketed pair-join on doc_id —
-    the LSH + shuffle skeleton is unchanged.
+    Plan (each wide step is one shuffle, all narrow steps stream):
 
-    Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard ≥ threshold."""
-    exploded = ds.map_batches(
-        _BandExploder, fn_constructor_args=(num_perm, bands, shingle_k, seed),
-        batch_format="pyarrow", concurrency=_conc(concurrency))
+      docs → map_batches(_BandExploder)          tiny (band,hash,doc) rows
+           → groupby(bucket_part).map_groups     P vectorized scans →
+             candidate pairs                      (doc_a, doc_b, pair_part)
+           → groupby(pair_part).map_groups       global pair dedup
+           → shuffle_join(shingles, on=doc_a)    attach shingle set A
+           → shuffle_join(shingles, on=doc_b)    attach shingle set B
+           → map_batches(jaccard)                exact verify, filter
 
-    # Band rows are metadata (20 bytes each); buckets are overwhelmingly
-    # singletons, so a per-group callback (groupby().map_groups) costs
-    # ~one Python call per DOC-BAND — measured 20s+ on 80k rows. Collect
-    # the band rows and find co-bucketed docs with one vectorized sort +
-    # boundary scan instead. (At 10^12 docs keep the same logic inside a
-    # distributed sort: sort by (band_id, band_hash), emit pairs per
-    # sorted block, resolve the rare block-boundary buckets after.)
-    bdf = exploded.to_pandas()
-    bdf = bdf.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
-    bid = bdf["band_id"].to_numpy()
-    bh = bdf["band_hash"].to_numpy()
-    docs = bdf["doc_id"].to_numpy()
-    # bucket boundaries via vectorized neighbor comparison
-    if len(bid):
-        brk = np.flatnonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1
-        bounds = np.concatenate([[0], brk, [len(bid)]])
-    else:
-        bounds = np.array([0, 0])
-    out_pairs: set[tuple[int, int]] = set()
-    for start, end in zip(bounds[:-1], bounds[1:]):
-        if end - start > 1:
-            bucket = np.unique(docs[start:end])
-            for x in range(len(bucket)):
-                for y in range(x + 1, len(bucket)):
-                    out_pairs.add((int(bucket[x]), int(bucket[y])))
-    pdf = pd.DataFrame(sorted(out_pairs), columns=["doc_a", "doc_b"])
-    sh_tbl = ds.map_batches(_ShingleSets, fn_constructor_args=(shingle_k,),
-                            batch_format="pyarrow",
-                            concurrency=_conc(concurrency)).to_pandas()
-    sh = {int(d): frozenset(s) for d, s in
-          zip(sh_tbl["doc_id"], sh_tbl["shingles"])}
-    out = []
-    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-        sa, sb = sh.get(a), sh.get(b)
-        if not sa or not sb:
-            continue
-        jac = len(sa & sb) / len(sa | sb)
-        if jac >= threshold:
-            out.append((int(a), int(b), round(jac, 6)))
-    out.sort()
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    Driver RSS stays flat: band rows, pairs and shingle sets all move
+    through the object store; the per-partition scans are numpy
+    (measured: per-GROUP map_groups cost one Python call per doc-band,
+    20s+/80k rows — the coarse-partition scan removes that).
+
+    Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b
+    and jaccard ≥ threshold. doc_ids must fit in uint32 for the packed
+    pair dedup (raise to 10^9 docs per run; shard the corpus above
+    that, or widen to two-column dedup)."""
+    from bento_ray.stages.join import shuffle_join
+    from bento_ray.util import stable_hash
+
+    if num_parts is None:
+        try:
+            import ray
+
+            num_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_parts = 8
+    P = num_parts
+
+    # Task-based stages, not actor pools: this plan already runs two
+    # hash-join operators (whose aggregator actors reserve CPUs); at
+    # low CPU counts three additional fixed actor pools starve them
+    # (measured: 10.5s at 32 CPUs but >120s at 8). Band/shingle state
+    # is microseconds to build — cached per worker process instead
+    # (_exploder_for, module-level lru_cache, pickles by reference).
+    def _explode(t: pa.Table) -> pa.Table:
+        return _exploder_for(num_perm, bands, shingle_k, seed)(t)
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _bucket_part(t: pa.Table) -> pa.Table:
+        h = (stable_hash(pd.Series(
+            t.column("band_id").to_numpy().astype(np.int64) * 1_000_003
+            + t.column("band_hash").to_numpy())) % np.uint64(P))
+        return t.append_column("bucket_part",
+                               pa.array(h.astype(np.int64), pa.int64()))
+
+    pairs = (exploded
+             .map_batches(_bucket_part, batch_format="pyarrow")
+             .groupby("bucket_part")
+             .map_groups(lambda t: _pair_partition_scan(
+                 t.drop_columns(["bucket_part"]), P),
+                 batch_format="pyarrow")
+             .groupby("pair_part")
+             .map_groups(lambda t: _unique_pairs_partition(
+                 t.drop_columns(["pair_part"])), batch_format="pyarrow"))
+
+    _sh_fn = _ShingleSets(shingle_k)
+    shingles = ds.map_batches(_sh_fn, batch_format="pyarrow")
+
+    def _ren(col_from, col_to):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [col_to if c == col_from else c for c in t.column_names])
+        return _f
+
+    sh_a = shingles.map_batches(_ren("doc_id", "doc_a"),
+                                batch_format="pyarrow")
+    sh_b = shingles.map_batches(_ren("doc_id", "doc_b"),
+                                batch_format="pyarrow")
+    joined = shuffle_join(pairs, sh_a, on="doc_a", how="inner",
+                          suffix="_a")
+    joined = joined.map_batches(_ren("shingles", "sh_a"),
+                                batch_format="pyarrow")
+    joined = shuffle_join(joined, sh_b, on="doc_b", how="inner",
+                          suffix="_b")
+    joined = joined.map_batches(_ren("shingles", "sh_b"),
+                                batch_format="pyarrow")
+
+    def _verify(t: pa.Table) -> pa.Table:
+        A = t.column("doc_a").to_pylist()
+        B = t.column("doc_b").to_pylist()
+        SA = t.column("sh_a").to_pylist()
+        SB = t.column("sh_b").to_pylist()
+        out = []
+        for a, b, sa, sb in zip(A, B, SA, SB):
+            if not sa or not sb:
+                continue
+            sa_arr = np.frombuffer(sa, np.int64)
+            sb_arr = np.frombuffer(sb, np.int64)
+            inter = len(np.intersect1d(sa_arr, sb_arr,
+                                       assume_unique=True))
+            jac = inter / (len(sa_arr) + len(sb_arr) - inter)
+            if jac >= threshold:
+                out.append((int(a), int(b), round(jac, 6)))
+        out.sort()
+        return pa.table({
+            "doc_a": pa.array([o[0] for o in out], pa.int64()),
+            "doc_b": pa.array([o[1] for o in out], pa.int64()),
+            "jaccard": pa.array([o[2] for o in out], pa.float64()),
+        })
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
 
 
 class SimHasher:

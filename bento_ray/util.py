@@ -74,7 +74,7 @@ def to_table(batch) -> pa.Table:
     if isinstance(batch, pa.RecordBatch):
         return pa.Table.from_batches([batch])
     if isinstance(batch, pd.DataFrame):
-        return pa.Table.from_pandas(batch, preserve_index=False)
+        return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
     if isinstance(batch, dict):
         return pa.table(batch)
     raise TypeError(f"unsupported batch type {type(batch)}")

@@ -1,0 +1,345 @@
+"""Bloblang compiler unit tests: parser, value semantics, methods,
+the distributed mapping stage, and the YAML front-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from bento_ray.blobl import (
+    DELETE, BloblangError, Mapping, compile_mapping, go_json_dumps,
+    parse_query,
+)
+from bento_ray.blobl.interp import Message
+
+
+def run(src, doc, env=None, **kw):
+    return compile_mapping(src, **kw).run_value(doc, env=env or {})
+
+
+# ---------------------------------------------------------------- language
+
+def test_operator_precedence():
+    assert run("root.x = 2 + 3 * 4", {}) == {"x": 14}
+    assert run("root.x = (2 + 3) * 4", {}) == {"x": 20}
+    assert run("root.x = 10 - 2 - 3", {}) == {"x": 5}
+    assert run("root.x = 7 % 3", {}) == {"x": 1}
+    assert run("root.x = 1 + 2 == 3", {}) == {"x": True}
+    assert run('root.x = "a" + "b" + "c"', {}) == {"x": "abc"}
+
+
+def test_division_always_float():
+    # arithmetic.go:176-190 — div degrades to float
+    out = run("root.x = 10 / 4", {})
+    assert out == {"x": 2.5}
+    assert go_json_dumps(run("root.x = 10 / 2", {})) == '{"x":5}'
+
+
+def test_int_preservation():
+    assert go_json_dumps(run("root.x = 2 + 3", {})) == '{"x":5}'
+    assert go_json_dumps(run("root.x = [1,2,3].sum()", {})) == '{"x":6}'
+
+
+def test_coalesce_pipe():
+    assert run("root.x = this.a | this.b | 9",
+               {"b": 5}) == {"x": 5}
+    assert run("root.x = this.a | this.b | 9", {}) == {"x": 9}
+
+
+def test_missing_field_is_null():
+    assert run("root.x = this.nope", {"y": 1}) == {"x": None}
+
+
+def test_nothing_skips_assignment():
+    # if without else → Nothing → assignment skipped (statement.go:50-53);
+    # when NO assignment ran at all, the message is left unchanged
+    # (executor.go:195-197)
+    assert run("root.x = if this.a > 5 { this.a }", {"a": 1}) == {"a": 1}
+    assert run("root.x = if this.a > 5 { this.a }", {"a": 9}) == {"x": 9}
+    # with a prior root assignment the skipped key stays absent
+    assert run("root = {}\nroot.x = if this.a > 5 { this.a }",
+               {"a": 1}) == {}
+
+
+def test_match_rebinding_no_case_keeps_prior_root():
+    # windowed.yaml pattern: `root = match {...}` with no matching case
+    # leaves the earlier `root = this` intact
+    out = run("root = this\nroot = match { this.a > 5 => deleted() }",
+              {"a": 1})
+    assert out == {"a": 1}
+
+
+def test_deleted_root_drops_message():
+    m = compile_mapping('root = if this.drop { deleted() }')
+    assert m.run_value({"drop": True}) is DELETE
+    # Nothing → message unchanged
+    assert m.run_value({"drop": False}) == {"drop": False}
+
+
+def test_match_literal_and_bool_cases():
+    src = '''root.x = match this.kind {
+      "a" => 1
+      this.size() > 2 => 2
+      _ => 3
+    }'''
+    # note: match rebinds context to the operand
+    assert run('root.x = match this.kind { "a" => 1, _ => 3 }',
+               {"kind": "a"}) == {"x": 1}
+    assert run('root.x = match this.kind { "a" => 1, _ => 3 }',
+               {"kind": "b"}) == {"x": 3}
+
+
+def test_match_no_case_is_nothing():
+    assert run('root = {}\nroot.x = match { this.a > 5 => 1 }',
+               {"a": 1}) == {}
+    assert run('root.x = match { this.a > 5 => 1 }', {"a": 9}) == {"x": 1}
+
+
+def test_variables_and_naked_paths():
+    out = run('let v = this.a\nroot.b = $v + 1\nc = 7', {"a": 2})
+    assert out == {"b": 3, "c": 7}
+
+
+def test_meta_assignment():
+    m = compile_mapping('meta foo = "x"\nroot = this')
+    out = m.run_batch([Message.from_content({"a": 1})])
+    assert out[0].meta == {"foo": "x"}
+    m2 = compile_mapping('meta = deleted()\nroot = this')
+    out2 = m2.run_batch([Message.from_content({"a": 1},
+                                              meta={"k": "v"})])
+    assert out2[0].meta == {}
+
+
+def test_mutation_mode_preserves_document():
+    assert run("root.b = 2", {"a": 1}, is_mutation=True) == \
+        {"a": 1, "b": 2}
+    assert run("root.a = deleted()", {"a": 1, "b": 2},
+               is_mutation=True) == {"b": 2}
+
+
+def test_string_methods():
+    assert run('root.x = "  hi  ".trim().uppercase()', {}) == {"x": "HI"}
+    assert run('root.x = "a,b,c".split(",").length()', {}) == {"x": 3}
+    assert run('root.x = "hello".slice(1, 3)', {}) == {"x": "el"}
+    assert run('root.x = "abc".encode("base64")', {}) == {"x": "YWJj"}
+    assert run('root.x = "YWJj".decode("base64").string()', {}) == \
+        {"x": "abc"}
+    assert run('root.x = "a-b".re_replace_all("-(b)", "_$1")', {}) == \
+        {"x": "a_b"}
+
+
+def test_structured_methods():
+    assert run('root.x = {"b":2,"a":1}.keys()', {}) == {"x": ["a", "b"]}
+    assert run('root.x = [3,1,2].sort()', {}) == {"x": [1, 2, 3]}
+    assert run('root.x = [[1,2],[3]].flatten()', {}) == {"x": [1, 2, 3]}
+    assert run('root.x = [1,1,2].unique()', {}) == {"x": [1, 2]}
+    assert run('root.x = {"a":{"b":1}}.collapse()', {}) == \
+        {"x": {"a.b": 1}}
+    assert run('root.x = {"a":1,"b":2}.without("a")', {}) == \
+        {"x": {"b": 2}}
+    assert run('root = this.map_each_key(key -> key.uppercase())',
+               {"a": 1}) == {"A": 1}
+
+
+def test_merge_collision_makes_array():
+    assert run('root = this.a.merge(this.b)',
+               {"a": {"x": 1}, "b": {"x": 2, "y": 3}}) == \
+        {"x": [1, 2], "y": 3}
+
+
+def test_catch_and_or():
+    assert run('root.x = this.a.uppercase().catch("d")', {}) == {"x": "d"}
+    assert run('root.x = this.a.or(5)', {}) == {"x": 5}
+    assert run('root.x = this.a.not_null().catch("gone")', {}) == \
+        {"x": "gone"}
+
+
+def test_number_method_with_default():
+    assert run('root.x = "12".number()', {}) == {"x": 12}
+    assert run('root.x = "nope".number(0)', {}) == {"x": 0}
+
+
+def test_type_and_string_conversion():
+    assert run('root.x = 5.type()', {}) == {"x": "number"}
+    assert run('root.x = 2.5.string()', {}) == {"x": "2.5"}
+    assert run('root.x = true.string()', {}) == {"x": "true"}
+
+
+def test_fold_and_enumerated():
+    assert run('root.x = [1,2,3].fold(0, tally + value)', {}) == {"x": 6}
+    out = run('root.x = ["a","b"].enumerated()', {})
+    assert out == {"x": [{"index": 0, "value": "a"},
+                         {"index": 1, "value": "b"}]}
+
+
+def test_timestamp_methods():
+    assert run('root.x = "2020-01-02T03:04:05Z".ts_unix()', {}) == \
+        {"x": 1577934245}
+    out = run('root.x = 1577934245.ts_format()', {})
+    assert out == {"x": "2020-01-02T03:04:05Z"}
+    out = run('root.x = "2020-01-02T00:00:00Z".ts_add_iso8601("P1D")', {})
+    assert out == {"x": "2020-01-03T00:00:00Z"}
+
+
+def test_parse_csv_method():
+    out = run('root = "a,b\\n1,2".parse_csv()', {})
+    assert out == [{"a": "1", "b": "2"}]
+
+
+def test_replace_many():
+    out = run('root.x = "a b c".replace_many(["a","x","c","z"])', {})
+    assert out == {"x": "x b z"}
+
+
+def test_zip_and_squash():
+    assert run('root.x = [1,2].zip([3,4])', {}) == {"x": [[1, 3], [2, 4]]}
+    assert run('root.x = [{"a":1},{"b":2}].squash()', {}) == \
+        {"x": {"a": 1, "b": 2}}
+
+
+def test_error_line_numbers():
+    m = compile_mapping('root.a = 1\nroot.b = throw("boom")')
+    msgs = m.run_batch([Message.from_content({})], on_error="mark")
+    assert msgs[0].error == "failed assignment (line 2): boom"
+
+
+def test_go_json_float_formatting():
+    assert go_json_dumps({"a": 5.0}) == '{"a":5}'
+    assert go_json_dumps({"a": 0.57}) == '{"a":0.57}'
+    assert go_json_dumps({"b": 1, "a": 2}) == '{"a":2,"b":1}'
+
+
+def test_interpolated_field():
+    from bento_ray.config.field import InterpolatedField
+
+    f = InterpolatedField('${! json("a") }:${! meta("m") }')
+    msg = Message.from_content({"a": "x"}, meta={"m": "y"})
+    assert f.resolve_message(0, [msg], {}) == "x:y"
+
+
+def test_env_interpolation():
+    from bento_ray.config.envsubst import interpolate_env
+
+    assert interpolate_env("v=${FOO:def}", {}) == "v=def"
+    assert interpolate_env("v=${FOO:def}", {"FOO": "x"}) == "v=x"
+    assert interpolate_env("v=${! json() }", {}) == "v=${! json() }"
+    assert interpolate_env("$${FOO}", {"FOO": "x"}) == "${FOO}"
+
+
+# ----------------------------------------------------------- Ray stage
+
+def test_mapping_stage_structured(ray_session):
+    import ray.data as rd
+
+    from bento_ray.blobl.stage import mapping_stage
+
+    ds = rd.from_items([{"a": i, "b": f"s{i}"} for i in range(100)])
+    out = mapping_stage(
+        ds, 'root.a2 = this.a * 2\nroot.up = this.b.uppercase()'
+            '\nroot = if this.a % 10 == 0 { deleted() }',
+        concurrency=2).materialize()
+    df = out.to_pandas().sort_values("a2").reset_index(drop=True)
+    assert len(df) == 90
+    assert df["a2"].tolist()[0] == 2
+    assert df["up"].tolist()[0] == "S1"
+
+
+def test_mapping_stage_content(ray_session):
+    import ray.data as rd
+
+    from bento_ray.blobl.stage import mapping_stage
+
+    ds = rd.from_items([{"content": '{"n": %d}' % i, "k": i}
+                        for i in range(20)])
+    out = mapping_stage(ds, 'root.n = this.n + 1', mode="content",
+                        concurrency=2).materialize()
+    df = out.to_pandas().sort_values("k")
+    assert df["content"].tolist()[0] == '{"n":1}'
+    assert "k" in df.columns
+
+
+def test_pipeline_from_yaml(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bento_ray.pipelines.builder import Pipeline
+
+    pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}),
+                   str(tmp_path / "t.parquet"))
+    yml = f"""
+input:
+  parquet:
+    path: {tmp_path}/t.parquet
+pipeline:
+  processors:
+    - mapping: |
+        root.a = this.a * ${{MULT:10}}
+        root.b = this.b.uppercase()
+"""
+    df = Pipeline.from_yaml(yml, env={}).to_pandas().sort_values("a")
+    assert df["a"].tolist() == [10, 20, 30]
+    assert df["b"].tolist() == ["X", "Y", "Z"]
+
+
+# ------------------------------------------------------- jq / jmespath
+
+def test_jq_reference_cases():
+    """Cases from processor_jq_test.go:95-160."""
+    from bento_ray.jqlang import jq_first
+
+    assert jq_first(".foo.bar", {"foo": {"bar": {"baz": 1}}}) == {"baz": 1}
+    assert jq_first(".baz.qux", {"foo": 1}) is None
+    assert jq_first("[.ts,.id,.msg] | @csv",
+                    {"id": "1054fe28", "msg": 'sample "log"',
+                     "ts": 1641393111}) == \
+        '1641393111,"1054fe28","sample ""log"""'
+    assert jq_first('{foo: .foo} | .foo.bar = "baz"',
+                    {"foo": {"original": {"content": "is this"}}}) == \
+        {"foo": {"original": {"content": "is this"}, "bar": "baz"}}
+
+
+def test_jq_streams_and_builtins():
+    from bento_ray.jqlang import JQ, jq_first
+
+    assert JQ(".[] | select(.a > 1)")([{"a": 1}, {"a": 2}]) == [{"a": 2}]
+    assert jq_first("map(.a) | add", [{"a": 1}, {"a": 2}]) == 3
+    assert jq_first(".a // 5", {}) == 5
+    assert jq_first(".a | keys", {"a": {"z": 1, "b": 2}}) == ["b", "z"]
+    assert JQ(".a[]")({"a": [1, 2]}) == [1, 2]
+    assert jq_first(".missing[]?", {}) is None
+
+
+def test_jq_processor_semantics():
+    from bento_ray.blobl.interp import Message
+    from bento_ray.config.processors import JQProcessor, Runtime
+
+    p = JQProcessor(query=".items[]")
+    out = p.process_batch(
+        [Message.from_content({"items": [1, 2, 3]})], Runtime())
+    # >1 emitted values collapse into an array (processor_jq.go:227-231)
+    assert out[0][0].structured() == [1, 2, 3]
+    p2 = JQProcessor(query=".missing | select(. != null)")
+    assert p2.process_batch(
+        [Message.from_content({"x": 1})], Runtime()) == []
+
+
+def test_jmespath_reference_cases():
+    """Cases from processor_jmespath_test.go:114-162."""
+    from bento_ray.jmespath_mini import search
+
+    assert search("foo.bar", {"foo": {"bar": {"baz": 1}}}) == {"baz": 1}
+    assert search("sum([foo.bar, `6`])", {"foo": {"bar": 123}}) == 129
+    assert search("{foo: merge(foo, {bar:'baz'})}",
+                  {"foo": {"a": 1}}) == {"foo": {"a": 1, "bar": "baz"}}
+
+
+def test_jmespath_projections():
+    from bento_ray.jmespath_mini import search
+
+    assert search("items[*].name",
+                  {"items": [{"name": "a"}, {"name": "b"}]}) == ["a", "b"]
+    assert search("items[?price > `10`].name",
+                  {"items": [{"name": "a", "price": 5},
+                             {"name": "b", "price": 20}]}) == ["b"]
+    assert search("sort_by(items, &age)[0].name",
+                  {"items": [{"name": "x", "age": 3},
+                             {"name": "y", "age": 1}]}) == "y"
