@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q_ann_topk",
     "q_salted_hot_key_agg",
     "q_nation_revenue",
+    "q_bloblang_revenue",
+    "q_json_extract",
 ]
 
 
@@ -75,9 +77,18 @@ def run_bench() -> dict:
     # parallelism and barrier costs amortize over few epochs
     n_files = max(8, min(1024, N_PAGES // 4000))
     pages = ensure_pages_dataset(N_PAGES, seed=42, files=n_files)
-    import ray.data as rd
+    # Warm the OS page cache by READING THE BYTES: a parquet count()
+    # only touches footers, and each fresh Ray session's object-store
+    # allocation evicts the corpus from the page cache — a timed run
+    # against cold files is disk-bound (measured: three consecutive
+    # 32-CPU runs pinned at ~178k pages/sec ≈ 16 GB / 45 s of disk,
+    # vs 342-421k warm).
+    import glob as _glob
 
-    rd.read_parquet(pages).count()
+    for f in sorted(_glob.glob(os.path.join(pages, "*.parquet"))):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     # small untimed warm-up run: spins up the task worker pool (imports)
     # and OS caches so the timed run measures the engine at steady

@@ -40,8 +40,27 @@ class MappingStage:
         self.mode = mode
         self.content_col = content_col
         self.env = env or {}
+        # simple column mappings compile to Arrow kernels — zero
+        # per-row Python (blobl/vectorize.py); the rest interpret
+        self.vectorized = None
+        if mode == "structured":
+            from bento_ray.blobl.vectorize import (
+                NotVectorizable, compile_vectorized,
+            )
+
+            try:
+                self.vectorized = compile_vectorized(self.mapping)
+            except NotVectorizable:
+                self.vectorized = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.vectorized is not None:
+            from bento_ray.blobl.vectorize import NotVectorizable
+
+            try:
+                return self.vectorized(t)
+            except NotVectorizable:
+                pass  # e.g. referenced column absent — interpret
         if self.mode == "content":
             return self._content_batch(t)
         return self._structured_batch(t)

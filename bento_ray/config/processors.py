@@ -123,14 +123,25 @@ class SplitProcessor(Processor):
 
 
 class ArchiveProcessor(Processor):
-    """``archive`` (processor_archive.go:186-196): batch → 1 message."""
+    """``archive`` (processor_archive.go:75-196): batch → 1 message.
+    tar/zip entry names come from the interpolated ``path`` field;
+    ``binary`` is the reference's length-prefixed blob format
+    (message.go:105-136)."""
 
     name = "archive"
 
     def __init__(self, format: str = "json_array", path: str = ""):
         self.format = format
+        self.path = InterpolatedField(path or "${! count(\"parts\") }")
+
+    def _entry_name(self, i, batch, rt):
+        return self.path.resolve_message(i, batch, rt.env, rt.counters)
 
     def process_batch(self, batch, rt):
+        import io
+        import tarfile
+        import zipfile
+
         from bento_ray.blobl.values import go_json_dumps
 
         if not batch:
@@ -142,6 +153,29 @@ class ArchiveProcessor(Processor):
             raw = b"\n".join(m.content_bytes() for m in batch)
         elif self.format == "concatenate":
             raw = b"".join(m.content_bytes() for m in batch)
+        elif self.format == "tar":
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for i, m in enumerate(batch):
+                    data = m.content_bytes()
+                    info = tarfile.TarInfo(self._entry_name(i, batch, rt))
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+            raw = buf.getvalue()
+        elif self.format == "zip":
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                for i, m in enumerate(batch):
+                    zf.writestr(self._entry_name(i, batch, rt),
+                                m.content_bytes())
+            raw = buf.getvalue()
+        elif self.format == "binary":
+            parts = [m.content_bytes() for m in batch]
+            out = [len(parts).to_bytes(4, "big")]
+            for p in parts:
+                out.append(len(p).to_bytes(4, "big"))
+                out.append(p)
+            raw = b"".join(out)
         else:
             raise ValueError(f"unsupported archive format {self.format}")
         return [[Message.from_content(raw, meta=dict(batch[0].meta))]]
@@ -187,6 +221,52 @@ class UnarchiveProcessor(Processor):
                         break
                     v, i = dec.raw_decode(s, i)
                     out.append(Message.from_content(v, meta=dict(m.meta)))
+            elif self.format == "tar":
+                import io
+                import tarfile
+
+                with tarfile.open(fileobj=io.BytesIO(m.content_bytes()),
+                                  mode="r:*") as tf:
+                    for info in tf.getmembers():
+                        if not info.isfile():
+                            continue
+                        nm = Message.from_content(
+                            tf.extractfile(info).read(), meta=dict(m.meta))
+                        nm.meta["archive_filename"] = info.name
+                        out.append(nm)
+            elif self.format == "zip":
+                import io
+                import zipfile
+
+                with zipfile.ZipFile(io.BytesIO(m.content_bytes())) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        nm = Message.from_content(
+                            zf.read(info), meta=dict(m.meta))
+                        nm.meta["archive_filename"] = info.filename
+                        out.append(nm)
+            elif self.format == "binary":
+                b = m.content_bytes()
+                n = int.from_bytes(b[:4], "big")
+                pos = 4
+                for _ in range(n):
+                    ln = int.from_bytes(b[pos:pos + 4], "big")
+                    pos += 4
+                    out.append(Message.from_content(
+                        b[pos:pos + ln], meta=dict(m.meta)))
+                    pos += ln
+            elif self.format == "csv":
+                import csv as _csv
+                import io
+
+                rows = list(_csv.reader(
+                    io.StringIO(m.content_bytes().decode())))
+                if rows:
+                    hdr = rows[0]
+                    for r in rows[1:]:
+                        out.append(Message.from_content(
+                            dict(zip(hdr, r)), meta=dict(m.meta)))
             else:
                 raise ValueError(
                     f"unsupported unarchive format {self.format}")
@@ -305,9 +385,10 @@ class HTTPProcessor(Processor):
         return [batch]
 
 
-def build_cache(spec: dict) -> LocalCache:
-    """cache_resources entry → LocalCache (memory/lru/ttlru,
-    cache_memory.go:16 / cache_lru.go:42 / cache_ttlru.go:33)."""
+def build_cache(spec: dict, resources: dict | None = None):
+    """cache_resources entry → cache (memory/lru/ttlru/file/multilevel,
+    cache_memory.go:16 / cache_lru.go:42 / cache_ttlru.go:33 /
+    io/cache_file.go:18 / cache_multilevel.go:14)."""
     if "memory" in spec:
         c = spec["memory"] or {}
         return LocalCache(ttl_sec=_parse_dur(c.get("default_ttl", "5m")))
@@ -318,6 +399,17 @@ def build_cache(spec: dict) -> LocalCache:
         c = spec["ttlru"] or {}
         return LocalCache(ttl_sec=_parse_dur(c.get("default_ttl", "5m")),
                           max_items=int(c.get("cap", 1000)))
+    if "file" in spec:
+        from bento_ray.state.store import FileCache
+
+        return FileCache((spec["file"] or {})["directory"])
+    if "multilevel" in spec:
+        from bento_ray.state.store import MultilevelCache
+
+        names = spec["multilevel"] or []
+        if resources is None:
+            raise ValueError("multilevel cache requires named resources")
+        return MultilevelCache([resources[n] for n in names])
     raise ValueError(f"unsupported cache resource {list(spec)}")
 
 

@@ -156,12 +156,18 @@ def _run_case(path: str, raw: str, case: dict) -> None:
 
     _apply_mocks(doc, case.get("mocks"))
 
-    # resources
-    caches = {}
+    # resources (two passes: multilevel refers to earlier labels)
+    caches: dict = {}
+    deferred = []
     for spec in doc.get("cache_resources", []) or []:
         spec = dict(spec)
         label = spec.pop("label")
-        caches[label] = build_cache(spec)
+        if "multilevel" in spec:
+            deferred.append((label, spec))
+        else:
+            caches[label] = build_cache(spec)
+    for label, spec in deferred:
+        caches[label] = build_cache(spec, resources=caches)
     proc_resources = {}
     for spec in doc.get("processor_resources", []) or []:
         s = dict(spec)

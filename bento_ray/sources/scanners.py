@@ -1,0 +1,187 @@
+"""Scanners — byte-stream → message segmentation codecs.
+
+Reference: internal/impl/pure/scanner_*.go. Each scanner maps one raw
+byte payload to an ordered list of messages; ``scan_paths`` lifts a
+scanner over files distributed (one flat_map task per file — the
+reference applies scanners per input stream the same way).
+
+Composable like the reference's nested scanner configs:
+``decompress(gzip, tar)`` etc.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from typing import Callable, Iterator
+
+Scanner = Callable[[bytes], Iterator[bytes]]
+
+
+def chunker(size: int) -> Scanner:
+    """scanner_chunker.go: fixed-size byte chunks (last may be short)."""
+
+    def scan(data: bytes):
+        for i in range(0, len(data), size):
+            yield data[i:i + size]
+
+    return scan
+
+
+def lines() -> Scanner:
+    """scanner_lines.go: newline-delimited (no trailing empty)."""
+
+    def scan(data: bytes):
+        for ln in data.split(b"\n"):
+            if ln:
+                yield ln
+
+    return scan
+
+
+def re_match(pattern: str) -> Scanner:
+    """scanner_re_match.go: split the stream BEFORE each regex match —
+    segments run from one match start to the next; a non-empty prefix
+    before the first match is its own segment."""
+    rx = re.compile(pattern.encode())
+
+    def scan(data: bytes):
+        starts = [m.start() for m in rx.finditer(data)]
+        # collapse zero-width adjacent boundaries
+        bounds = sorted({0, *starts, len(data)})
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b > a:
+                yield data[a:b]
+
+    return scan
+
+
+def decompress(codec: str, inner: Scanner | None = None) -> Scanner:
+    """scanner_decompress.go: decompress, then apply the nested
+    scanner (default: whole payload as one message)."""
+
+    def scan(data: bytes):
+        if codec == "gzip":
+            import gzip
+
+            raw = gzip.decompress(data)
+        elif codec == "zlib":
+            import zlib
+
+            raw = zlib.decompress(data)
+        elif codec in ("flate", "deflate"):
+            import zlib
+
+            raw = zlib.decompress(data, wbits=-15)
+        elif codec == "bzip2":
+            import bz2
+
+            raw = bz2.decompress(data)
+        elif codec in ("lzma", "xz"):
+            import lzma
+
+            raw = lzma.decompress(data)
+        else:
+            raise ValueError(f"unsupported decompress codec {codec}")
+        if inner is None:
+            yield raw
+        else:
+            yield from inner(raw)
+
+    return scan
+
+
+def tar() -> Scanner:
+    """scanner_tar.go: one message per regular tar entry."""
+    import tarfile
+
+    def scan(data: bytes):
+        with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
+            for info in tf.getmembers():
+                if info.isfile():
+                    yield tf.extractfile(info).read()
+
+    return scan
+
+
+def csv_scanner(delimiter: str = ",") -> Scanner:
+    """scanner_csv.go: header row + one JSON object message per row."""
+    import csv as _csv
+    import json
+
+    def scan(data: bytes):
+        rows = list(_csv.reader(io.StringIO(data.decode()),
+                                delimiter=delimiter))
+        if not rows:
+            return
+        hdr = rows[0]
+        for r in rows[1:]:
+            yield json.dumps(dict(zip(hdr, r)),
+                             separators=(",", ":")).encode()
+
+    return scan
+
+
+def json_documents() -> Scanner:
+    """scanner_json.go: concatenated JSON documents."""
+    import json
+
+    def scan(data: bytes):
+        dec = json.JSONDecoder()
+        s = data.decode()
+        i = 0
+        while i < len(s):
+            while i < len(s) and s[i].isspace():
+                i += 1
+            if i >= len(s):
+                break
+            v, i = dec.raw_decode(s, i)
+            yield json.dumps(v, separators=(",", ":")).encode()
+
+    return scan
+
+
+def skip_bom(inner: Scanner) -> Scanner:
+    """scanner_skip_bom.go: strip a UTF-8 BOM then delegate."""
+
+    def scan(data: bytes):
+        if data.startswith(b"\xef\xbb\xbf"):
+            data = data[3:]
+        yield from inner(data)
+
+    return scan
+
+
+def to_the_end() -> Scanner:
+    """scanner_to_the_end.go: whole payload, one message."""
+
+    def scan(data: bytes):
+        if data:
+            yield data
+
+    return scan
+
+
+def scan_paths(paths, scanner: Scanner, include_path: bool = True):
+    """Distributed scan: read files as binary and explode each through
+    the scanner — one flat_map task per file block, no driver I/O."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=include_path)
+
+    def _f(t: pa.Table) -> pa.Table:
+        out_bytes, out_path = [], []
+        pcol = t.column("path").to_pylist() if include_path else None
+        for i, data in enumerate(t.column("bytes").to_pylist()):
+            for seg in scanner(data):
+                out_bytes.append(seg)
+                if include_path:
+                    out_path.append(pcol[i])
+        cols = {"content": pa.array(out_bytes, pa.binary())}
+        if include_path:
+            cols["path"] = pa.array(out_path, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

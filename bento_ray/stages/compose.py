@@ -9,6 +9,7 @@ Error routing: instead of the reference's per-part error flag
 
 from __future__ import annotations
 
+import json
 from typing import Callable, Sequence
 
 import numpy as np
@@ -150,32 +151,126 @@ def branch(ds, request_map: BatchFn, child: BatchFn, result_map):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-def workflow(ds, branches: dict[str, tuple[Sequence[str], BatchFn]]):
-    """Bento ``workflow`` (processor_workflow.go:47-115): DAG of named
-    branches executed in topological layers. ``branches`` maps name →
-    (dependencies, batch fn); each fn sees the cumulative table."""
+def _workflow_layers(branches):
     done: set[str] = set()
     remaining = dict(branches)
-    layers: list[list[BatchFn]] = []
+    layers: list[list[str]] = []
     while remaining:
-        layer = [n for n, (deps, _) in remaining.items() if all(d in done for d in deps)]
+        layer = [n for n, (deps, _) in remaining.items()
+                 if all(d in done for d in deps)]
         if not layer:
             raise ValueError("workflow dependency cycle")
-        layers.append([remaining[n][1] for n in layer])
+        layers.append(layer)
         done.update(layer)
         for n in layer:
             del remaining[n]
+    return layers
 
-    def _apply(fns):
-        def _f(t: pa.Table) -> pa.Table:
-            for fn in fns:
-                t = fn(t)
-            return t
-        return _f
 
-    for fns in layers:
-        ds = ds.map_batches(_apply(fns), batch_format="pyarrow")
-    return ds
+def workflow(ds, branches: dict[str, tuple[Sequence[str], BatchFn]],
+             meta_col: str | None = None):
+    """Bento ``workflow`` (processor_workflow.go:47-115): DAG of named
+    branches executed in topological layers. ``branches`` maps name →
+    (dependencies, batch fn); each fn sees the cumulative table.
+
+    ``meta_col`` enables the reference's per-message skip conditions +
+    result tracking (processor_workflow.go:404-449, 459-560): the named
+    JSON column may carry ``{"apply": [...]}`` (whitelist — all other
+    stages skip), ``{"succeeded": [...]}`` / ``{"skipped": [...]}``
+    (stages completed in a previous run skip), and after execution the
+    column holds ``{"succeeded": [...], "skipped": [...],
+    "failed": {stage: error}}`` per row. Without ``meta_col`` the hot
+    vectorized path runs every branch on every row."""
+    layers = _workflow_layers(branches)
+
+    if meta_col is None:
+        def _apply(names):
+            def _f(t: pa.Table) -> pa.Table:
+                for n in names:
+                    t = branches[n][1](t)
+                return t
+            return _f
+
+        for names in layers:
+            ds = ds.map_batches(_apply(names), batch_format="pyarrow")
+        return ds
+
+    all_stages = set(branches)
+
+    def _tracked(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = len(t)
+        if meta_col in t.column_names:
+            metas = [json.loads(v) if v else {}
+                     for v in t.column(meta_col).to_pylist()]
+            t = t.drop_columns([meta_col])
+        else:
+            metas = [{} for _ in range(n)]
+        skip: list[set] = []
+        for mrec in metas:
+            s: set = set()
+            ap = mrec.get("apply") or []
+            if ap:
+                s = all_stages - {x for x in ap if x in all_stages}
+            s |= {x for x in (mrec.get("succeeded") or [])
+                  if x in all_stages}
+            s |= {x for x in (mrec.get("skipped") or [])
+                  if x in all_stages}
+            skip.append(s)
+        succeeded = [set() for _ in range(n)]
+        skipped = [set(s) for s in skip]
+        failed: list[dict] = [{} for _ in range(n)]
+
+        for names in layers:
+            for name in names:
+                fn = branches[name][1]
+                mask = np.array([name not in skip[i] for i in range(n)])
+                if mask.all():
+                    try:
+                        t = fn(t)
+                        for i in range(n):
+                            succeeded[i].add(name)
+                    except Exception as e:  # noqa: BLE001
+                        for i in range(n):
+                            failed[i][name] = str(e)
+                    continue
+                if not mask.any():
+                    continue
+                sub = t.filter(pa.array(mask))
+                try:
+                    res = fn(sub)
+                except Exception as e:  # noqa: BLE001
+                    for i in np.flatnonzero(mask):
+                        failed[i][name] = str(e)
+                    continue
+                # merge: new columns gain nulls on skipped rows; existing
+                # columns take the branch's values on included rows
+                pos = np.flatnonzero(mask)
+                df = t.to_pandas()
+                rdf = res.to_pandas()
+                for c in rdf.columns:
+                    if c not in df.columns:
+                        df[c] = None
+                    df.loc[df.index[pos], c] = rdf[c].to_numpy()
+                t = pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+                for i in pos:
+                    succeeded[i].add(name)
+
+        recs = []
+        for i in range(n):
+            rec: dict = {}
+            if succeeded[i]:
+                rec["succeeded"] = sorted(succeeded[i])
+            if skipped[i]:
+                rec["skipped"] = sorted(skipped[i])
+            if failed[i]:
+                rec["failed"] = failed[i]
+            recs.append(json.dumps(rec, sort_keys=True))
+        return t.append_column(meta_col, pa.array(recs, pa.string()))
+
+    return ds.map_batches(_tracked, batch_format="pyarrow")
 
 
 def _ensure_err(t: pa.Table) -> pa.Table:

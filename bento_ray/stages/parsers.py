@@ -90,12 +90,42 @@ _SYSLOG = ("%{TIMESTAMP_ISO8601:ts} %{IPORHOST:host} %{USER:app}"
 
 
 def parse_log_stage(ds, fmt: str = "syslog_rfc3164", content_col: str = "content",
-                    concurrency: int | None = None):
-    """parse_log: named log formats lowered onto the grok engine."""
-    patterns = {"syslog_rfc3164": _SYSLOG}
-    if fmt not in patterns:
+                    concurrency: int | None = None, best_effort: bool = True):
+    """``parse_log`` (processor_parse_log.go:141-260): parse each line
+    as syslog (rfc5424 or rfc3164, reference-exact field names) and
+    replace ``content_col`` with the structured JSON document
+    (Go-marshalled: sorted keys). Unparseable lines keep their original
+    content with ``err`` set (best-effort contract).
+
+    The simplified PRI-less syslog shape from round 1 remains available
+    as ``fmt="syslog_plain"`` (grok-based, one column per field)."""
+    if fmt == "syslog_plain":
+        return grok_stage(ds, _SYSLOG, content_col, concurrency)
+    if fmt not in ("syslog_rfc3164", "syslog_rfc5424"):
         raise ValueError(f"unsupported log format {fmt}")
-    return grok_stage(ds, patterns[fmt], content_col, concurrency)
+
+    from bento_ray.blobl.values import go_json_dumps
+    from bento_ray.logparse import LogParseError, parse_log
+
+    def _f(t: pa.Table) -> pa.Table:
+        parsed, errs = [], []
+        for s in t.column(content_col).to_pylist():
+            try:
+                parsed.append(go_json_dumps(parse_log(s or "", fmt)))
+                errs.append(None)
+            except (LogParseError, ValueError) as e:
+                parsed.append(s)
+                errs.append(str(e))
+        pos = t.schema.get_field_index(content_col)
+        t = t.set_column(pos, content_col, pa.array(parsed, pa.string()))
+        if "err" in t.column_names:
+            t = t.set_column(t.schema.get_field_index("err"), "err",
+                             pa.array(errs, pa.string()))
+        else:
+            t = t.append_column("err", pa.array(errs, pa.string()))
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 class JsonSchemaValidator:

@@ -77,6 +77,114 @@ class LocalCache:
         return len(self._d)
 
 
+class FileCache:
+    """``file`` cache (internal/impl/io/cache_file.go:18): one file per
+    key under a directory; Add uses O_EXCL creation so the
+    fails-if-exists contract holds across PROCESSES sharing the
+    directory (the dedupe primitive on shared storage)."""
+
+    def __init__(self, directory: str):
+        import os
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, key) -> str:
+        import os
+
+        safe = str(key).replace("/", "_")
+        return os.path.join(self.dir, safe)
+
+    def get(self, key):
+        try:
+            with open(self._path(key), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def set(self, key, value) -> None:
+        with open(self._path(key), "wb") as fh:
+            fh.write(value if isinstance(value, bytes)
+                     else str(value).encode())
+
+    def add(self, key, value=b"t") -> bool:
+        import os
+
+        try:
+            fd = os.open(self._path(key),
+                         os.O_RDWR | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(value if isinstance(value, bytes)
+                     else str(value).encode())
+        return True
+
+    def delete(self, key) -> None:
+        import contextlib
+        import os
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(self._path(key))
+
+    def madd(self, keys, value=b"t") -> list[bool]:
+        return [self.add(k, value) for k in keys]
+
+    def mget(self, keys) -> list:
+        return [self.get(k) for k in keys]
+
+    def __len__(self) -> int:
+        import os
+
+        return len(os.listdir(self.dir))
+
+
+class MultilevelCache:
+    """``multilevel`` cache (cache_multilevel.go:108-176): Get checks
+    levels in order and back-fills hits into the levels above; Set
+    writes all levels; Add requires the key absent from every level,
+    performing the atomic Add only on the LAST level (the others get a
+    passive Set)."""
+
+    def __init__(self, levels: list):
+        if not levels:
+            raise ValueError("multilevel cache requires at least one level")
+        self.levels = levels
+
+    def get(self, key):
+        for i, c in enumerate(self.levels):
+            v = c.get(key)
+            if v is not None:
+                for j in range(i):
+                    self.levels[j].set(key, v)
+                return v
+        return None
+
+    def set(self, key, value) -> None:
+        for c in self.levels:
+            c.set(key, value)
+
+    def add(self, key, value=b"t") -> bool:
+        for c in self.levels[:-1]:
+            if c.get(key) is not None:
+                return False
+        if not self.levels[-1].add(key, value):
+            return False
+        for c in self.levels[:-1]:
+            c.set(key, value)
+        return True
+
+    def delete(self, key) -> None:
+        for c in self.levels:
+            c.delete(key)
+
+    def madd(self, keys, value=b"t") -> list[bool]:
+        return [self.add(k, value) for k in keys]
+
+    def mget(self, keys) -> list:
+        return [self.get(k) for k in keys]
+
+
 @ray.remote
 class CacheActor:
     """One shard of a shared named cache."""

@@ -81,8 +81,12 @@ class Feeder:
     def __call__(self, t: pa.Table) -> pa.Table:
         # html → text extraction (byte-identical invariant stage)
         texts = strip_html_batch(t.column("html").to_pylist())
-        nbytes = np.array([len(x.encode("utf-8")) if x is not None else 0
-                           for x in texts], np.int64)
+        # utf-8 byte length from Arrow string offsets — re-encoding
+        # every text (`len(x.encode())`) copied the whole corpus again
+        arr = pa.array(texts, pa.string())
+        offs = arr.buffers()[1]
+        nbytes = np.diff(np.frombuffer(offs, np.int32,
+                                       count=len(arr) + 1)).astype(np.int64)
         ts = t.column("warc_ts").cast(pa.int64()).to_numpy()
         urlh = stable_hash(t.column("url")).astype(np.uint64)
         lang_dict = t.column("lang").combine_chunks().dictionary_encode()

@@ -343,3 +343,77 @@ def test_jmespath_projections():
     assert search("sort_by(items, &age)[0].name",
                   {"items": [{"name": "x", "age": 3},
                              {"name": "y", "age": 1}]}) == "y"
+
+
+# ------------------------------------------------------------ vectorizer
+
+def _vec_and_interp(src, table):
+    """Run a mapping both via the Arrow vectorizer and the row-wise
+    interpreter; both must agree."""
+    import pyarrow as pa
+
+    from bento_ray.blobl.interp import Mapping
+    from bento_ray.blobl.vectorize import compile_vectorized
+
+    m = Mapping(src)
+    vec = compile_vectorized(m)
+    got = vec(table)
+    rows = table.to_pylist()
+    want = [m.run_value(r) for r in rows]
+    got_rows = got.to_pylist()
+    assert got_rows == want, (got_rows, want)
+    return got
+
+
+def test_vectorizer_arithmetic_and_if():
+    import pyarrow as pa
+
+    t = pa.table({"a": [1, 2, 3], "b": [10.0, 20.0, 30.0]})
+    _vec_and_interp(
+        "root.s = this.a + 1\n"
+        "root.p = this.b * (1.0 - 0.5)\n"
+        "root.big = if this.a > 1 { \"big\" } else { \"small\" }", t)
+
+
+def test_vectorizer_division_is_float():
+    import pyarrow as pa
+
+    t = pa.table({"a": [10, 7]})
+    out = _vec_and_interp("root.q = this.a / 2", t)
+    assert str(out.schema.field("q").type) == "double"
+
+
+def test_vectorizer_string_methods_and_concat():
+    import pyarrow as pa
+
+    t = pa.table({"s": ["a", "bc"]})
+    _vec_and_interp(
+        'root.u = this.s.uppercase()\n'
+        'root.n = this.s.length()\n'
+        'root.j = this.s + "!"', t)
+
+
+def test_vectorizer_rejects_complex_mappings():
+    import pytest as _pytest
+
+    from bento_ray.blobl.interp import Mapping
+    from bento_ray.blobl.vectorize import (
+        NotVectorizable, compile_vectorized,
+    )
+
+    for src in ["root = this", "root.x = this.a.b",
+                "root.x = match { this.a > 1 => 1 }",
+                "root.x = this.items.map_each(i -> i)",
+                "meta x = 1\nroot.y = 2",
+                "root.x = if this.a > 1 { 1 }"]:
+        with _pytest.raises(NotVectorizable):
+            compile_vectorized(Mapping(src))
+
+
+def test_mapping_stage_uses_vectorizer():
+    from bento_ray.blobl.stage import MappingStage
+
+    st = MappingStage("root.x = this.a * 2")
+    assert st.vectorized is not None
+    st2 = MappingStage("root = this.map_each_key(k -> k)")
+    assert st2.vectorized is None

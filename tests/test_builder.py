@@ -66,3 +66,34 @@ def test_registered_processor_and_spec():
                          columns=["l_quantity"]).to_pandas()
     # every doubled value exists in 2*original (order-insensitive spot check)
     assert set(df["l_quantity"]).issubset(set(orig["l_quantity"] * 2))
+
+
+def test_stream_manager_crud_and_run(tmp_path):
+    """streams mode (stream/manager/type.go:130-233): named pipelines
+    with create/read/update/delete + bounded runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from bento_ray.pipelines.streams import StreamManager
+
+    pq.write_table(pa.table({"a": [1, 2, 3]}), str(tmp_path / "t.parquet"))
+    yml = f"""
+input:
+  parquet:
+    path: {tmp_path}/t.parquet
+pipeline:
+  processors:
+    - mapping: 'root.a = this.a * 2'
+"""
+    m = StreamManager()
+    m.create("s1", yml)
+    with _pytest.raises(ValueError):
+        m.create("s1", yml)
+    assert m.run("s1") == 3
+    st = m.list()["s1"]
+    assert st["runs"] == 1 and st["last_error"] is None
+    m.update("s1", yml)
+    m.delete("s1")
+    with _pytest.raises(KeyError):
+        m.read("s1")

@@ -61,3 +61,35 @@ def test_byte_identical_many_seeds():
         for i in range(t.num_rows):
             assert strip_html(t["html"][i].as_py()) == t["text"][i].as_py(), \
                 f"seed={seed} row={i}"
+
+
+def test_fast_scanner_matches_htmlparser_on_grammar():
+    """The fast scanner and the HTMLParser reference implementation
+    agree byte-for-byte on the generator grammar (the north-rule
+    invariant corpus). On pathological tag soup (unterminated
+    comments) they diverge deliberately: the scanner follows Go's
+    x/net/html (comment-to-EOF dropped), HTMLParser re-emits text."""
+    from bento_ray.html import strip_html, strip_html_reference
+
+    t = generate_pages_table(300, seed=31)
+    for i in range(t.num_rows):
+        h = t["html"][i].as_py()
+        assert strip_html(h) == strip_html_reference(h)
+
+
+def test_fast_scanner_go_tokenizer_edge_cases():
+    from bento_ray.html import strip_html
+
+    # unterminated comment: dropped to EOF (x/net/html semantics)
+    assert strip_html("a<!--never closed") == "a"
+    # '<' before non-tag char is literal text
+    assert strip_html("a < b") == "a &lt; b"
+    # quoted attribute containing '>'
+    assert strip_html("<a href='x>y'>t</a>") == "t"
+    # CDATA elements scan for the literal close tag only
+    assert strip_html("<script>var a = '<div>';</script>after") == "after"
+    # nested skip-content element (non-CDATA) honours nesting depth
+    assert strip_html(
+        "<object><object>i</object>also gone</object>tail") == "tail"
+    # bogus end tag dropped
+    assert strip_html("</ weird>x") == "x"

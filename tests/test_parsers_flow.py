@@ -27,14 +27,53 @@ def test_grok_named_groups():
     assert bad["host"] is None
 
 
-def test_parse_log_syslog():
+def test_parse_log_syslog_plain():
     from bento_ray.stages.parsers import parse_log_stage
 
     ds = rd.from_items([
         {"content": "2024-02-03T04:05:06Z web01 nginx[7]: GET / 200"}])
-    out = parse_log_stage(ds).to_pandas().iloc[0]
+    out = parse_log_stage(ds, fmt="syslog_plain").to_pandas().iloc[0]
     assert out["app"] == "nginx" and out["pid"] == "7"
     assert out["message"] == "GET / 200"
+
+
+def test_parse_log_rfc5424_reference_vector():
+    """processor_parse_log_test.go:28-33 — byte-identical output."""
+    import json
+
+    from bento_ray.stages.parsers import parse_log_stage
+
+    line = ('<42>4 2049-10-11T22:14:15.003Z toaster.smarthome myapp - 2 '
+            '[home01 device_id="43"] failed to make a toast.')
+    ds = rd.from_items([{"content": line}])
+    out = parse_log_stage(ds, fmt="syslog_rfc5424").to_pandas().iloc[0]
+    assert out["content"] == (
+        '{"appname":"myapp","facility":5,"hostname":"toaster.smarthome",'
+        '"message":"failed to make a toast.","msgid":"2","priority":42,'
+        '"severity":2,"structureddata":{"home01":{"device_id":"43"}},'
+        '"timestamp":"2049-10-11T22:14:15.003Z","version":4}')
+    assert out["err"] is None
+
+
+def test_parse_log_rfc3164_and_best_effort():
+    import datetime
+    import json
+
+    from bento_ray.stages.parsers import parse_log_stage
+
+    ds = rd.from_items([
+        {"content": "<28>Dec  2 16:49:23 host app[23410]: Test"},
+        {"content": "not a syslog at all."}])
+    df = parse_log_stage(ds, fmt="syslog_rfc3164").to_pandas()
+    y = datetime.datetime.now().year
+    good_row = [json.loads(c) for c in df["content"] if c.startswith("{")][0]
+    assert good_row == {"appname": "app", "facility": 3, "hostname": "host",
+                        "message": "Test", "priority": 28,
+                        "procid": "23410", "severity": 4,
+                        "timestamp": f"{y}-12-02T16:49:23Z"}
+    # best-effort: unparseable line passes through unchanged + err set
+    bad = df[df["content"] == "not a syslog at all."]
+    assert len(bad) == 1 and bad.iloc[0]["err"]
 
 
 def test_json_schema_validation_err_column():
@@ -49,11 +88,12 @@ def test_json_schema_validation_err_column():
         {"content": 'not json'},
     ])
     out = json_schema_stage(ds, schema).to_pandas()
-    errs = out["err"].tolist()
-    assert errs[0] is None
-    assert "expected integer" in errs[1]
-    assert "missing required" in errs[2]
-    assert "invalid json" in errs[3]
+    # block order is not guaranteed across actors — key by content
+    errs = dict(zip(out["content"], out["err"]))
+    assert errs['{"id": 1}'] is None
+    assert "expected integer" in errs['{"id": "x"}']
+    assert "missing required" in errs['{"nope": 1}']
+    assert "invalid json" in errs["not json"]
 
 
 def test_parquet_roundtrip():

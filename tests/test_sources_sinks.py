@@ -131,3 +131,66 @@ def test_broadcast_and_versioned_join():
         facts, versions, on="k", fact_ts="ts", version_ts="vts",
         concurrency=2).to_pandas().sort_values("ts")
     assert out["name"].tolist() == ["A1", "B1", "A2"]
+
+
+# --------------------------------------------------------------- scanners
+
+def test_scanner_chunker_reference_vector():
+    """scanner_chunker_test.go: size 4 over the alphabet."""
+    from bento_ray.sources.scanners import chunker
+
+    got = list(chunker(4)(b"abcdefghijklmnopqrstuvwxyz"))
+    assert got == [b"abcd", b"efgh", b"ijkl", b"mnop", b"qrst",
+                   b"uvwx", b"yz"]
+
+
+def test_scanner_re_match_reference_vectors():
+    """scanner_re_match_test.go:30-35."""
+    from bento_ray.sources.scanners import re_match
+
+    assert list(re_match(r"(?m)^")(b"foo\nbar\nbaz")) == \
+        [b"foo\n", b"bar\n", b"baz"]
+    assert list(re_match("split")(b"foo\nbar\nsplit\nbaz\nsplitsplit")) == \
+        [b"foo\nbar\n", b"split\nbaz\n", b"split", b"split"]
+    assert list(re_match(r"\n")(b"split")) == [b"split"]
+    assert list(re_match("split")(b"split")) == [b"split"]
+
+
+def test_scanner_decompress_tar_composition(tmp_path):
+    import gzip
+    import io
+    import tarfile
+
+    from bento_ray.sources.scanners import decompress, tar
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("a.txt", b"alpha"), ("b.txt", b"beta")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    tgz = gzip.compress(buf.getvalue())
+    got = list(decompress("gzip", tar())(tgz))
+    assert got == [b"alpha", b"beta"]
+
+
+def test_scanner_csv_and_skip_bom():
+    import json
+
+    from bento_ray.sources.scanners import csv_scanner, skip_bom
+
+    got = [json.loads(x) for x in
+           skip_bom(csv_scanner())(b"\xef\xbb\xbfa,b\n1,2\n3,4")]
+    assert got == [{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]
+
+
+def test_scan_paths_distributed(ray_session, tmp_path):
+    from bento_ray.sources.scanners import re_match, scan_paths
+
+    for i in range(3):
+        (tmp_path / f"f{i}.log").write_bytes(
+            b"line one\nsplit two\nsplit three")
+    out = scan_paths(str(tmp_path), re_match("split")).to_pandas()
+    assert len(out) == 9
+    assert set(out["content"]) == {b"line one\n", b"split two\n",
+                                   b"split three"}

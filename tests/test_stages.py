@@ -305,3 +305,125 @@ def test_shuffle_join_fallback_left_outer_nulls():
     assert len(df) == 10
     assert df[df["k"] >= 3]["rv"].isna().all()
     assert not df[df["k"] < 3]["rv"].isna().any()
+
+
+def test_workflow_skip_conditions_and_meta_tracking():
+    """processor_workflow.go:404-449: `apply` whitelists stages,
+    `succeeded`/`skipped` from a previous run skip re-execution; the
+    meta column records per-row results."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from bento_ray.stages.compose import workflow
+
+    def _add(col, val):
+        def _f(t):
+            import pyarrow as _pa
+
+            if col in t.column_names:
+                i = t.schema.get_field_index(col)
+                return t.set_column(i, col, _pa.array([val] * len(t)))
+            return t.append_column(col, _pa.array([val] * len(t)))
+        return _f
+
+    branches = {"a": ((), _add("x", 1)), "b": (("a",), _add("y", 2))}
+
+    ds = rd.from_items([
+        {"id": 0, "wf": json.dumps({})},
+        {"id": 1, "wf": json.dumps({"apply": ["a"]})},       # skip b
+        {"id": 2, "wf": json.dumps({"succeeded": ["a"]})},   # skip a
+    ])
+    df = workflow(ds, branches, meta_col="wf").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    recs = [json.loads(v) for v in df["wf"]]
+    assert recs[0] == {"succeeded": ["a", "b"]}
+    assert recs[1] == {"succeeded": ["a"], "skipped": ["b"]}
+    assert recs[2] == {"succeeded": ["b"], "skipped": ["a"]}
+    # skipped branch left its column null for that row
+    assert df.loc[1, "y"] is None or pd.isna(df.loc[1, "y"])
+    assert df.loc[0, "y"] == 2
+
+
+def test_workflow_failed_branch_recorded():
+    import json
+
+    import ray.data as rd
+
+    from bento_ray.stages.compose import workflow
+
+    def _boom(t):
+        raise RuntimeError("branch exploded")
+
+    ds = rd.from_items([{"id": 0}])
+    df = workflow(ds, {"z": ((), _boom)}, meta_col="wf").to_pandas()
+    rec = json.loads(df["wf"].iloc[0])
+    assert rec["failed"]["z"] == "branch exploded"
+
+
+def test_file_cache_add_contract(tmp_path):
+    from bento_ray.state.store import FileCache
+
+    c = FileCache(str(tmp_path / "fc"))
+    assert c.add("k", b"1") is True
+    assert c.add("k", b"2") is False     # Add fails if exists (O_EXCL)
+    assert c.get("k") == b"1"
+    c.set("k", b"3")
+    assert c.get("k") == b"3"
+    c.delete("k")
+    assert c.get("k") is None
+    # a second instance over the same dir sees the same state
+    c2 = FileCache(str(tmp_path / "fc"))
+    c.add("shared", b"x")
+    assert c2.add("shared") is False
+
+
+def test_multilevel_cache_semantics(tmp_path):
+    from bento_ray.state.store import FileCache, LocalCache, MultilevelCache
+
+    l1 = LocalCache()
+    l2 = FileCache(str(tmp_path / "ml"))
+    m = MultilevelCache([l1, l2])
+    # add requires absence everywhere; atomic add happens on the LAST
+    assert m.add("k", b"v") is True
+    assert m.add("k", b"v") is False
+    assert l2.get("k") == b"v" and l1.get("k") == b"v"
+    # get back-fills upper levels
+    l2.set("deep", b"d")
+    assert l1.get("deep") is None
+    assert m.get("deep") == b"d"
+    assert l1.get("deep") == b"d"
+
+
+def test_archive_unarchive_tar_zip_binary_roundtrip():
+    from bento_ray.blobl.interp import Message
+    from bento_ray.config.processors import (
+        ArchiveProcessor, Runtime, UnarchiveProcessor,
+    )
+
+    rt = Runtime()
+    batch = [Message.from_content(b"alpha", meta={"m": "1"}),
+             Message.from_content(b"beta")]
+    for fmt in ("tar", "zip", "binary"):
+        arch = ArchiveProcessor(format=fmt, path="part-${! count(\"c\") }")
+        packed = arch.process_batch(list(batch), rt)[0][0]
+        out = UnarchiveProcessor(format=fmt).process_batch([packed], rt)[0]
+        assert [m.content_bytes() for m in out] == [b"alpha", b"beta"], fmt
+        if fmt in ("tar", "zip"):
+            assert out[0].meta["archive_filename"].startswith("part-")
+
+
+def test_unarchive_csv_and_json_map():
+    from bento_ray.blobl.interp import Message
+    from bento_ray.config.processors import Runtime, UnarchiveProcessor
+
+    rt = Runtime()
+    out = UnarchiveProcessor(format="csv").process_batch(
+        [Message.from_content("a,b\n1,2\n3,4")], rt)[0]
+    assert [m.structured() for m in out] == [
+        {"a": "1", "b": "2"}, {"a": "3", "b": "4"}]
+    out2 = UnarchiveProcessor(format="json_map").process_batch(
+        [Message.from_content({"k1": 1, "k2": {"x": 2}})], rt)[0]
+    keys = sorted(m.meta["archive_key"] for m in out2)
+    assert keys == ["k1", "k2"]
