@@ -198,6 +198,67 @@ def _parse_iso8601_duration(s: str) -> float:
             h * 3600 + mi * 60 + sec)
 
 
+def _xml_cast(s: str):
+    if re.fullmatch(r"[+-]?\d+", s):
+        return int(s)
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    if s in ("true", "True", "TRUE"):
+        return True
+    if s in ("false", "False", "FALSE"):
+        return False
+    return s
+
+
+def _xml_elem_to_value(elem, cast: bool):
+    """mxj.NewMapXml conventions (internal/impl/xml/package.go +
+    parse_xml docs): attributes keyed ``-name``, simple-element text
+    under ``#text`` when attributes exist, repeated elements become
+    arrays, comments/PIs ignored."""
+    obj: dict = {}
+    for k, v in elem.attrib.items():
+        obj["-" + k] = _xml_cast(v) if cast else v
+    children = list(elem)
+    text = (elem.text or "").strip()
+    if not children:
+        val = _xml_cast(text) if cast and text else text
+        if obj:
+            if text:
+                obj["#text"] = val
+            return obj
+        return val
+    for child in children:
+        cv = _xml_elem_to_value(child, cast)
+        tag = child.tag
+        if tag in obj:
+            if not isinstance(obj[tag], list):
+                obj[tag] = [obj[tag]]
+            obj[tag].append(cv)
+        else:
+            obj[tag] = cv
+    return obj
+
+
+_XML_BARE_ATTR = re.compile(r'(\s[A-Za-z_][\w.-]*)=([^\s"\'>/][^\s>/]*)')
+
+
+def m_parse_xml(v, cast=False):
+    """parse_xml (internal/impl/xml/bloblang.go:13-56). The reference's
+    decoder is non-strict; a pre-pass quotes bare attribute values so
+    stdlib ElementTree accepts them."""
+    import xml.etree.ElementTree as ET
+
+    s = get_string(v)
+    s = _XML_BARE_ATTR.sub(r'\1="\2"', s)
+    try:
+        root = ET.fromstring(s)
+    except ET.ParseError as e:
+        raise BloblangError(f"failed to parse value as XML: {e}")
+    return {root.tag: _xml_elem_to_value(root, bool(cast))}
+
+
 # ------------------------------------------------------------ AST methods
 
 _AST_METHODS = {"catch", "or", "from", "from_all", "apply", "map_each",
@@ -736,7 +797,10 @@ def _build_registry():
     reg("strip_html", _m(_strip_html))
     reg("replace_all", _m(lambda v, old, new: get_string(v).replace(
         get_string(old), get_string(new))))
+    reg("replace", _m(lambda v, old, new: get_string(v).replace(
+        get_string(old), get_string(new))))  # hidden alias
     reg("replace_many", _m(m_replace_many))
+    reg("replace_all_many", _m(m_replace_many))
     reg("re_match", _m(lambda v, p: bool(re.search(
         _go_regex(get_string(p)), get_string(v)))))
     reg("re_find_all", _m(lambda v, p: re.findall(
@@ -750,6 +814,7 @@ def _build_registry():
         get_string(v))))
     reg("format", _m(_format))
     reg("parse_json", _m(lambda v: _parse_json(v)))
+    reg("parse_xml", _m(m_parse_xml))
     reg("format_json", _m(_format_json))
     reg("parse_yaml", _m(_parse_yaml))
     reg("format_yaml", _m(_format_yaml))

@@ -341,6 +341,33 @@ class JMESPathProcessor(Processor):
         return [out] if out else []
 
 
+class XMLProcessor(Processor):
+    """``xml`` (internal/impl/xml/processor.go): operator ``to_json``
+    parses the message as XML into the mxj-convention document."""
+
+    name = "xml"
+
+    def __init__(self, operator: str = "to_json", cast: bool = False):
+        if operator != "to_json":
+            raise ValueError(f"unsupported xml operator {operator}")
+        self.cast = cast
+
+    def process_batch(self, batch, rt):
+        from bento_ray.blobl.methods import m_parse_xml
+        from bento_ray.blobl.values import BloblangError
+
+        out = []
+        for m in batch:
+            try:
+                doc = m_parse_xml(m.content_bytes(), self.cast)
+            except BloblangError as e:
+                m.error = str(e)
+                out.append(m)
+                continue
+            out.append(Message.from_content(doc, meta=dict(m.meta)))
+        return [out]
+
+
 class NoopProcessor(Processor):
     name = "noop"
 
@@ -456,6 +483,9 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return ArchiveProcessor(format=cfg.get("format", "json_array"))
     if kind == "unarchive":
         return UnarchiveProcessor(format=cfg.get("format", "json_array"))
+    if kind == "xml":
+        return XMLProcessor(operator=cfg.get("operator", "to_json"),
+                            cast=cfg.get("cast", False))
     if kind == "jq":
         return JQProcessor(query=cfg["query"],
                            output_raw=cfg.get("output_raw", False))
