@@ -27,12 +27,29 @@ def _cmd_run(args) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+    import yaml
+
+    from bento_ray.config.envsubst import interpolate_env
     from bento_ray.pipelines.builder import Pipeline
 
     p = Pipeline.from_yaml(args.config)
+    doc = yaml.safe_load(interpolate_env(
+        open(args.config).read(), os.environ)) or {}
+    out_spec = doc.get("output") or {}
     if args.output:
         p.write_parquet(args.output)
         print(f"wrote {args.output}")
+    elif "parquet" in out_spec or "file" in out_spec:
+        cfg = out_spec.get("parquet") or out_spec.get("file") or {}
+        path = cfg.get("path") if isinstance(cfg, dict) else cfg
+        p.write_parquet(path)
+        print(f"wrote {path}")
+    elif "stdout" in out_spec:
+        for row in p.dataset().iter_rows():
+            print(json.dumps(row, default=str, sort_keys=True,
+                             separators=(",", ":")))
+    elif "drop" in out_spec:
+        print(f"{p.drop()} rows dropped")
     else:
         n = p.dataset().count()
         print(f"{n} rows")

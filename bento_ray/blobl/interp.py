@@ -393,16 +393,22 @@ class Mapping:
 
     # -- public API --------------------------------------------------------
     def run_batch(self, messages: list[Message], env: dict | None = None,
-                  on_error: str = "raise") -> list[Message]:
+                  on_error: str = "raise",
+                  counters: dict | None = None) -> list[Message]:
         """Execute against a whole batch (batch_index/from_all context).
         Returns surviving messages (deleted ones dropped).
 
         ``on_error``: "raise" propagates the first failure; "mark"
         replicates the processor contract — the failed message passes
         through unchanged with its error flag set (read by
-        ``error()`` / ``errored()`` downstream)."""
+        ``error()`` / ``errored()`` downstream).
+
+        ``counters`` backs the ``count()`` function — pass a
+        process-lifetime dict (the reference's counters are global) to
+        share counts across batches."""
         env = os.environ if env is None else env
-        counters: dict[str, int] = {}
+        if counters is None:
+            counters = {}
         out = []
         for i in range(len(messages)):
             try:

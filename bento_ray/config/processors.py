@@ -50,7 +50,8 @@ class MappingProcessor(Processor):
         self.mapping = Mapping(src, is_mutation=is_mutation)
 
     def process_batch(self, batch, rt):
-        out = self.mapping.run_batch(batch, env=rt.env, on_error="mark")
+        out = self.mapping.run_batch(batch, env=rt.env, on_error="mark",
+                                     counters=rt.counters)
         return [out] if out else []
 
 
@@ -368,6 +369,477 @@ class XMLProcessor(Processor):
         return [out]
 
 
+def _eval_check(check_src: str, msg: Message, env, counters) -> bool:
+    """Evaluate a Bloblang check query against one message → bool
+    (null is honorary false, matching if-condition semantics)."""
+    from bento_ray.blobl.interp import Context, _LazyThis, eval_query
+    from bento_ray.blobl.parser import parse_query
+    from bento_ray.blobl.values import NOTHING, get_bool
+
+    ctx = Context(stack=(_LazyThis(msg.structured),), named={}, vars={},
+                  meta=dict(msg.meta), root_ref=[NOTHING], index=0,
+                  batch=[msg], maps={}, env=env, counters=counters,
+                  legacy={"error": msg.error})
+    v = eval_query(parse_query(check_src), ctx)
+    if v is None or v is NOTHING:
+        return False
+    return get_bool(v)
+
+
+class SwitchProcessor(Processor):
+    """``switch`` (processor_switch.go): per-message Bloblang ``check``
+    per case (empty check matches all); matched messages run the case's
+    processors; ``fallthrough`` also forwards them to the next case;
+    unmatched messages pass through unchanged. Input order restored."""
+
+    name = "switch"
+
+    def __init__(self, cases: list[dict], resources=None):
+        self.cases = []
+        for c in cases:
+            self.cases.append({
+                "check": c.get("check", ""),
+                "procs": [build_processor(p, resources)
+                          for p in c.get("processors", [])],
+                "fallthrough": c.get("fallthrough", False),
+            })
+
+    def process_batch(self, batch, rt):
+        remaining = list(enumerate(batch))
+        out: list[tuple[int, Message]] = []
+        for case in self.cases:
+            matched, rest = [], []
+            for idx, m in remaining:
+                try:
+                    ok = not case["check"] or _eval_check(
+                        case["check"], m, rt.env, rt.counters)
+                except Exception as e:  # noqa: BLE001
+                    m.error = str(e)
+                    ok = False
+                (matched if ok else rest).append((idx, m))
+            if matched:
+                res = run_processors(case["procs"],
+                                     [[m for _, m in matched]], rt)
+                flat = [m for b in res for m in b]
+                # pair results back by position (processors may drop)
+                paired = list(zip([i for i, _ in matched], flat))
+                if case["fallthrough"]:
+                    rest = sorted(rest + paired, key=lambda t: t[0])
+                else:
+                    out.extend(paired)
+            remaining = rest
+        out.extend(remaining)
+        out.sort(key=lambda t: t[0])
+        final = [m for _, m in out]
+        return [final] if final else []
+
+
+class BranchProcessor(Processor):
+    """``branch`` (processor_branch.go): request_map builds the branch
+    message (root=deleted() skips the branch), child processors run,
+    result_map merges the result back onto the ORIGINAL message.
+    Failures at any stage flag the original message and leave it
+    unchanged."""
+
+    name = "branch"
+
+    def __init__(self, request_map: str = "root = this",
+                 processors: list | None = None,
+                 result_map: str = "root = this", resources=None):
+        self.request = Mapping(request_map or "root = this")
+        self.procs = [build_processor(p, resources)
+                      for p in (processors or [])]
+        self.result_src = result_map or "root = this"
+
+    def process_batch(self, batch, rt):
+        from bento_ray.blobl.interp import (
+            Context, _LazyThis, exec_statements,
+        )
+        from bento_ray.blobl.parser import parse_mapping
+        from bento_ray.blobl.values import NOTHING, BloblangError, clone
+
+        result_stmts = parse_mapping(self.result_src)
+        for m in batch:
+            try:
+                reqs = self.request.run_batch(
+                    [Message.from_content(clone(m.structured()),
+                                          meta=dict(m.meta))],
+                    env=rt.env)
+            except BloblangError as e:
+                m.error = f"request map: {e}"
+                continue
+            if not reqs:
+                continue  # deleted() → skip branch for this message
+            res_batches = run_processors(self.procs, [reqs], rt)
+            results = [x for b in res_batches for x in b]
+            if not results:
+                continue
+            res = results[0]
+            if res.error:
+                m.error = res.error
+                continue
+            try:
+                # result_map: this = branch result, root = original doc
+                root_ref = [clone(m.structured())]
+                ctx = Context(stack=(_LazyThis(res.structured),),
+                              named={}, vars={}, meta=m.meta,
+                              root_ref=root_ref, index=0, batch=[res],
+                              maps={}, env=rt.env, counters=rt.counters,
+                              legacy={"error": res.error})
+                exec_statements(result_stmts, ctx)
+                if root_ref[0] is not NOTHING:
+                    m._structured = root_ref[0]
+                    m._parsed = True
+                    m.raw = None
+            except BloblangError as e:
+                m.error = f"result map: {e}"
+        return [batch]
+
+
+class TryProcessor(Processor):
+    """``try`` (processor_try.go): child processors run in order; a
+    message that errors skips the remaining children."""
+
+    name = "try"
+
+    def __init__(self, processors: list, resources=None):
+        self.procs = [build_processor(p, resources) for p in processors]
+
+    def process_batch(self, batch, rt):
+        current = list(batch)
+        done: list[Message] = []
+        for p in self.procs:
+            ok_msgs = [m for m in current if not m.error]
+            done.extend(m for m in current if m.error)
+            if not ok_msgs:
+                current = []
+                break
+            res = p.process_batch(ok_msgs, rt)
+            current = [m for b in res for m in b]
+        final = done + current
+        return [final] if final else []
+
+
+class CatchProcessor(Processor):
+    """``catch`` (processor_catch.go): children run only on errored
+    messages; surviving messages have their error cleared."""
+
+    name = "catch"
+
+    def __init__(self, processors: list, resources=None):
+        self.procs = [build_processor(p, resources) for p in processors]
+
+    def process_batch(self, batch, rt):
+        errored = [m for m in batch if m.error]
+        clean = [m for m in batch if not m.error]
+        if errored:
+            res = run_processors(self.procs, [errored], rt)
+            recovered = [m for b in res for m in b]
+            for m in recovered:
+                m.error = None
+            clean = clean + recovered
+        return [clean] if clean else []
+
+
+class RetryProcessor(Processor):
+    """``retry`` (processor_retry.go): re-run the children on errored
+    messages up to ``max_retries`` with (test-friendly) backoff."""
+
+    name = "retry"
+
+    def __init__(self, processors: list, max_retries: int = 3,
+                 backoff: dict | None = None, resources=None):
+        self.procs = [build_processor(p, resources) for p in processors]
+        self.max_retries = max_retries
+        b = backoff or {}
+        self.initial = _parse_dur(b.get("initial_interval", 0))
+
+    def process_batch(self, batch, rt):
+        import time as _time
+
+        res = run_processors(self.procs, [list(batch)], rt)
+        out = [m for b in res for m in b]
+        attempt = 0
+        while any(m.error for m in out) and attempt < self.max_retries:
+            attempt += 1
+            if self.initial:
+                _time.sleep(min(self.initial * attempt, 0.05))
+            errored = [m for m in out if m.error]
+            ok = [m for m in out if not m.error]
+            for m in errored:
+                m.error = None
+            res = run_processors(self.procs, [errored], rt)
+            out = ok + [m for b in res for m in b]
+        return [out] if out else []
+
+
+class ForEachProcessor(Processor):
+    """``for_each``: children run on each message as its own batch."""
+
+    name = "for_each"
+
+    def __init__(self, processors: list, resources=None):
+        self.procs = [build_processor(p, resources) for p in processors]
+
+    def process_batch(self, batch, rt):
+        out: list[Message] = []
+        for m in batch:
+            res = run_processors(self.procs, [[m]], rt)
+            out.extend(x for b in res for x in b)
+        return [out] if out else []
+
+
+class WhileProcessor(Processor):
+    """``while``: re-run children while the check holds on the first
+    message (bounded by max_loops)."""
+
+    name = "while"
+
+    def __init__(self, check: str, processors: list,
+                 max_loops: int = 100, at_least_once: bool = False,
+                 resources=None):
+        self.check = check
+        self.procs = [build_processor(p, resources) for p in processors]
+        self.max_loops = max_loops
+        self.at_least_once = at_least_once
+
+    def process_batch(self, batch, rt):
+        loops = 0
+        current = list(batch)
+        while current and loops < self.max_loops:
+            if not self.at_least_once or loops > 0:
+                if not _eval_check(self.check, current[0], rt.env,
+                                   rt.counters):
+                    break
+            res = run_processors(self.procs, [current], rt)
+            current = [m for b in res for m in b]
+            loops += 1
+        return [current] if current else []
+
+
+class CacheProcessor(Processor):
+    """``cache`` processor (processor_cache.go): get/set/add/delete
+    with interpolated key/value against a cache resource. ``get``
+    replaces the message content; a failed ``add`` or missing ``get``
+    flags the message."""
+
+    name = "cache"
+
+    def __init__(self, resource: str, operator: str, key: str,
+                 value: str = ""):
+        self.resource = resource
+        self.operator = operator
+        self.key = InterpolatedField(key)
+        self.value = InterpolatedField(value) if value else None
+
+    def process_batch(self, batch, rt):
+        cache = rt.caches.get(self.resource)
+        if cache is None:
+            raise ValueError(f"cache resource {self.resource} not found")
+        for i, m in enumerate(batch):
+            k = self.key.resolve_message(i, batch, rt.env, rt.counters)
+            if self.operator == "get":
+                v = cache.get(k)
+                if v is None:
+                    m.error = "key does not exist"
+                else:
+                    m.raw = v
+                    m._structured = None
+                    m._parsed = False
+            elif self.operator == "set":
+                v = self.value.resolve_message(i, batch, rt.env,
+                                               rt.counters) \
+                    if self.value else m.content_bytes()
+                cache.set(k, v if isinstance(v, bytes) else v.encode())
+            elif self.operator == "add":
+                v = self.value.resolve_message(i, batch, rt.env,
+                                               rt.counters) \
+                    if self.value else m.content_bytes()
+                if not cache.add(k, v if isinstance(v, bytes)
+                                 else v.encode()):
+                    m.error = "key already exists"
+            elif self.operator == "delete":
+                cache.delete(k)
+            else:
+                raise ValueError(
+                    f"unsupported cache operator {self.operator}")
+        return [batch]
+
+
+class SleepProcessor(Processor):
+    name = "sleep"
+
+    def __init__(self, duration: str = "0s"):
+        self.seconds = min(_parse_dur(duration), 1.0)  # test-bounded
+
+    def process_batch(self, batch, rt):
+        import time as _time
+
+        if self.seconds:
+            _time.sleep(self.seconds)
+        return [batch]
+
+
+class MetricProcessor(Processor):
+    """``metric``: counter/gauge against the runtime's counter map."""
+
+    name = "metric"
+
+    def __init__(self, name: str = "", type: str = "counter",
+                 value: str = "", labels: dict | None = None):
+        self.metric_name = name
+        self.type = type
+
+    def process_batch(self, batch, rt):
+        rt.counters[self.metric_name] = \
+            rt.counters.get(self.metric_name, 0) + len(batch)
+        return [batch]
+
+
+class GroupByValueProcessor(Processor):
+    """``group_by_value``: split the batch into one batch per distinct
+    interpolated value (processor_group_by_value.go)."""
+
+    name = "group_by_value"
+
+    def __init__(self, value: str):
+        self.value = InterpolatedField(value)
+
+    def process_batch(self, batch, rt):
+        groups: dict[str, list[Message]] = {}
+        for i, m in enumerate(batch):
+            k = self.value.resolve_message(i, batch, rt.env, rt.counters)
+            groups.setdefault(k, []).append(m)
+        return [g for g in groups.values()]
+
+
+class BoundsCheckProcessor(Processor):
+    name = "bounds_check"
+
+    def __init__(self, max_part_size: int = 1 << 30, min_part_size: int = 1,
+                 max_parts: int = 100, min_parts: int = 1):
+        self.max_part_size = max_part_size
+        self.min_part_size = min_part_size
+        self.max_parts = max_parts
+        self.min_parts = min_parts
+
+    def process_batch(self, batch, rt):
+        if not (self.min_parts <= len(batch) <= self.max_parts):
+            return []
+        for m in batch:
+            n = len(m.content_bytes())
+            if not (self.min_part_size <= n <= self.max_part_size):
+                return []
+        return [batch]
+
+
+class ParseLogProcessor(Processor):
+    name = "parse_log"
+
+    def __init__(self, format: str = "syslog_rfc3164",
+                 best_effort: bool = True, **_):
+        self.format = format
+        self.best_effort = best_effort
+
+    def process_batch(self, batch, rt):
+        from bento_ray.logparse import LogParseError, parse_log
+
+        for m in batch:
+            try:
+                doc = parse_log(
+                    m.content_bytes().decode("utf-8", "replace"),
+                    self.format)
+                m._structured = doc
+                m._parsed = True
+                m.raw = None
+            except (LogParseError, ValueError) as e:
+                if not self.best_effort:
+                    m.error = str(e)
+        return [batch]
+
+
+class GrokProcessor(Processor):
+    name = "grok"
+
+    def __init__(self, expressions: list | str, **_):
+        from bento_ray.stages.parsers import compile_grok
+
+        exprs = expressions if isinstance(expressions, list) \
+            else [expressions]
+        self.rx = [compile_grok(e) for e in exprs]
+
+    def process_batch(self, batch, rt):
+        for m in batch:
+            s = m.content_bytes().decode("utf-8", "replace")
+            for rx in self.rx:
+                mt = rx.search(s)
+                if mt:
+                    m._structured = {k: v for k, v in
+                                     mt.groupdict().items()
+                                     if v is not None}
+                    m._parsed = True
+                    m.raw = None
+                    break
+            else:
+                m.error = "grok patterns did not match payload"
+        return [batch]
+
+
+class CompressProcessor(Processor):
+    name = "compress"
+
+    def __init__(self, algorithm: str = "gzip", level: int = -1):
+        self.algorithm = algorithm
+        self.level = level
+
+    def process_batch(self, batch, rt):
+        from bento_ray.blobl.methods import m_compress
+
+        for m in batch:
+            m.raw = m_compress(m.content_bytes(), self.algorithm,
+                               self.level)
+            m._structured = None
+            m._parsed = False
+        return [batch]
+
+
+class DecompressProcessor(Processor):
+    name = "decompress"
+
+    def __init__(self, algorithm: str = "gzip"):
+        self.algorithm = algorithm
+
+    def process_batch(self, batch, rt):
+        from bento_ray.blobl.methods import m_decompress
+        from bento_ray.blobl.values import BloblangError
+
+        for m in batch:
+            try:
+                m.raw = m_decompress(m.content_bytes(), self.algorithm)
+                m._structured = None
+                m._parsed = False
+            except (BloblangError, Exception) as e:  # noqa: BLE001
+                m.error = str(e)
+        return [batch]
+
+
+class InsertPartProcessor(Processor):
+    name = "insert_part"
+
+    def __init__(self, content: str, index: int = -1):
+        self.content = InterpolatedField(content)
+        self.index = index
+
+    def process_batch(self, batch, rt):
+        new = Message.from_content(
+            self.content.resolve_message(0, batch, rt.env, rt.counters)
+            if batch else self.content.template)
+        idx = self.index if self.index >= 0 else len(batch) + self.index + 1
+        out = list(batch)
+        out.insert(max(0, min(idx, len(out))), new)
+        return [out]
+
+
 class NoopProcessor(Processor):
     name = "noop"
 
@@ -486,6 +958,58 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
     if kind == "xml":
         return XMLProcessor(operator=cfg.get("operator", "to_json"),
                             cast=cfg.get("cast", False))
+    if kind == "switch":
+        return SwitchProcessor(cfg if isinstance(cfg, list) else
+                               cfg.get("cases", []), resources)
+    if kind == "branch":
+        return BranchProcessor(
+            request_map=cfg.get("request_map", "root = this"),
+            processors=cfg.get("processors", []),
+            result_map=cfg.get("result_map", "root = this"),
+            resources=resources)
+    if kind == "try":
+        return TryProcessor(cfg if isinstance(cfg, list) else
+                            cfg.get("processors", []), resources)
+    if kind == "catch":
+        return CatchProcessor(cfg if isinstance(cfg, list) else
+                              cfg.get("processors", []), resources)
+    if kind == "retry":
+        return RetryProcessor(processors=cfg.get("processors", []),
+                              max_retries=cfg.get("max_retries", 3),
+                              backoff=cfg.get("backoff"),
+                              resources=resources)
+    if kind == "for_each":
+        return ForEachProcessor(cfg if isinstance(cfg, list) else
+                                cfg.get("processors", []), resources)
+    if kind == "while":
+        return WhileProcessor(check=cfg.get("check", "false"),
+                              processors=cfg.get("processors", []),
+                              max_loops=cfg.get("max_loops", 100),
+                              at_least_once=cfg.get("at_least_once",
+                                                    False),
+                              resources=resources)
+    if kind == "cache":
+        return CacheProcessor(resource=cfg["resource"],
+                              operator=cfg["operator"], key=cfg["key"],
+                              value=cfg.get("value", ""))
+    if kind == "sleep":
+        return SleepProcessor(duration=cfg.get("duration", "0s"))
+    if kind == "metric":
+        return MetricProcessor(**(cfg or {}))
+    if kind == "group_by_value":
+        return GroupByValueProcessor(value=cfg["value"])
+    if kind == "bounds_check":
+        return BoundsCheckProcessor(**(cfg or {}))
+    if kind == "parse_log":
+        return ParseLogProcessor(**(cfg or {}))
+    if kind == "grok":
+        return GrokProcessor(**(cfg or {}))
+    if kind == "compress":
+        return CompressProcessor(**(cfg or {}))
+    if kind == "decompress":
+        return DecompressProcessor(**(cfg or {}))
+    if kind == "insert_part":
+        return InsertPartProcessor(**(cfg or {}))
     if kind == "jq":
         return JQProcessor(query=cfg["query"],
                            output_raw=cfg.get("output_raw", False))

@@ -1,0 +1,183 @@
+"""Message-level composition processors (config surface): switch,
+branch, try/catch, retry, for_each, while, cache, group_by_value,
+bounds_check, grok, compress, parse_log."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bento_ray.blobl.interp import Message
+from bento_ray.config.processors import (
+    Runtime, build_cache, build_processor, run_processors,
+)
+
+
+def msgs(*contents):
+    return [Message.from_content(c) for c in contents]
+
+
+def out_contents(batches):
+    return [m.content_bytes().decode() for b in batches for m in b]
+
+
+def test_switch_cases_and_fallthrough():
+    p = build_processor({"switch": [
+        {"check": 'this.kind == "a"',
+         "processors": [{"mapping": 'root.tag = "A"\nroot.kind = this.kind'}],
+         "fallthrough": True},
+        {"check": 'this.kind != "never"',
+         "processors": [{"mutation": 'root.seen = true'}]},
+    ]})
+    batch = msgs({"kind": "a"}, {"kind": "b"})
+    out = p.process_batch(batch, Runtime())[0]
+    docs = [m.structured() for m in out]
+    # message 0 matched case 1 (tagged) AND fell through to case 2
+    assert docs[0] == {"tag": "A", "kind": "a", "seen": True}
+    # message 1 only matched case 2
+    assert docs[1] == {"kind": "b", "seen": True}
+
+
+def test_switch_unmatched_passthrough():
+    p = build_processor({"switch": [
+        {"check": "this.x > 5",
+         "processors": [{"mapping": 'root.big = true'}]},
+    ]})
+    out = p.process_batch(msgs({"x": 1}), Runtime())[0]
+    assert out[0].structured() == {"x": 1}
+
+
+def test_branch_enrich_and_skip():
+    p = build_processor({"branch": {
+        "request_map": 'root = if this.skip { deleted() } else { this }',
+        "processors": [{"mapping": 'root.extra = this.v * 10'}],
+        "result_map": 'root.enriched = this.extra',
+    }})
+    batch = msgs({"v": 3, "skip": False}, {"v": 9, "skip": True})
+    out = p.process_batch(batch, Runtime())[0]
+    assert out[0].structured() == {"v": 3, "skip": False, "enriched": 30}
+    # skipped message unchanged
+    assert out[1].structured() == {"v": 9, "skip": True}
+
+
+def test_try_skips_after_error_catch_recovers():
+    chain = [
+        build_processor({"try": [
+            {"mapping": 'root = if this.boom { throw("bad") } else '
+                        '{ this }'},
+            {"mutation": 'root.second = true'},
+        ]}),
+        build_processor({"catch": [
+            {"mapping": 'root = {"recovered": error()}'},
+        ]}),
+    ]
+    batch = msgs({"boom": False}, {"boom": True})
+    out = run_processors(chain, [batch], Runtime())
+    docs = sorted((m.structured() for b in out for m in b),
+                  key=lambda d: sorted(d))
+    ok = [d for d in docs if "second" in d][0]
+    rec = [d for d in docs if "recovered" in d][0]
+    assert ok == {"boom": False, "second": True}
+    assert "bad" in rec["recovered"]
+    # catch cleared the error flag
+    assert all(m.error is None for b in out for m in b)
+
+
+def test_retry_until_success():
+    rt = Runtime()
+    # count() increments per attempt; fails while < 3
+    p = build_processor({"retry": {
+        "max_retries": 5,
+        "processors": [{"mapping":
+                        'root = if count("tries") < 3 '
+                        '{ throw("again") } else { "done" }'}],
+    }})
+    out = p.process_batch(msgs({"x": 1}), rt)[0]
+    assert out[0].content_bytes() == b"done"
+    assert out[0].error is None
+
+
+def test_while_loop_counts():
+    p = build_processor({"while": {
+        "check": "this.n < 3",
+        "processors": [{"mapping": 'root.n = this.n + 1'}],
+    }})
+    out = p.process_batch(msgs({"n": 0}), Runtime())[0]
+    assert out[0].structured() == {"n": 3}
+
+
+def test_for_each_isolates_batch_context():
+    p = build_processor({"for_each": [
+        {"mapping": 'root.size = batch_size()'},
+    ]})
+    out = p.process_batch(msgs({"a": 1}, {"a": 2}), Runtime())[0]
+    assert [m.structured()["size"] for m in out] == [1, 1]
+
+
+def test_cache_processor_operators():
+    rt = Runtime(caches={"c": build_cache({"memory": {}})})
+    setp = build_processor({"cache": {
+        "resource": "c", "operator": "set",
+        "key": '${! json("k") }', "value": '${! json("v") }'}})
+    getp = build_processor({"cache": {
+        "resource": "c", "operator": "get", "key": '${! json("k") }'}})
+    setp.process_batch(msgs({"k": "a", "v": "V1"}), rt)
+    out = getp.process_batch(msgs({"k": "a"}), rt)[0]
+    assert out[0].content_bytes() == b"V1"
+    miss = getp.process_batch(msgs({"k": "zz"}), rt)[0]
+    assert miss[0].error == "key does not exist"
+    addp = build_processor({"cache": {
+        "resource": "c", "operator": "add",
+        "key": '${! json("k") }', "value": "x"}})
+    first = addp.process_batch(msgs({"k": "new"}), rt)[0]
+    assert first[0].error is None
+    dup = addp.process_batch(msgs({"k": "new"}), rt)[0]
+    assert dup[0].error == "key already exists"
+
+
+def test_group_by_value_splits_batches():
+    p = build_processor({"group_by_value": {
+        "value": '${! json("lang") }'}})
+    batches = p.process_batch(
+        msgs({"lang": "en"}, {"lang": "fr"}, {"lang": "en"}), Runtime())
+    sizes = sorted(len(b) for b in batches)
+    assert sizes == [1, 2]
+
+
+def test_bounds_check_drops_offending_batch():
+    p = build_processor({"bounds_check": {"max_part_size": 5}})
+    assert p.process_batch(msgs("abcdefgh"), Runtime()) == []
+    assert len(p.process_batch(msgs("abc"), Runtime())[0]) == 1
+
+
+def test_grok_processor():
+    p = build_processor({"grok": {
+        "expressions": ["%{WORD:verb} %{INT:code}"]}})
+    out = p.process_batch(msgs("GET 200"), Runtime())[0]
+    assert out[0].structured() == {"verb": "GET", "code": "200"}
+    bad = p.process_batch(msgs("!!!"), Runtime())[0]
+    assert bad[0].error
+
+
+def test_compress_roundtrip_processors():
+    rt = Runtime()
+    c = build_processor({"compress": {"algorithm": "gzip"}})
+    d = build_processor({"decompress": {"algorithm": "gzip"}})
+    out = run_processors([c, d], [msgs("payload")], rt)
+    assert out_contents(out) == ["payload"]
+
+
+def test_parse_log_processor_structured_output():
+    p = build_processor({"parse_log": {"format": "syslog_rfc5424"}})
+    line = ("<42>4 2049-10-11T22:14:15.003Z host app - 2 "
+            "[x k=\"1\"] msg here.")
+    out = p.process_batch(msgs(line), Runtime())[0]
+    doc = out[0].structured()
+    assert doc["appname"] == "app" and doc["message"] == "msg here."
+
+
+def test_insert_part_positions_message_level():
+    p = build_processor({"insert_part": {"content": "NEW", "index": 0}})
+    out = p.process_batch(msgs("a", "b"), Runtime())[0]
+    assert [m.content_bytes() for m in out] == [b"NEW", b"a", b"b"]
