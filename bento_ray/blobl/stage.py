@@ -113,6 +113,36 @@ class MappingStage:
         return kept
 
 
+def generate_dataset(count: int, mapping_src: str,
+                     env: dict | None = None, batch_size: int = 4096):
+    """``generate`` input (input_generate.go): produce ``count``
+    documents by executing a Bloblang mapping with no input context.
+    Distributed over index ranges; generator functions (uuid_v4,
+    random_int(seed:...), timestamp…) run inside the tasks. The shared
+    ``count()`` counter is per-task here, not global — seed-based
+    generators are the deterministic path."""
+    import ray.data as rd
+
+    def _gen(b) -> pa.Table:
+        m = Mapping(mapping_src)
+        n = len(b["id"])
+        msgs = [Message.from_content({}) for _ in range(n)]
+        out = m.run_batch(msgs, env=env or {}, on_error="mark")
+        rows = []
+        for msg in out:
+            if msg._parsed and isinstance(msg.structured(), dict):
+                rows.append(msg.structured())
+            else:
+                rows.append({"content": msg.content_bytes().decode(
+                    "utf-8", "replace")})
+        if not rows:
+            return pa.table({"content": pa.array([], pa.string())})
+        return pa.Table.from_pylist(rows)
+
+    return rd.range(count).map_batches(_gen, batch_format="numpy",
+                                       batch_size=batch_size)
+
+
 def mapping_stage(ds, src: str, is_mutation: bool = False,
                   mode: str = "structured", content_col: str = "content",
                   env: dict | None = None, concurrency=None,

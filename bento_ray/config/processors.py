@@ -15,6 +15,7 @@ processors still run and can read ``error()`` / ``errored()``.
 from __future__ import annotations
 
 import json
+import os
 
 from bento_ray.blobl.interp import Mapping, Message
 from bento_ray.blobl.values import BloblangError
@@ -840,6 +841,103 @@ class InsertPartProcessor(Processor):
         return [out]
 
 
+class AWKProcessor(Processor):
+    """``awk`` (internal/impl/awk/processor.go): run an AWK program
+    (awklang.py subset + the bento custom function set) per message;
+    printed output replaces the content, json_set* mutations re-marshal
+    the payload, metadata_set updates metadata."""
+
+    name = "awk"
+
+    def __init__(self, program: str, codec: str = "text"):
+        from bento_ray.awklang import AWK
+
+        self.prog = AWK(program, codec=codec)
+
+    def process_batch(self, batch, rt):
+        from bento_ray.awklang import AWKError
+
+        for m in batch:
+            try:
+                content, meta, _doc = self.prog.run_message(
+                    m.content_bytes(), m.meta)
+                m.raw = content
+                m._structured = None
+                m._parsed = False
+                m.meta = meta
+            except AWKError as e:
+                m.error = str(e)
+        return [batch]
+
+
+class ProtobufProcessor(Processor):
+    """``protobuf`` (processor_protobuf.go): operators ``from_json``
+    (JSON → binary protobuf payload) and ``to_json`` (binary → JSON),
+    with schemas compiled at runtime from ``import_paths``
+    (protoschema.py — no protoc in this sandbox)."""
+
+    name = "protobuf"
+
+    def __init__(self, operator: str, message: str,
+                 import_paths: list[str], base_dir: str | None = None):
+        from bento_ray.protoschema import SchemaSet
+
+        roots = []
+        for p in import_paths:
+            cands = [p]
+            if base_dir:
+                cands.append(os.path.join(base_dir, p))
+                # configs reference paths from the repo root — walk up
+                d = base_dir
+                for _ in range(6):
+                    d = os.path.dirname(d)
+                    if d:
+                        cands.append(os.path.join(d, p))
+            for c in cands:
+                if os.path.isdir(c):
+                    roots.append(c)
+                    break
+            else:
+                raise ValueError(f"import path {p!r} not found")
+        self.schemas = SchemaSet(roots)
+        self.cls = self.schemas.message_class(message)
+        self.operator = operator
+
+    def process_batch(self, batch, rt):
+        from google.protobuf import json_format
+        from google.protobuf.message import DecodeError
+
+        for m in batch:
+            try:
+                if self.operator == "from_json":
+                    msg = json_format.Parse(
+                        m.content_bytes().decode("utf-8"), self.cls())
+                    m.raw = msg.SerializeToString()
+                    m._structured = None
+                    m._parsed = False
+                elif self.operator == "to_json":
+                    msg = self.cls()
+                    msg.ParseFromString(m.content_bytes())
+                    m.raw = json_format.MessageToJson(
+                        msg, indent=None).encode()
+                    m._structured = None
+                    m._parsed = False
+                else:
+                    raise ValueError(
+                        f"unsupported protobuf operator {self.operator}")
+            except (json_format.ParseError, DecodeError, ValueError) as e:
+                import re as _re
+
+                msg = str(e)
+                # protojson parity: Go reports `unknown field "x"`;
+                # python reports `has no field named "x"`
+                um = _re.search(r'no field named "?([\w.]+)"?', msg)
+                if um:
+                    msg = f'unknown field "{um.group(1)}"'
+                m.error = msg
+        return [batch]
+
+
 class NoopProcessor(Processor):
     name = "noop"
 
@@ -920,6 +1018,17 @@ def _parse_dur(s) -> float:
     return _parse_duration(str(s)) / 1e9
 
 
+_BASE_DIR: list[str] = []
+
+
+def set_config_base_dir(d: str | None):
+    """Set the directory relative paths in processor configs resolve
+    against (the config file's directory); used by the test runner."""
+    _BASE_DIR.clear()
+    if d:
+        _BASE_DIR.append(d)
+
+
 def build_processor(spec: dict, resources: dict | None = None) -> Processor:
     """One processors-list entry → Processor. ``label`` is attached as
     ``.label``; ``resource: name`` resolves from processor_resources."""
@@ -955,6 +1064,14 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return ArchiveProcessor(format=cfg.get("format", "json_array"))
     if kind == "unarchive":
         return UnarchiveProcessor(format=cfg.get("format", "json_array"))
+    if kind == "protobuf":
+        return ProtobufProcessor(
+            operator=cfg["operator"], message=cfg["message"],
+            import_paths=cfg.get("import_paths", []),
+            base_dir=_BASE_DIR[0] if _BASE_DIR else None)
+    if kind == "awk":
+        return AWKProcessor(program=cfg["program"],
+                            codec=cfg.get("codec", "text"))
     if kind == "xml":
         return XMLProcessor(operator=cfg.get("operator", "to_json"),
                             cast=cfg.get("cast", False))

@@ -24,7 +24,7 @@ from bento_ray.blobl.parser import parse_query
 from bento_ray.config.envsubst import interpolate_env
 from bento_ray.config.processors import (
     MappingProcessor, Runtime, build_cache, build_processor,
-    run_processors,
+    run_processors, set_config_base_dir,
 )
 
 
@@ -150,6 +150,7 @@ def _build_messages(batch_spec: list, base_dir: str) -> list[Message]:
 
 def _run_case(path: str, raw: str, case: dict) -> None:
     base_dir = os.path.dirname(os.path.abspath(path))
+    set_config_base_dir(base_dir)
     env = {str(k): str(v) for k, v in (case.get("environment") or {}).items()}
     doc = yaml.safe_load(interpolate_env(raw, env)) or {}
     name = case.get("name", "<unnamed>")
@@ -228,6 +229,8 @@ def _assert_predicates(msg: Message, preds: dict, base_dir: str,
                     f"{where}: content_matches {want!r} !~ {got_s!r}")
         elif pname == "json_equals":
             got = json.loads(got_s)
+            if isinstance(want, str):
+                want = json.loads(want)
             if got != want:
                 raise TestFailure(
                     f"{where}: json_equals {want!r} != {got!r}")

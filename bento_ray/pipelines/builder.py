@@ -244,6 +244,12 @@ class Pipeline:
 
             cfg = dict(inp["file"])
             p = cls(read_lines(cfg.pop("paths", cfg.pop("path", None))))
+        elif "generate" in inp:
+            from bento_ray.blobl.stage import generate_dataset
+
+            cfg = inp["generate"]
+            p = cls(generate_dataset(int(cfg.get("count", 0)),
+                                     cfg["mapping"]))
         elif "resource" in inp:
             from bento_ray.sources.inputs import resource
 

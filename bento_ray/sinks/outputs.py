@@ -44,6 +44,36 @@ def drop(ds) -> int:
     return ds.count()
 
 
+def drop_on(ds, sink: Callable, *, error: bool = False,
+            error_patterns: list[str] | None = None,
+            back_pressure_sec: float | None = None):
+    """``drop_on`` output wrapper (output_drop_on.go:43-71): deliver
+    through ``sink``; when the sink raises — any error with
+    ``error=True``, or an error matching ``error_patterns`` — the batch
+    is DROPPED (acked) instead of failing the stream.
+    ``back_pressure_sec`` bounds sink wall time; exceeding it drops
+    (the connection-loss analog — measured post-hoc here since the
+    sink call is synchronous)."""
+    import re as _re
+    import time as _time
+
+    patterns = [_re.compile(p) for p in (error_patterns or [])]
+
+    t0 = _time.monotonic()
+    try:
+        result = sink(ds)
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        if error or any(p.search(msg) for p in patterns):
+            return {"dropped": True, "reason": msg}
+        raise
+    if back_pressure_sec is not None and \
+            _time.monotonic() - t0 > back_pressure_sec:
+        return {"dropped": True,
+                "reason": f"back_pressure > {back_pressure_sec}s"}
+    return result
+
+
 def switch_output(ds, routes: list[tuple[Callable[[pa.Table], pa.Array], Callable]],
                   default: Callable | None = None):
     """Route rows to sinks by first-matching predicate. Each route's

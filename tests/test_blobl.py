@@ -417,3 +417,82 @@ def test_mapping_stage_uses_vectorizer():
     assert st.vectorized is not None
     st2 = MappingStage("root = this.map_each_key(k -> k)")
     assert st2.vectorized is None
+
+
+def test_generate_input_yaml(ray_session):
+    from bento_ray.pipelines.builder import Pipeline
+
+    yml = """
+input:
+  generate:
+    count: 50
+    mapping: |
+      root.n = random_int(seed: 7, max: 99)
+      root.fixed = "x"
+pipeline:
+  processors:
+    - mapping: 'root.n2 = this.n * 2\nroot.fixed = this.fixed'
+"""
+    df = Pipeline.from_yaml(yml, env={}).to_pandas()
+    assert len(df) == 50
+    assert (df["fixed"] == "x").all()
+    assert (df["n2"] % 2 == 0).all()
+
+
+def test_awk_reference_case():
+    """awk.yaml: json_set_int + json_get + metadata_get arithmetic."""
+    from bento_ray.awklang import AWK
+
+    prog = AWK('{ json_set_int("result", json_get("result") + '
+               'metadata_get("foo") + metadata_get("bar")); }',
+               codec="text")
+    content, meta, _doc = prog.run_message(
+        b'{"result":10}', {"foo": "5", "bar": "7"})
+    import json as _json
+
+    assert _json.loads(content) == {"result": 22}
+    assert meta == {"foo": "5", "bar": "7"}
+
+
+def test_awk_print_and_fields():
+    from bento_ray.awklang import AWK
+
+    prog = AWK('{ print $2 " says " toupper($1) }')
+    content, _, _ = prog.run_message(b"hello world", {})
+    assert content == b"world says HELLO"
+
+
+def test_awk_json_codec_variables():
+    from bento_ray.awklang import AWK
+
+    prog = AWK('{ print foo_bar_value + 1 }', codec="json")
+    content, _, _ = prog.run_message(
+        b'{"foo":{"bar":{"value":10}}}', {})
+    assert content == b"11"
+
+
+def test_awk_control_flow():
+    from bento_ray.awklang import AWK
+
+    prog = AWK('{ s = 0; for (i = 1; i <= 4; i++) { s += i }; '
+               'if (s > 5) { print "big", s } else { print "small" } }')
+    content, _, _ = prog.run_message(b"x", {})
+    assert content == b"big 10"
+
+
+def test_proto_runtime_compilation():
+    """protoschema: .proto text → descriptors without protoc."""
+    from google.protobuf import json_format
+
+    from bento_ray.protoschema import SchemaSet
+
+    ss = SchemaSet(["/root/reference/config/test/protobuf/schema"])
+    House = ss.message_class("testing.House")
+    h = json_format.Parse(
+        '{"people":[{"firstName":"a","age":3}],"address":"12 Main"}',
+        House())
+    blob = h.SerializeToString()
+    h2 = House()
+    h2.ParseFromString(blob)
+    assert h2.address == "12 Main"
+    assert h2.people[0].first_name == "a"

@@ -1,9 +1,9 @@
 """Execute the reference's config-test corpus DIRECTLY from YAML.
 
 Round-1 transcribed ~10 cases by hand (test_reference_goldens.py);
-with the Bloblang compiler + YAML runner the corpus now runs verbatim:
-every file under /root/reference/config/test/ except the awk pair
-(which would need an AWK interpreter) and protobuf (schema tooling).
+with the Bloblang compiler + YAML runner + the AWK-subset interpreter
+the corpus now runs verbatim: EVERY yaml file under
+/root/reference/config/test/ (protobuf/ holds schemas, not tests).
 """
 
 from __future__ import annotations
@@ -17,15 +17,12 @@ from bento_ray.config import run_config_tests
 
 CORPUS = "/root/reference/config/test"
 
-SKIP = {
-    "awk.yaml": "awk interpreter out of scope",
-    "awk_bento_test.yaml": "awk interpreter out of scope",
-}
+SKIP: dict = {}
 
 
 def _files():
     out = []
-    for sub in ("", "bloblang", "cookbooks", "resources"):
+    for sub in ("", "bloblang", "cookbooks", "resources", "protobuf"):
         for f in sorted(glob.glob(os.path.join(CORPUS, sub, "*.yaml"))):
             name = os.path.basename(f)
             if name in SKIP:
@@ -44,4 +41,4 @@ def test_reference_config_corpus(path):
 
 def test_corpus_case_count():
     total = sum(len(run_config_tests(f)) for f in _files())
-    assert total >= 55
+    assert total >= 59

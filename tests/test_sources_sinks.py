@@ -194,3 +194,28 @@ def test_scan_paths_distributed(ray_session, tmp_path):
     assert len(out) == 9
     assert set(out["content"]) == {b"line one\n", b"split two\n",
                                    b"split three"}
+
+
+def test_drop_on_error_policies(ray_session):
+    import ray.data as rd
+
+    from bento_ray.sinks.outputs import drop_on
+
+    ds = rd.range(10)
+
+    def failing(_):
+        raise RuntimeError("connect: connection refused")
+
+    # error=True drops any failure
+    res = drop_on(ds, failing, error=True)
+    assert res["dropped"]
+    # pattern match drops
+    res = drop_on(ds, failing, error_patterns=["connection refused"])
+    assert res["dropped"]
+    # non-matching pattern re-raises
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        drop_on(ds, failing, error_patterns=["quota exceeded"])
+    # healthy sink passes through
+    assert drop_on(ds, lambda d: d.count(), error=True) == 10
