@@ -815,6 +815,8 @@ def _build_registry():
     reg("format", _m(_format))
     reg("parse_json", _m(lambda v: _parse_json(v)))
     reg("parse_xml", _m(m_parse_xml))
+    reg("parse_msgpack", _m(_parse_msgpack))
+    reg("format_msgpack", _m(_format_msgpack))
     reg("format_json", _m(_format_json))
     reg("parse_yaml", _m(_parse_yaml))
     reg("format_yaml", _m(_format_yaml))
@@ -1128,6 +1130,22 @@ def _invert(v):
     if isinstance(v, list):
         return {_ito_string(val): i for i, val in enumerate(v)}
     raise BloblangError(f"expected object or array, got {type_of(v)}")
+
+
+def _parse_msgpack(v):
+    """parse_msgpack (internal/impl/msgpack/bloblang.go)."""
+    import msgpack
+
+    try:
+        return msgpack.unpackb(get_bytes(v), raw=False)
+    except Exception as e:  # noqa: BLE001
+        raise BloblangError(f"failed to parse msgpack: {e}")
+
+
+def _format_msgpack(v):
+    import msgpack
+
+    return msgpack.packb(v, use_bin_type=True)
 
 
 def _parse_json(v):

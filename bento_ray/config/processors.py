@@ -938,6 +938,37 @@ class ProtobufProcessor(Processor):
         return [batch]
 
 
+class MsgpackProcessor(Processor):
+    """``msgpack`` (internal/impl/msgpack/processor.go): to_json /
+    from_json between MessagePack and JSON payloads."""
+
+    name = "msgpack"
+
+    def __init__(self, operator: str):
+        if operator not in ("to_json", "from_json"):
+            raise ValueError(f"operator not recognised: {operator}")
+        self.operator = operator
+
+    def process_batch(self, batch, rt):
+        import msgpack
+
+        for m in batch:
+            try:
+                if self.operator == "to_json":
+                    doc = msgpack.unpackb(m.content_bytes(), raw=False)
+                    m._structured = doc
+                    m._parsed = True
+                    m.raw = None
+                else:
+                    m.raw = msgpack.packb(m.structured(),
+                                          use_bin_type=True)
+                    m._structured = None
+                    m._parsed = False
+            except Exception as e:  # noqa: BLE001
+                m.error = str(e)
+        return [batch]
+
+
 class NoopProcessor(Processor):
     name = "noop"
 
@@ -1069,6 +1100,8 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
             operator=cfg["operator"], message=cfg["message"],
             import_paths=cfg.get("import_paths", []),
             base_dir=_BASE_DIR[0] if _BASE_DIR else None)
+    if kind == "msgpack":
+        return MsgpackProcessor(operator=cfg["operator"])
     if kind == "awk":
         return AWKProcessor(program=cfg["program"],
                             codec=cfg.get("codec", "text"))

@@ -181,3 +181,45 @@ def test_insert_part_positions_message_level():
     p = build_processor({"insert_part": {"content": "NEW", "index": 0}})
     out = p.process_batch(msgs("a", "b"), Runtime())[0]
     assert [m.content_bytes() for m in out] == [b"NEW", b"a", b"b"]
+
+
+def test_msgpack_roundtrip():
+    rt = Runtime()
+    to_mp = build_processor({"msgpack": {"operator": "from_json"}})
+    to_js = build_processor({"msgpack": {"operator": "to_json"}})
+    out = run_processors([to_mp, to_js],
+                         [msgs({"a": 1, "b": ["x", 2.5]})], rt)
+    assert out[0][0].structured() == {"a": 1, "b": ["x", 2.5]}
+
+
+def test_msgpack_bloblang_methods():
+    from bento_ray.blobl import compile_mapping
+
+    out = compile_mapping(
+        'root = this.format_msgpack().parse_msgpack()').run_value(
+        {"k": [1, 2]})
+    assert out == {"k": [1, 2]}
+
+
+def test_protobuf_processor_roundtrip():
+    rt = Runtime()
+    from bento_ray.config.processors import set_config_base_dir
+
+    set_config_base_dir("/root/reference/config/test/protobuf")
+    fj = build_processor({"protobuf": {
+        "operator": "from_json", "message": "testing.Person",
+        "import_paths": ["config/test/protobuf/schema"]}})
+    tj = build_processor({"protobuf": {
+        "operator": "to_json", "message": "testing.Person",
+        "import_paths": ["config/test/protobuf/schema"]}})
+    out = run_processors([fj, tj], [msgs({"firstName": "ann", "age": 4})],
+                         rt)
+    assert out[0][0].structured() == {"firstName": "ann", "age": 4}
+
+
+def test_awk_processor_via_config():
+    p = build_processor({"awk": {
+        "codec": "text",
+        "program": '{ json_set("greet", "hi " json_get("name")); }'}})
+    out = p.process_batch(msgs({"name": "bob"}), Runtime())[0]
+    assert out[0].structured() == {"greet": "hi bob", "name": "bob"}
