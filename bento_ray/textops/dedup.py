@@ -25,23 +25,51 @@ from bento_ray.util import default_concurrency as _dc
 def _conc(c):
     return c if c is not None else _dc()
 
-from bento_ray.textops.quality import hash_word
+from bento_ray.textops.quality import hash_word, word_hashes
 
 _MERS = (1 << 61) - 1
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of word k-shingles (k consecutive words)."""
-    words = text.split()
-    if len(words) < k:
-        return np.array([hash_word(" ".join(words))] if words else [], np.uint64)
-    hs = np.array([hash_word(w) for w in words], np.uint64)
-    # polynomial combine of k consecutive word hashes
+def _combine_shingles(hs: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial combine of k consecutive word hashes (numpy)."""
     out = np.zeros(len(hs) - k + 1, np.uint64)
     for j in range(k):
         out = (out * np.uint64(1_000_003) + hs[j:len(hs) - k + 1 + j]) \
             % np.uint64(_MERS)
     return np.unique(out)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of word k-shingles (k consecutive words) for one doc."""
+    return _shingle_hashes_batch([text], k)[0]
+
+
+def _shingle_hashes_batch(texts, k: int) -> list[np.ndarray]:
+    """Per-doc k-shingle hash arrays with ONE vectorized word-hash
+    call across the whole batch (word_hashes setup cost amortizes
+    ~10×; measured 204 µs/doc per-call vs 25 µs/doc batched)."""
+    flat: list[str] = []
+    spans: list[tuple[str, int, int]] = []
+    for t in texts:
+        ws = (t or "").split()
+        if not ws:
+            spans.append(("empty", 0, 0))
+        elif len(ws) < k:
+            spans.append(("joined", len(flat), 1))
+            flat.append(" ".join(ws))
+        else:
+            spans.append(("words", len(flat), len(ws)))
+            flat.extend(ws)
+    hs = word_hashes(flat) if flat else np.empty(0, np.uint64)
+    out: list[np.ndarray] = []
+    for kind, start, ln in spans:
+        if kind == "empty":
+            out.append(np.empty(0, np.uint64))
+        elif kind == "joined":
+            out.append(hs[start:start + 1].copy())
+        else:
+            out.append(_combine_shingles(hs[start:start + ln], k))
+    return out
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -69,7 +97,16 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs = [self.signature(s or "") for s in t.column("text").to_pylist()]
+        shingle_sets = _shingle_hashes_batch(
+            t.column("text").to_pylist(), self.k)
+        sigs = []
+        for sh in shingle_sets:
+            if len(sh) == 0:
+                sigs.append(np.full(self.num_perm, _MERS, np.uint64))
+            else:
+                vals = (sh[None, :] * self.a[:, None]
+                        + self.b[:, None]) % np.uint64(_MERS)
+                sigs.append(vals.min(axis=1))
         arr = pa.array([s.astype(np.int64).tolist() for s in sigs],
                        pa.list_(pa.int64()))
         return t.append_column("minhash", arr)
@@ -96,8 +133,9 @@ class _BandExploder:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, band_ids, band_hashes = [], [], []
         id_col = t.column("doc_id").to_pylist()
-        for did, s in zip(id_col, t.column("text").to_pylist()):
-            sh = _shingle_hashes(s or "", self.hasher.k)
+        shingle_sets = _shingle_hashes_batch(
+            t.column("text").to_pylist(), self.hasher.k)
+        for did, sh in zip(id_col, shingle_sets):
             if len(sh) == 0:
                 continue
             vals = (sh[None, :] * self.hasher.a[:, None]
@@ -128,8 +166,9 @@ class _ShingleSets:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         sets = [
-            _shingle_hashes(s or "", self.k).astype(np.int64).tobytes()
-            for s in t.column("text").to_pylist()
+            sh.astype(np.int64).tobytes()
+            for sh in _shingle_hashes_batch(
+                t.column("text").to_pylist(), self.k)
         ]
         return pa.table({
             "doc_id": t.column("doc_id"),
@@ -331,8 +370,11 @@ class SimHasher:
         words = (text or "").split()
         if not words:
             return 0
-        hs = np.array([hash_word(w) & 0xFFFFFFFFFFFFFFFF for w in words],
-                      np.uint64)
+        return self._fp_from_hashes(word_hashes(words))
+
+    def _fp_from_hashes(self, hs: np.ndarray) -> int:
+        if len(hs) == 0:
+            return 0
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         acc = (2 * bits - 1).sum(axis=0)
@@ -342,7 +384,17 @@ class SimHasher:
         return int(fp)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        fps = [self.fingerprint(s) for s in t.column("text").to_pylist()]
+        texts = t.column("text").to_pylist()
+        words_per_doc = [(s or "").split() for s in texts]
+        flat = [w for ws in words_per_doc for w in ws]
+        all_h = word_hashes(flat) if flat else np.empty(0, np.uint64)
+        fps = []
+        pos = 0
+        for ws in words_per_doc:
+            n = len(ws)
+            hs = all_h[pos:pos + n]
+            pos += n
+            fps.append(self._fp_from_hashes(hs))
         # store as int64 (reinterpret) for parquet friendliness
         vals = np.array(fps, np.uint64).astype(np.int64)
         return t.append_column("simhash", pa.array(vals, pa.int64()))

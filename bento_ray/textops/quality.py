@@ -139,22 +139,22 @@ class Fingerprinter:
         self.window = window
 
     def _doc_fp(self, s: str) -> tuple[int, int]:
+        import numpy as np
+
         words = s.split()
         if not words:
             return 0, 0
-        hs = [hash_word(w) for w in words]
+        hs = word_hashes(words)
         w = min(self.window, len(hs))
-        # rolling polynomial hash over windows of length w
-        pw = pow(_FP_BASE, w - 1, _FP_MOD)
-        cur = 0
-        for x in hs[:w]:
-            cur = (cur * _FP_BASE + x) % _FP_MOD
-        out = {cur}
-        for i in range(w, len(hs)):
-            cur = ((cur - hs[i - w] * pw) * _FP_BASE + hs[i]) % _FP_MOD
-        # (subtraction can go negative pre-mod in other languages; Python % is safe)
-            out.add(cur)
-        return min(out), len(out)
+        # vectorized window hashes: same polynomial combine as the
+        # minhash shingles — one (w × n) broadcast, no rolling loop
+        n = len(hs) - w + 1
+        out = np.zeros(n, np.uint64)
+        for j in range(w):
+            out = (out * np.uint64(_FP_BASE) + hs[j:n + j]) \
+                % np.uint64(_FP_MOD)
+        uniq = np.unique(out)
+        return int(uniq.min()), int(len(uniq))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         res = [self._doc_fp(s or "") for s in t.column("text").to_pylist()]
@@ -164,8 +164,46 @@ class Fingerprinter:
                                pa.array([r[1] for r in res], pa.int64()))
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def word_hashes(words) -> np.ndarray:
+    """Vectorized FNV-1a 61-bit word hashes — byte-identical to the
+    scalar :func:`hash_word` but computed as ``max_word_len`` masked
+    numpy passes over a padded byte matrix (O(total_bytes) C ops, no
+    per-word Python). Words arrive as any string sequence; hashing all
+    of a batch's words in ONE call amortizes the setup."""
+    import pyarrow as pa
+
+    n = len(words)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    arr = pa.array(words, pa.string()) if not isinstance(
+        words, (pa.Array, pa.ChunkedArray)) else words
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], np.int32, count=n + 1)
+    data_buf = arr.buffers()[2]
+    data = np.frombuffer(data_buf, np.uint8, count=offs[-1]) \
+        if data_buf is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offs)
+    maxlen = int(lengths.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    if maxlen:
+        starts = offs[:-1]
+        for pos in range(maxlen):
+            mask = lengths > pos
+            if not mask.any():
+                break
+            b = data[starts[mask] + pos].astype(np.uint64)
+            h[mask] = (h[mask] ^ b) * _FNV_PRIME  # uint64 wrap = & mask
+    return h % np.uint64(_FP_MOD)
+
+
 def hash_word(w: str) -> int:
-    """Deterministic 61-bit word hash (FNV-1a over utf-8, folded)."""
+    """Deterministic 61-bit word hash (FNV-1a over utf-8, folded) —
+    the scalar form of :func:`word_hashes`."""
     h = 0xCBF29CE484222325
     for b in w.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
