@@ -69,9 +69,12 @@ class Context:
         return c
 
     def with_named(self, name, v) -> "Context":
+        """Capture ``v`` under ``name`` while leaving ``this`` intact —
+        the reference's NamedContextFunction pops the element map_each
+        PUSHED, so the mapping's own context keeps resolving inside
+        lambdas (expression.go:164-173)."""
         c = self._copy()
         c.named = {**self.named, name: v}
-        c.stack = self.stack[:-1] if self.stack else self.stack
         return c
 
     def _copy(self) -> "Context":
@@ -96,13 +99,22 @@ def walk_path(target, segs):
     return cur
 
 
+def _list_index(s, container) -> int:
+    try:
+        return int(s)
+    except (ValueError, TypeError):
+        raise BloblangError(
+            f"unable to set target path: field {s!r} cannot index an "
+            f"array of {len(container)} elements")
+
+
 def set_path(container, segs, val):
     """gabs .Set semantics: create intermediate objects along the path."""
     cur = container
     for i, s in enumerate(segs[:-1]):
         key = str(s)
         if isinstance(cur, list):
-            idx = int(s)
+            idx = _list_index(s, cur)
             while len(cur) <= idx:
                 cur.append(None)
             if not isinstance(cur[idx], (dict, list)):
@@ -116,7 +128,7 @@ def set_path(container, segs, val):
         cur = nxt
     last = segs[-1]
     if isinstance(cur, list):
-        idx = int(last)
+        idx = _list_index(last, cur)
         while len(cur) <= idx:
             cur.append(None)
         cur[idx] = val
@@ -284,9 +296,12 @@ def eval_binop(op, lq, rq, ctx):
         li, ri = get_int(left), get_int(right)
         if ri == 0:
             raise BloblangError("attempted to divide by zero")
-        # Go % truncates toward zero
-        q = int(li / ri) if ri else 0
-        return li - q * ri
+        # Go % truncates toward zero — exact integer arithmetic (a
+        # float quotient loses precision past 2^53)
+        r = li % ri
+        if r != 0 and (li < 0) != (ri < 0):
+            r -= ri
+        return r
     raise BloblangError(f"unknown operator {op}")
 
 
@@ -340,15 +355,21 @@ class Message:
 
     __slots__ = ("raw", "_structured", "_parsed", "meta", "error")
 
-    def __init__(self, raw=None, structured=None, meta=None, error=None):
+    def __init__(self, raw=None, structured=None, meta=None, error=None,
+                 structured_set: bool | None = None):
         self.raw = raw
         self._structured = structured
-        self._parsed = structured is not None
+        # structured null is representable: pass structured_set=True
+        # (the reference's SetStructuredMut(nil) → content "null")
+        self._parsed = structured is not None if structured_set is None \
+            else structured_set
         self.meta = dict(meta or {})
         self.error = error
 
     @classmethod
     def from_content(cls, content, meta=None):
+        if content is None:
+            return cls(structured=None, meta=meta, structured_set=True)
         if isinstance(content, (dict, list, int, float, bool)):
             return cls(structured=content, meta=meta)
         return cls(raw=content, meta=meta)
@@ -459,12 +480,13 @@ class Mapping:
             return None
         if rv is NOTHING:
             out = Message(raw=msg.raw, structured=msg._structured,
-                          meta=new_meta, error=msg.error)
-            out._parsed = msg._parsed
+                          meta=new_meta, error=msg.error,
+                          structured_set=msg._parsed)
             return out
         if isinstance(rv, (str, bytes, bytearray)):
             return Message(raw=rv, meta=new_meta, error=msg.error)
-        return Message(structured=rv, meta=new_meta, error=msg.error)
+        return Message(structured=rv, meta=new_meta, error=msg.error,
+                       structured_set=True)
 
 
 

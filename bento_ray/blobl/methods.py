@@ -245,17 +245,21 @@ _XML_BARE_ATTR = re.compile(r'(\s[A-Za-z_][\w.-]*)=([^\s"\'>/][^\s>/]*)')
 
 
 def m_parse_xml(v, cast=False):
-    """parse_xml (internal/impl/xml/bloblang.go:13-56). The reference's
-    decoder is non-strict; a pre-pass quotes bare attribute values so
-    stdlib ElementTree accepts them."""
+    """parse_xml (internal/impl/xml/bloblang.go:13-56). Well-formed XML
+    parses directly; only when strict parsing fails is the non-strict
+    bare-attribute pre-pass applied (the reference's decoder accepts
+    unquoted attribute values) — applying it unconditionally corrupted
+    '=' sequences inside element TEXT."""
     import xml.etree.ElementTree as ET
 
     s = get_string(v)
-    s = _XML_BARE_ATTR.sub(r'\1="\2"', s)
     try:
         root = ET.fromstring(s)
-    except ET.ParseError as e:
-        raise BloblangError(f"failed to parse value as XML: {e}")
+    except ET.ParseError:
+        try:
+            root = ET.fromstring(_XML_BARE_ATTR.sub(r'\1="\2"', s))
+        except ET.ParseError as e:
+            raise BloblangError(f"failed to parse value as XML: {e}")
     return {root.tag: _xml_elem_to_value(root, bool(cast))}
 
 
@@ -263,7 +267,8 @@ def m_parse_xml(v, cast=False):
 
 _AST_METHODS = {"catch", "or", "from", "from_all", "apply", "map_each",
                 "map_each_key", "filter", "sort", "sort_by", "fold",
-                "any", "all", "find", "find_all"}
+                "any", "all", "find", "find_all", "find_by",
+                "find_all_by"}
 
 
 def _annotate(node) -> str | None:
@@ -403,27 +408,29 @@ def _call_ast_method(target_q, name, arg_qs, kwarg_qs, ctx, ev):
         results = (get_bool(_elem_eval(arg_qs[0], ctx, el, ev))
                    for el in target)
         return any(results) if name == "any" else all(results)
-    if name == "find":
+    if name in ("find", "find_all"):
+        # reference semantics (methods_structured.go:443-446): the
+        # argument is a VALUE compared with ICompare; predicate forms
+        # are the separate find_by / find_all_by methods
         if not isinstance(target, list):
             raise BloblangError(
                 f"expected array value, got {type_of(target)}")
-        argq = arg_qs[0]
-        if argq[0] in ("lambda",) or argq[0] not in ("lit",):
-            for i, el in enumerate(target):
-                try:
-                    if get_bool(_elem_eval(argq, ctx, el, ev)):
-                        return i
-                except BloblangError:
-                    continue
-            return -1
-        want = ev(argq, ctx)
-        for i, el in enumerate(target):
-            if icompare(el, want):
-                return i
-        return -1
-    if name == "find_all":
         want = ev(arg_qs[0], ctx)
+        if name == "find":
+            for i, el in enumerate(target):
+                if icompare(el, want):
+                    return i
+            return -1
         return [i for i, el in enumerate(target) if icompare(el, want)]
+    if name in ("find_by", "find_all_by"):
+        if not isinstance(target, list):
+            raise BloblangError(
+                f"expected array value, got {type_of(target)}")
+        hits = [i for i, el in enumerate(target)
+                if get_bool(_elem_eval(arg_qs[0], ctx, el, ev))]
+        if name == "find_all_by":
+            return hits
+        return hits[0] if hits else -1
     raise BloblangError(f"unhandled AST method {name}")
 
 
@@ -828,8 +835,9 @@ def _build_registry():
     reg("decompress", _decompress_entry)
     reg("parse_url", _m(_parse_url))
     reg("parse_duration", _m(lambda v: _parse_duration(get_string(v))))
+    # reference (bloblang_time.go:166-198) returns NANOSECONDS
     reg("parse_duration_iso8601", _m(
-        lambda v: _maybe_int(_parse_iso8601_duration(get_string(v)))))
+        lambda v: int(_parse_iso8601_duration(get_string(v)) * 1e9)))
     reg("filepath_join", _m(lambda v: "/".join(
         get_string(x) for x in v)))
     reg("filepath_split", _m(_filepath_split))

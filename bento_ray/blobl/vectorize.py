@@ -204,6 +204,8 @@ def _mod(a, b):
         a, (pa.Array, pa.ChunkedArray)) else a
     bv = b.to_numpy(zero_copy_only=False) if isinstance(
         b, (pa.Array, pa.ChunkedArray)) else b
-    # Go % truncates toward zero
-    q = np.trunc(np.asarray(av, np.float64) / np.asarray(bv, np.float64))
-    return pa.array((np.asarray(av) - q * np.asarray(bv)).astype(np.int64))
+    av = np.asarray(av, np.int64)
+    bv = np.asarray(bv, np.int64)
+    # Go % truncates toward zero — np.fmod is the trunc-mod and stays
+    # exact on integer dtypes (a float quotient loses precision > 2^53)
+    return pa.array(np.fmod(av, bv).astype(np.int64))

@@ -406,24 +406,32 @@ class SwitchProcessor(Processor):
             })
 
     def process_batch(self, batch, rt):
-        remaining = list(enumerate(batch))
-        out: list[tuple[int, Message]] = []
+        # positions are (input_index, sequence) so case processors that
+        # CHANGE the message count (split/unarchive/drop) keep every
+        # output, anchored at the first matched input position
+        remaining = [((i, 0), m) for i, m in enumerate(batch)]
+        out: list[tuple[tuple, Message]] = []
         for case in self.cases:
             matched, rest = [], []
-            for idx, m in remaining:
+            for pos, m in remaining:
                 try:
                     ok = not case["check"] or _eval_check(
                         case["check"], m, rt.env, rt.counters)
                 except Exception as e:  # noqa: BLE001
                     m.error = str(e)
                     ok = False
-                (matched if ok else rest).append((idx, m))
+                (matched if ok else rest).append((pos, m))
             if matched:
                 res = run_processors(case["procs"],
                                      [[m for _, m in matched]], rt)
                 flat = [m for b in res for m in b]
-                # pair results back by position (processors may drop)
-                paired = list(zip([i for i, _ in matched], flat))
+                if len(flat) == len(matched):
+                    paired = [(pos, m) for (pos, _), m
+                              in zip(matched, flat)]
+                else:
+                    anchor = matched[0][0]
+                    paired = [((anchor[0], anchor[1] + j + 1), m)
+                              for j, m in enumerate(flat)]
                 if case["fallthrough"]:
                     rest = sorted(rest + paired, key=lambda t: t[0])
                 else:
@@ -507,17 +515,25 @@ class TryProcessor(Processor):
         self.procs = [build_processor(p, resources) for p in processors]
 
     def process_batch(self, batch, rt):
-        current = list(batch)
-        done: list[Message] = []
+        # positions preserved: an errored message keeps its input slot
+        # while healthy ones continue through the chain
+        current = list(enumerate(batch))
+        done: list[tuple[int, Message]] = []
         for p in self.procs:
-            ok_msgs = [m for m in current if not m.error]
-            done.extend(m for m in current if m.error)
-            if not ok_msgs:
+            ok = [(i, m) for i, m in current if not m.error]
+            done.extend((i, m) for i, m in current if m.error)
+            if not ok:
                 current = []
                 break
-            res = p.process_batch(ok_msgs, rt)
-            current = [m for b in res for m in b]
-        final = done + current
+            res = p.process_batch([m for _, m in ok], rt)
+            flat = [m for b in res for m in b]
+            if len(flat) == len(ok):
+                current = [(i, m) for (i, _), m in zip(ok, flat)]
+            else:
+                anchor = ok[0][0]
+                current = list(enumerate(flat, start=anchor))
+        merged = sorted(done + current, key=lambda t: t[0])
+        final = [m for _, m in merged]
         return [final] if final else []
 
 
@@ -531,15 +547,22 @@ class CatchProcessor(Processor):
         self.procs = [build_processor(p, resources) for p in processors]
 
     def process_batch(self, batch, rt):
-        errored = [m for m in batch if m.error]
-        clean = [m for m in batch if not m.error]
+        errored = [(i, m) for i, m in enumerate(batch) if m.error]
+        clean = [(i, m) for i, m in enumerate(batch) if not m.error]
         if errored:
-            res = run_processors(self.procs, [errored], rt)
-            recovered = [m for b in res for m in b]
-            for m in recovered:
+            res = run_processors(self.procs, [[m for _, m in errored]],
+                                 rt)
+            flat = [m for b in res for m in b]
+            if len(flat) == len(errored):
+                recovered = [(i, m) for (i, _), m in zip(errored, flat)]
+            else:
+                anchor = errored[0][0] if errored else 0
+                recovered = list(enumerate(flat, start=anchor))
+            for _, m in recovered:
                 m.error = None
-            clean = clean + recovered
-        return [clean] if clean else []
+            clean = sorted(clean + recovered, key=lambda t: t[0])
+        final = [m for _, m in clean]
+        return [final] if final else []
 
 
 class RetryProcessor(Processor):
@@ -559,19 +582,27 @@ class RetryProcessor(Processor):
         import time as _time
 
         res = run_processors(self.procs, [list(batch)], rt)
-        out = [m for b in res for m in b]
+        out = [(i, m) for i, m in enumerate(m for b in res for m in b)]
         attempt = 0
-        while any(m.error for m in out) and attempt < self.max_retries:
+        while any(m.error for _, m in out) and attempt < self.max_retries:
             attempt += 1
             if self.initial:
                 _time.sleep(min(self.initial * attempt, 0.05))
-            errored = [m for m in out if m.error]
-            ok = [m for m in out if not m.error]
-            for m in errored:
+            errored = [(i, m) for i, m in out if m.error]
+            ok = [(i, m) for i, m in out if not m.error]
+            for _, m in errored:
                 m.error = None
-            res = run_processors(self.procs, [errored], rt)
-            out = ok + [m for b in res for m in b]
-        return [out] if out else []
+            res = run_processors(self.procs, [[m for _, m in errored]],
+                                 rt)
+            flat = [m for b in res for m in b]
+            if len(flat) == len(errored):
+                redone = [(i, m) for (i, _), m in zip(errored, flat)]
+            else:
+                anchor = errored[0][0] if errored else 0
+                redone = list(enumerate(flat, start=anchor))
+            out = sorted(ok + redone, key=lambda t: t[0])
+        final = [m for _, m in out]
+        return [final] if final else []
 
 
 class ForEachProcessor(Processor):
@@ -1092,7 +1123,8 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return SplitProcessor(size=cfg.get("size", 1),
                               byte_size=cfg.get("byte_size", 0))
     if kind == "archive":
-        return ArchiveProcessor(format=cfg.get("format", "json_array"))
+        return ArchiveProcessor(format=cfg.get("format", "json_array"),
+                                path=cfg.get("path", ""))
     if kind == "unarchive":
         return UnarchiveProcessor(format=cfg.get("format", "json_array"))
     if kind == "protobuf":

@@ -496,3 +496,40 @@ def test_proto_runtime_compilation():
     h2.ParseFromString(blob)
     assert h2.address == "12 Main"
     assert h2.people[0].first_name == "a"
+
+
+def test_lambda_sees_outer_this():
+    """Inside a named-context lambda `this` stays the mapping context
+    (NamedContextFunction pops only the pushed element)."""
+    out = run('root.y = this.arr.map_each(v -> v + this.off)',
+              {"arr": [1, 2], "off": 10})
+    assert out == {"y": [11, 12]}
+
+
+def test_find_is_value_compare_and_find_by_predicate():
+    """find() compares values (methods_structured.go:443 doc example);
+    find_by takes the predicate."""
+    doc = {"goal": "bar", "things": ["foo", "bar", "baz"]}
+    assert run('root.i = this.things.find(this.goal)', doc) == {"i": 1}
+    assert run('root.i = this.things.find("nope")', doc) == {"i": -1}
+    assert run('root.i = this.things.find_by(v -> v.length() == 3)',
+               doc) == {"i": 0}
+    assert run('root.i = this.things.find_all_by(v -> v.has_prefix("b"))',
+               doc) == {"i": [1, 2]}
+
+
+def test_parse_duration_iso8601_nanoseconds():
+    # bloblang_time.go:166-198 — nanoseconds
+    assert run('root.d = "PT2H".parse_duration_iso8601()', {}) == \
+        {"d": 7_200_000_000_000}
+
+
+def test_modulo_exact_past_2_53():
+    assert run('root.r = this.n % 10',
+               {"n": 9223372036854775807}) == {"r": 7}
+    assert run('root.r = -7 % 3', {}) == {"r": -1}
+
+
+def test_parse_xml_preserves_equals_in_text():
+    assert run('root = this.x.parse_xml()',
+               {"x": "<note>a b=c</note>"}) == {"note": "a b=c"}

@@ -223,3 +223,56 @@ def test_awk_processor_via_config():
         "program": '{ json_set("greet", "hi " json_get("name")); }'}})
     out = p.process_batch(msgs({"name": "bob"}), Runtime())[0]
     assert out[0].structured() == {"greet": "hi bob", "name": "bob"}
+
+
+# ------------------------------------------------- review regression tests
+
+def test_switch_case_changing_message_count():
+    """A case whose processors change the message count keeps every
+    output (the old positional zip silently truncated)."""
+    p = build_processor({"switch": [
+        {"check": "",
+         "processors": [{"unarchive": {"format": "json_array"}}]},
+    ]})
+    out = p.process_batch(msgs([1, 2, 3]), Runtime())[0]
+    assert [m.structured() for m in out] == [1, 2, 3]
+
+
+def test_try_catch_preserve_batch_order():
+    chain = [
+        build_processor({"try": [
+            {"mapping": 'root = if this.b { throw("x") } else { this }'},
+            {"mutation": 'root.ok = true'},
+        ]}),
+    ]
+    batch = msgs({"b": True}, {"b": False}, {"b": True}, {"b": False})
+    out = run_processors(chain, [batch], Runtime())[0]
+    flags = [bool(m.error) for m in out]
+    assert flags == [True, False, True, False]  # input order kept
+
+
+def test_archive_path_config_respected():
+    p = build_processor({"archive": {
+        "format": "tar", "path": '${! json("name") }.txt'}})
+    packed = p.process_batch(
+        msgs({"name": "alpha"}, {"name": "beta"}), Runtime())[0][0]
+    import io
+    import tarfile
+
+    with tarfile.open(fileobj=io.BytesIO(packed.content_bytes())) as tf:
+        assert [i.name for i in tf.getmembers()] == \
+            ["alpha.txt", "beta.txt"]
+
+
+def test_structured_null_root():
+    chain = [build_processor({"mapping": "root = null"}),
+             build_processor({"mapping": "root.z = this"})]
+    out = run_processors(chain, [msgs({"a": 1})], Runtime())[0]
+    assert out[0].structured() == {"z": None}
+    assert out[0].error is None
+
+
+def test_bad_path_assignment_marks_not_crashes():
+    p = build_processor({"mapping": 'root = [1,2]\nroot.a = 3'})
+    out = p.process_batch(msgs({"x": 1}), Runtime())[0]
+    assert out[0].error and "unable to set target path" in out[0].error
