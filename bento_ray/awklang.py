@@ -346,7 +346,12 @@ class AWK:
         elif self.codec == "none":
             records = [content.decode("utf-8", "replace")]
         else:  # text
-            records = content.decode("utf-8", "replace").split("\n")
+            text = content.decode("utf-8", "replace")
+            # a trailing newline is a record TERMINATOR (goawk/POSIX):
+            # it must not create a phantom empty final record
+            if text.endswith("\n"):
+                text = text[:-1]
+            records = text.split("\n")
 
         for kind, pat, stmts in self.rules:
             if kind == "BEGIN":
@@ -519,14 +524,21 @@ class AWK:
         if name == "toupper":
             return _str(args[0]).upper()
         if name == "sprintf":
-            fmt = re.sub(r"%([-+ 0-9.]*)d", lambda m: "%" + m.group(1) + "d",
-                         _str(args[0]))
+            fmt = _str(args[0])
             conv = []
-            spec = re.findall(r"%[-+ 0-9.]*[sdfgex]", fmt)
+            spec = re.findall(r"%[-+ 0-9.#]*[sdfgeExXoci]", fmt)
             for sp, a in zip(spec, args[1:]):
-                conv.append(int(_num(a)) if sp.endswith("d") else
-                            _num(a) if sp[-1] in "fgex" else _str(a))
-            return fmt % tuple(conv)
+                c = sp[-1]
+                if c in "dioxXc":
+                    conv.append(int(_num(a)))
+                elif c in "fgeE":
+                    conv.append(_num(a))
+                else:
+                    conv.append(_str(a))
+            try:
+                return fmt % tuple(conv)
+            except (TypeError, ValueError) as ex:
+                raise AWKError(f"awk: sprintf: {ex}")
         if name == "int":
             return float(int(_num(args[0])))
         if name == "split":

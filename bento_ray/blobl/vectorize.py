@@ -145,7 +145,10 @@ def _compile_expr(node, referenced: set):
         if op == "/":
             return lambda t: _div(lf(t), rf(t))
         if op == "%":
-            return lambda t: _mod(lf(t), rf(t))
+            # null handling, float fmod semantics and scalar folding
+            # all differ from Arrow's int kernels — the row-wise
+            # interpreter owns modulo
+            raise NotVectorizable("% (interpreter handles modulo)")
         if op == "&&":
             return lambda t: pc.and_kleene(lf(t), rf(t))
         if op == "||":
@@ -197,15 +200,3 @@ def _arr(v, t):
     if isinstance(v, (pa.Array, pa.ChunkedArray)):
         return v
     return pa.array([v] * len(t))
-
-
-def _mod(a, b):
-    av = a.to_numpy(zero_copy_only=False) if isinstance(
-        a, (pa.Array, pa.ChunkedArray)) else a
-    bv = b.to_numpy(zero_copy_only=False) if isinstance(
-        b, (pa.Array, pa.ChunkedArray)) else b
-    av = np.asarray(av, np.int64)
-    bv = np.asarray(bv, np.int64)
-    # Go % truncates toward zero — np.fmod is the trunc-mod and stays
-    # exact on integer dtypes (a float quotient loses precision > 2^53)
-    return pa.array(np.fmod(av, bv).astype(np.int64))

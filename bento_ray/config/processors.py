@@ -896,7 +896,8 @@ class AWKProcessor(Processor):
                 m._structured = None
                 m._parsed = False
                 m.meta = meta
-            except AWKError as e:
+            except (AWKError, ValueError, TypeError, KeyError,
+                    ZeroDivisionError) as e:
                 m.error = str(e)
         return [batch]
 

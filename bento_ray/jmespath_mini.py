@@ -249,7 +249,12 @@ def _ev(node, v):
             return base.get(node[2])
         return None
     if k == "index":
-        base = _stop(_ev(node[1], v))
+        base = _ev(node[1], v)
+        if isinstance(base, _Proj):
+            # index applies PER projected element (JMESPath spec)
+            return base.map(lambda x: x[node[2]]
+                            if isinstance(x, list) and
+                            -len(x) <= node[2] < len(x) else None)
         if isinstance(base, list) and -len(base) <= node[2] < len(base):
             return base[node[2]]
         return None

@@ -511,9 +511,21 @@ def _arith(op, a, b):
             return a.split(b)
         if b == 0:
             raise JQError("jq: division by zero")
-        return a / b
+        q = a / b
+        # jq yields an int when both operands are ints and it divides
+        # evenly (gojq semantics): 4/2 → 2, not 2.0
+        if isinstance(a, int) and isinstance(b, int) and a % b == 0:
+            return a // b
+        return q
     if op == "%":
-        return int(a) % int(b)
+        ia, ib = int(a), int(b)
+        if ib == 0:
+            raise JQError("jq: division by zero")
+        # jq % is C-style truncation toward zero: -5 % 3 → -2
+        r = ia % ib
+        if r != 0 and (ia < 0) != (ib < 0):
+            r -= ib
+        return r
     raise JQError(f"jq: bad op {op}")
 
 
@@ -566,7 +578,9 @@ def _eval(node, v) -> list:
     if kind == "try":
         try:
             return _eval(node[1], v)
-        except JQError:
+        except (JQError, ValueError, TypeError, KeyError,
+                ZeroDivisionError, AttributeError):
+            # jq's `?` suppresses ANY evaluation error
             return []
     if kind == "collect":
         if node[1] is None:

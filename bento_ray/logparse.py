@@ -118,9 +118,16 @@ def parse_rfc3164(line: str, with_year: str | int | None = "current",
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=tz)
     else:
-        mon = _MONTHS[ts[:3]]
-        day = int(ts[3:6])
-        hh, mm, ss = (int(x) for x in ts[7:].split(":"))
+        # parse by fields, not fixed offsets — "Oct  5" and "Oct 5"
+        # both occur in the wild (single-digit days may or may not be
+        # zero-padded / double-spaced)
+        tm = re.match(r"([A-Z][a-z]{2})\s+(\d{1,2}) "
+                      r"(\d{2}):(\d{2}):(\d{2})", ts)
+        if not tm:
+            raise LogParseError("invalid rfc3164 timestamp")
+        mon = _MONTHS[tm.group(1)]
+        day = int(tm.group(2))
+        hh, mm, ss = (int(tm.group(i)) for i in (3, 4, 5))
         if with_year == "current":
             year = datetime.datetime.now(tz).year
         elif with_year:

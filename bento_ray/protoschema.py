@@ -138,6 +138,19 @@ def parse_proto(src: str, name: str):
             p.expect("{")
             parse_message(msg, fdp.package + "." + msg.name)
             p.expect("}")
+        elif t == "enum":
+            en = fdp.enum_type.add()
+            en.name = p.next()
+            p.expect("{")
+            while p.peek() != "}":
+                vname = p.next()
+                p.expect("=")
+                vnum = int(p.next())
+                p.expect(";")
+                v = en.value.add()
+                v.name = vname
+                v.number = vnum
+            p.expect("}")
         elif t == "option":
             while p.next() != ";":
                 pass
@@ -146,34 +159,47 @@ def parse_proto(src: str, name: str):
 
 
 def _resolve_type_names(fdp) -> None:
-    """Qualify message-type field references with a leading dot."""
-    declared: set[str] = set()
+    """Qualify message/enum-type field references with a leading dot
+    and set TYPE_ENUM (14) for fields referencing declared enums."""
+    declared_msgs: set[str] = set()
+    declared_enums: set[str] = set()
+
+    def join(prefix, name):
+        return f"{prefix}.{name}" if prefix else name
 
     def collect(msg, prefix):
-        full = f"{prefix}.{msg.name}"
-        declared.add(full)
+        full = join(prefix, msg.name)
+        declared_msgs.add(full)
+        for en in msg.enum_type:
+            declared_enums.add(join(full, en.name))
         for n in msg.nested_type:
             collect(n, full)
 
     for m in fdp.message_type:
         collect(m, fdp.package)
+    for en in fdp.enum_type:
+        declared_enums.add(join(fdp.package, en.name))
 
     def fix(msg, prefix):
+        full = join(prefix, msg.name)
         for f in msg.field:
             if f.type == 11 and f.type_name and \
                     not f.type_name.startswith("."):
                 cand = f.type_name
                 # try: nested scope, package-qualified, verbatim
-                scoped = f"{prefix}.{msg.name}.{cand}"
-                pkg = f"{fdp.package}.{cand}"
-                if scoped in declared:
-                    f.type_name = "." + scoped
-                elif pkg in declared:
-                    f.type_name = "." + pkg
+                for resolved in (join(full, cand),
+                                 join(fdp.package, cand), cand):
+                    if resolved in declared_msgs:
+                        f.type_name = "." + resolved
+                        break
+                    if resolved in declared_enums:
+                        f.type = 14  # TYPE_ENUM
+                        f.type_name = "." + resolved
+                        break
                 else:
                     f.type_name = "." + cand
         for n in msg.nested_type:
-            fix(n, f"{prefix}.{msg.name}")
+            fix(n, full)
 
     for m in fdp.message_type:
         fix(m, fdp.package)

@@ -29,12 +29,16 @@ def chunker(size: int) -> Scanner:
 
 
 def lines() -> Scanner:
-    """scanner_lines.go: newline-delimited (no trailing empty)."""
+    """scanner_lines.go: newline-delimited. A trailing newline is a
+    terminator (no phantom final record); interior empty lines are
+    REAL records (bufio.Scanner emits them)."""
 
     def scan(data: bytes):
-        for ln in data.split(b"\n"):
-            if ln:
-                yield ln
+        if data.endswith(b"\n"):
+            data = data[:-1]
+        if not data:
+            return
+        yield from data.split(b"\n")
 
     return scan
 

@@ -533,3 +533,77 @@ def test_modulo_exact_past_2_53():
 def test_parse_xml_preserves_equals_in_text():
     assert run('root = this.x.parse_xml()',
                {"x": "<note>a b=c</note>"}) == {"note": "a b=c"}
+
+
+def test_review2_regressions():
+    """Second review pass: jq `?` catches any error; jq int division
+    and trunc-modulo; jmespath index-after-projection; vectorizer
+    rejects %, interpreter computes it."""
+    from bento_ray.jqlang import JQ, jq_first
+
+    assert JQ(".a | tonumber?")({"a": "x"}) == []
+    assert jq_first("4 / 2", None) == 2 and \
+        isinstance(jq_first("4 / 2", None), int)
+    assert jq_first("5 / 2", None) == 2.5
+    assert jq_first("-5 % 3", None) == -2
+    assert JQ("(1 % 0)?")(None) == []
+
+    from bento_ray.jmespath_mini import search
+
+    assert search("foo[*][0]", {"foo": [[1, 2], [3, 4]]}) == [1, 3]
+
+    from bento_ray.blobl.interp import Mapping
+    from bento_ray.blobl.vectorize import (
+        NotVectorizable, compile_vectorized,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotVectorizable):
+        compile_vectorized(Mapping("root.x = this.a % 3"))
+    # interpreter still computes it (through the stage fallback)
+    assert run("root.x = this.a % 3", {"a": 7}) == {"x": 1}
+
+
+def test_scanner_lines_semantics():
+    from bento_ray.sources.scanners import lines
+
+    assert list(lines()(b"a\nb\n")) == [b"a", b"b"]
+    assert list(lines()(b"a\n\nb")) == [b"a", b"", b"b"]
+    assert list(lines()(b"")) == []
+
+
+def test_awk_trailing_newline_and_sprintf_hex():
+    from bento_ray.awklang import AWK
+
+    c, _, _ = AWK("{ n += 1 } END { print n }",
+                  codec="text").run_message(b"a\nb\n", {})
+    assert c == b"2"
+    c2, _, _ = AWK('{ print sprintf("%x|%05d", 255, 7) }').run_message(
+        b"x", {})
+    assert c2 == b"ff|00007"
+
+
+def test_rfc3164_single_digit_day():
+    import datetime
+
+    from bento_ray.logparse import parse_rfc3164
+
+    y = datetime.datetime.now().year
+    out = parse_rfc3164("<34>Oct 5 10:11:12 host app: msg")
+    assert out["timestamp"] == f"{y}-10-05T10:11:12Z"
+
+
+def test_protoschema_enums_and_packageless(tmp_path):
+    from google.protobuf import json_format
+
+    from bento_ray.protoschema import SchemaSet
+
+    (tmp_path / "a.proto").write_text(
+        "syntax = \"proto3\";\n"
+        "enum Color { RED = 0; BLUE = 1; }\n"
+        "message Paint { Color color = 1; }\n"
+        "message Outer { Paint p = 1; }\n")
+    ss = SchemaSet([str(tmp_path)])
+    Outer = ss.message_class("Outer")
+    o = json_format.Parse('{"p":{"color":"BLUE"}}', Outer())
+    assert Outer.FromString(o.SerializeToString()).p.color == 1
