@@ -114,6 +114,17 @@ def strip_html_reference(html: str | bytes) -> str:
 # content is scanned for the literal close tag, never for nested tags.
 _CDATA_ELEMENTS = frozenset(("script", "style"))
 
+import functools as _functools
+import re as _re
+
+
+@_functools.lru_cache(maxsize=8)
+def _cdata_close_re(tagname: str):
+    """`</\\s*name` with a name boundary, case-insensitive — exactly
+    what html.parser's cdata mode accepts as a region close."""
+    return _re.compile(r"</\s*" + _re.escape(tagname) + r"(?![a-zA-Z0-9\-:])",
+                       _re.I)
+
 
 def _tag_end(s: str, pos: int) -> int:
     """Index of the '>' terminating a tag starting scan at ``pos``,
@@ -194,14 +205,23 @@ def _fast_strip(html: str) -> str:
                 continue
             # skip-content region
             if tagname in _CDATA_ELEMENTS:
-                close = html.lower().find("</" + tagname, i)
-                if close < 0:
+                # html.parser cdata mode: close on `</\s*name` with a
+                # NAME BOUNDARY — '</scripting>' must not end <script>
+                m = _cdata_close_re(tagname).search(html, i)
+                if not m:
                     i = n
                     continue
-                end = find(">", close)
+                end = find(">", m.start())
                 i = n if end < 0 else end + 1
                 continue
             depth = 1
+
+            def _is_name_boundary(pos: int) -> bool:
+                # tag-name chars are alnum plus '-' and ':' (matching
+                # the open-tag scanner above)
+                return pos >= n or not (html[pos].isalnum() or
+                                        html[pos] in "-:")
+
             while depth and i < n:
                 lt2 = find("<", i)
                 if lt2 < 0:
@@ -209,16 +229,14 @@ def _fast_strip(html: str) -> str:
                     break
                 if html.startswith("</", lt2) and \
                         html[lt2 + 2:lt2 + 2 + len(tagname)].lower() == \
-                        tagname and (lt2 + 2 + len(tagname) >= n or
-                                     not html[lt2 + 2 + len(tagname)]
-                                     .isalnum()):
+                        tagname and _is_name_boundary(
+                            lt2 + 2 + len(tagname)):
                     depth -= 1
                     end = find(">", lt2)
                     i = n if end < 0 else end + 1
                 elif html[lt2 + 1:lt2 + 1 + len(tagname)].lower() == \
-                        tagname and (lt2 + 1 + len(tagname) >= n or
-                                     not html[lt2 + 1 + len(tagname)]
-                                     .isalnum()):
+                        tagname and _is_name_boundary(
+                            lt2 + 1 + len(tagname)):
                     end = _tag_end(html, lt2 + 1 + len(tagname))
                     if end >= 0 and html[end - 1] != "/":
                         depth += 1

@@ -74,12 +74,9 @@ def dedupe_exact(ds, key_cols: list[str], keep: str = "first",
 
     from bento_ray.util import stable_hash
 
-    try:
-        import ray
+    from bento_ray.util import cluster_cpus
 
-        P = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        P = 8
+    P = max(4, cluster_cpus())
 
     def _pid(t: pa.Table) -> pa.Table:
         h = np.zeros(len(t), np.uint64)

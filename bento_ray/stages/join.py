@@ -160,21 +160,27 @@ def shuffle_join(left, right, on: str, how: str = "inner",
     is the one groupby shuffle. Skewed keys: raise ``num_buckets`` or
     salt the hot key upstream (util.salted_partition) and re-merge
     after."""
+    # normalize the join-type vocabulary: Ray's Dataset.join wants
+    # left_outer/right_outer/full_outer, pandas wants left/right/outer
+    _RAY_HOW = {"left": "left_outer", "right": "right_outer",
+                "outer": "full_outer", "full": "full_outer"}
+    _PD_HOW = {"left_outer": "left", "right_outer": "right",
+               "full_outer": "outer", "full": "outer"}
     if hasattr(left, "join") and not force_fallback:
         # Dataset.join spawns one hash-shuffle aggregator actor per
         # partition; oversubscribing them (partitions ≈ CPUs) thrashes
         # the worker pool. Cap partitions at ~CPU/4 — measured 4.6s vs
         # 107s on a 32-CPU node for a 60k×15k join.
+        from bento_ray.util import cluster_cpus
+
+        parts = max(2, min(num_buckets, cluster_cpus() // 4))
         try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        parts = max(2, min(num_buckets, cpus // 4))
-        try:
-            return left.join(right, join_type=how, on=(on,),
-                             num_partitions=parts, right_suffix=suffix)
-        except TypeError:
-            pass  # older signature — fall through to the explicit path
+            return left.join(right, join_type=_RAY_HOW.get(how, how),
+                             on=(on,), num_partitions=parts,
+                             right_suffix=suffix)
+        except (TypeError, ValueError):
+            pass  # older signature / join-type — explicit path below
+    how = _PD_HOW.get(how, how)
 
     from bento_ray.util import stable_hash
 

@@ -39,9 +39,13 @@ US = 1_000_000
 
 
 def _ts_us(col) -> np.ndarray:
-    """Timestamp column → int64 microseconds (zero-copy view)."""
+    """Timestamp column → int64 MICROSECONDS. Non-us units (pandas
+    writes ns by default) are normalized first — a raw int64 cast of a
+    ns column would silently make every window 1000× off."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        col = col.cast(pa.timestamp("us", tz=col.type.tz))
     return col.cast(pa.int64()).to_numpy()
 
 
@@ -152,12 +156,9 @@ def assign_session_windows(ds, key_col: str, ts_col: str, gap_us: int,
     from bento_ray.util import salted_partition
 
     if num_partitions is None:
-        try:
-            import ray
+        from bento_ray.util import cluster_cpus
 
-            num_partitions = max(4, int(ray.cluster_resources().get("CPU", 4)))
-        except Exception:
-            num_partitions = 8
+        num_partitions = max(4, cluster_cpus())
 
     P = num_partitions
 

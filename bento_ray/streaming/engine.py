@@ -58,6 +58,12 @@ class StreamConfig:
     feeder_batch_size: int = 8192
     extra: dict = field(default_factory=dict)
 
+    def __post_init__(self):
+        if self.slide_us and self.window_size_us % self.slide_us:
+            raise ValueError(
+                "sliding window size must be a multiple of slide "
+                f"({self.window_size_us} % {self.slide_us} != 0)")
+
 
 class Feeder:
     """Stateless extraction + partition + push stage.
@@ -87,11 +93,17 @@ class Feeder:
         offs = arr.buffers()[1]
         nbytes = np.diff(np.frombuffer(offs, np.int32,
                                        count=len(arr) + 1)).astype(np.int64)
-        ts = t.column("warc_ts").cast(pa.int64()).to_numpy()
+        ts_col = t.column("warc_ts")
+        if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit != "us":
+            ts_col = ts_col.cast(pa.timestamp("us", tz=ts_col.type.tz))
+        ts = ts_col.cast(pa.int64()).to_numpy()
         urlh = stable_hash(t.column("url")).astype(np.uint64)
         lang_dict = t.column("lang").combine_chunks().dictionary_encode()
+        # int16: Common-Crawl-scale corpora exceed 127 distinct
+        # language codes; int8 would wrap silently (negative codes
+        # fancy-index from the END of the vocab — wrong language)
         codes = np.asarray(lang_dict.indices.to_numpy(
-            zero_copy_only=False), np.int8)
+            zero_copy_only=False), np.int16)
         vocab = lang_dict.dictionary.to_pylist()
         part = (urlh % np.uint64(self.partitions)).astype(np.int64)
 
@@ -120,7 +132,7 @@ class Feeder:
             vidx: dict[str, int] = {}
             code_parts = []
             for c_ts, _, codes, cvocab, _ in chunks:
-                remap = np.empty(len(cvocab), np.int8)
+                remap = np.empty(len(cvocab), np.int16)
                 for i, v in enumerate(cvocab):
                     if v not in vidx:
                         vidx[v] = len(vocab)
@@ -164,13 +176,12 @@ def _submit_in_waves(submit, items, max_inflight: int | None = None) -> list:
     Python processes) saturates every core before any real work runs.
     A window ≈ CPU count keeps a small warm pool that gets reused."""
     if max_inflight is None:
-        try:
-            # leave headroom for the state actors + the (now fully
-            # overlapped) epoch-finalize chain so they never queue
-            # behind a full feed wave
-            max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)) - 3)
-        except Exception:
-            max_inflight = 8
+        from bento_ray.util import cluster_cpus
+
+        # leave headroom for the state actors + the (now fully
+        # overlapped) epoch-finalize chain so they never queue
+        # behind a full feed wave
+        max_inflight = max(4, cluster_cpus() - 3)
     pending: list = []
     results: list = []
     for it in items:
@@ -235,9 +246,16 @@ def _combine_and_enrich(partials: list[pa.Table], dim_versions: pa.Table | None,
         # last-write-wins: newest version with update_ts ≤ window_end
         dim = dim.sort_values("update_ts", kind="stable")
         out = out.sort_values("window_end", kind="stable")
+        int_dim_cols = [c for c in dim.columns
+                        if c not in ("lang", "update_ts")
+                        and pd.api.types.is_integer_dtype(dim[c])]
         out = pd.merge_asof(out, dim, left_on="window_end", right_on="update_ts",
                             by="lang", direction="backward")
         out = out.drop(columns=[c for c in ("update_ts",) if c in out])
+        # merge_asof degrades unmatched int columns to float64 (NaN);
+        # nullable Int64 keeps the parquet schema stable across epochs
+        for c in int_dim_cols:
+            out[c] = out[c].astype("Int64")
         out = out.sort_values(["window_end", "lang"], kind="stable")
     out["window_end_timestamp"] = [rfc3339nano(e) for e in out["window_end"]]
     return out.reset_index(drop=True)

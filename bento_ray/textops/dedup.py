@@ -184,6 +184,35 @@ def _exploder_for(num_perm, bands, shingle_k, seed):
     return _BandExploder(num_perm, bands, shingle_k, seed)
 
 
+def _explode_packed(t: pa.Table, num_perm: int, bands: int,
+                    seed: int) -> pa.Table:
+    """Band rows derived from the PACKED shingle column — shingling is
+    the dominant per-doc compute and must run once, not once per plan
+    consumer."""
+    a, b = _perm_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    ids, band_ids, band_hashes = [], [], []
+    id_col = t.column("doc_id").to_pylist()
+    for did, packed in zip(id_col, t.column("shingles").to_pylist()):
+        if not packed:
+            continue
+        sh = np.frombuffer(packed, np.int64).astype(np.uint64)
+        vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERS)
+        sig = vals.min(axis=1)
+        for bb in range(bands):
+            seg = sig[bb * rows_per_band:(bb + 1) * rows_per_band]
+            bh = int(pd.util.hash_array(seg.astype(np.uint64))
+                     .astype(np.uint64).sum() % (1 << 62))
+            ids.append(did)
+            band_ids.append(bb)
+            band_hashes.append(bh)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "band_id": pa.array(band_ids, pa.int32()),
+        "band_hash": pa.array(band_hashes, pa.int64()),
+    })
+
+
 def _pair_partition_scan(t: pa.Table, num_pair_parts: int) -> pa.Table:
     """Vectorized candidate-pair emission over ONE coarse bucket
     partition: sort by (band_id, band_hash, doc_id), boundary-scan for
@@ -275,24 +304,29 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
     from bento_ray.util import stable_hash
 
     if num_parts is None:
-        try:
-            import ray
+        from bento_ray.util import cluster_cpus
 
-            num_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            num_parts = 8
+        num_parts = max(4, cluster_cpus())
     P = num_parts
 
     # Task-based stages, not actor pools: this plan already runs two
     # hash-join operators (whose aggregator actors reserve CPUs); at
     # low CPU counts three additional fixed actor pools starve them
-    # (measured: 10.5s at 32 CPUs but >120s at 8). Band/shingle state
-    # is microseconds to build — cached per worker process instead
-    # (_exploder_for, module-level lru_cache, pickles by reference).
-    def _explode(t: pa.Table) -> pa.Table:
-        return _exploder_for(num_perm, bands, shingle_k, seed)(t)
+    # (measured: 10.5s at 32 CPUs but >120s at 8).
+    #
+    # Shingle ONCE: this plan consumes the shingle table three times
+    # (band explosion + both join sides); without materializing, Ray
+    # re-executes the upstream read+shingle per consumer — 3× the
+    # dominant per-doc compute. The packed table is compact (int64
+    # hashes, ~1/3 of text bytes) and spills via the object store.
+    _sh_fn = _ShingleSets(shingle_k)
+    shingles = ds.map_batches(_sh_fn,
+                              batch_format="pyarrow").materialize()
 
-    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    def _explode(t: pa.Table) -> pa.Table:
+        return _explode_packed(t, num_perm, bands, seed)
+
+    exploded = shingles.map_batches(_explode, batch_format="pyarrow")
 
     def _bucket_part(t: pa.Table) -> pa.Table:
         h = (stable_hash(pd.Series(
@@ -310,9 +344,6 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
              .groupby("pair_part")
              .map_groups(lambda t: _unique_pairs_partition(
                  t.drop_columns(["pair_part"])), batch_format="pyarrow"))
-
-    _sh_fn = _ShingleSets(shingle_k)
-    shingles = ds.map_batches(_sh_fn, batch_format="pyarrow")
 
     def _ren(col_from, col_to):
         def _f(t: pa.Table) -> pa.Table:

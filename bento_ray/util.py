@@ -45,6 +45,17 @@ def rfc3339nano(ts_us: int) -> str:
     return base + "Z"
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """CPU count of the running cluster (``default`` when no Ray
+    session is reachable) — the one probe every stage shares."""
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def default_concurrency(cap: int = 4) -> int:
     """Actor-pool size that leaves CPU headroom: an actor pool sized at
     or above the CPU count starves the surrounding task stages (and can

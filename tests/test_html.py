@@ -93,3 +93,19 @@ def test_fast_scanner_go_tokenizer_edge_cases():
         "<object><object>i</object>also gone</object>tail") == "tail"
     # bogus end tag dropped
     assert strip_html("</ weird>x") == "x"
+
+
+def test_fast_scanner_cdata_and_tagname_boundaries():
+    """Second review pass: CDATA regions close only on the exact tag
+    name (with optional whitespace); hyphen/colon tag names don't
+    confuse skip-region nesting."""
+    cases = [
+        "<script>a</scripting>b</script>c",
+        "<script>a</ script>b",
+        "<title>a</title-x>b</title>c",
+        "<SCRIPT>x</sCrIpT>y",
+    ]
+    from bento_ray.html import strip_html, strip_html_reference
+
+    for h in cases:
+        assert strip_html(h) == strip_html_reference(h), h

@@ -427,3 +427,45 @@ def test_unarchive_csv_and_json_map():
         [Message.from_content({"k1": 1, "k2": {"x": 2}})], rt)[0]
     keys = sorted(m.meta["archive_key"] for m in out2)
     assert keys == ["k1", "k2"]
+
+
+def test_shuffle_join_how_vocabulary():
+    """'left'/'left_outer' both work on BOTH join paths (the primary
+    Dataset.join wants left_outer; pandas wants left)."""
+    import ray.data as rd
+
+    from bento_ray.stages.join import shuffle_join
+
+    left = rd.from_items([{"k": i, "lv": i} for i in range(6)])
+    right = rd.from_items([{"k": i, "rv": i * 10} for i in range(3)])
+    for how in ("left", "left_outer"):
+        for fb in (False, True):
+            df = shuffle_join(left, right, on="k", how=how,
+                              force_fallback=fb).to_pandas()
+            assert len(df) == 6, (how, fb)
+            assert df[df["k"] >= 3]["rv"].isna().all()
+
+
+def test_stream_config_rejects_bad_slide():
+    import pytest as _pytest
+
+    from bento_ray.streaming import StreamConfig
+
+    with _pytest.raises(ValueError, match="multiple of slide"):
+        StreamConfig(window_size_us=10_000_000, slide_us=3_000_000)
+
+
+def test_window_arithmetic_normalizes_ns_timestamps():
+    """A pandas-default timestamp[ns] column must window identically
+    to timestamp[us] (the raw int64 cast was 1000x off)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from bento_ray.stages.window import assign_tumbling
+
+    ts = pd.to_datetime(["2020-01-01 00:00:05", "2020-01-01 00:00:15"])
+    t_ns = pa.table({"ts": pa.array(ts, pa.timestamp("ns"))})
+    t_us = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    e_ns = assign_tumbling(t_ns, "ts", 10_000_000)["window_end"]
+    e_us = assign_tumbling(t_us, "ts", 10_000_000)["window_end"]
+    assert e_ns.to_pylist() == e_us.to_pylist()

@@ -164,8 +164,11 @@ def test_minhash_vs_brute_force_golden(doc_ds):
 
 
 def test_minhash_no_driver_materialization():
-    """The pipeline builds lazily — constructing it must not execute
-    (the r1 implementation called .to_pandas() at build time)."""
+    """No DRIVER-side materialization: the result is a Dataset and the
+    only eager step is the shingle table pinned in the OBJECT STORE
+    (shingling must not re-run per plan consumer); the r1
+    implementation pulled candidate pairs into driver memory with
+    .to_pandas() at build time."""
     import ray.data as rd
 
     from bento_ray.textops import near_dup_pairs_minhash
@@ -174,7 +177,6 @@ def test_minhash_no_driver_materialization():
         [{"doc_id": i, "text": f"words w{i} w{i+1} common suffix here"}
          for i in range(50)])
     out = near_dup_pairs_minhash(ds, threshold=0.5)
-    # a Dataset, not a DataFrame: nothing ran yet
     assert hasattr(out, "to_pandas") and not isinstance(out, pd.DataFrame)
 
 
