@@ -54,7 +54,12 @@ def test_rfc3339nano_no_trailing_zeros(us):
 def test_duckdb_round_matches_duckdb(v):
     import duckdb
 
-    want = duckdb.sql(f"select round(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
+    # Bind the value as a parameter: DuckDB v1.0's decimal-literal parser is
+    # 1 ulp off Python's strtod for some values (e.g. 360287970.95315003),
+    # which is a parsing difference, not a round-kernel difference. Oracle
+    # comparisons read binary doubles from parquet, so only the kernel matters.
+    want = duckdb.execute(
+        "select round(CAST(? AS DOUBLE), 4)", [v]).fetchone()[0]
     got = float(duckdb_round(np.array([v]))[0])
     assert got == want, (v, got, want)
 
