@@ -99,16 +99,16 @@ class MinHasher:
     def __call__(self, t: pa.Table) -> pa.Table:
         shingle_sets = _shingle_hashes_batch(
             t.column("text").to_pylist(), self.k)
-        sigs = []
-        for sh in shingle_sets:
-            if len(sh) == 0:
-                sigs.append(np.full(self.num_perm, _MERS, np.uint64))
-            else:
-                vals = (sh[None, :] * self.a[:, None]
-                        + self.b[:, None]) % np.uint64(_MERS)
-                sigs.append(vals.min(axis=1))
-        arr = pa.array([s.astype(np.int64).tolist() for s in sigs],
-                       pa.list_(pa.int64()))
+        flat, lens = _flat_segments(shingle_sets)
+        keep = lens > 0
+        starts = np.concatenate(
+            [[0], np.cumsum(lens[keep])[:-1]]).astype(np.int64) \
+            if keep.any() else np.empty(0, np.int64)
+        sigs = np.full((len(lens), self.num_perm), _MERS, np.uint64)
+        sigs[keep] = _sig_matrix(flat, starts, self.a, self.b)
+        arr = pa.ListArray.from_arrays(
+            np.arange(len(lens) + 1, dtype=np.int32) * self.num_perm,
+            pa.array(sigs.astype(np.int64).ravel(), pa.int64()))
         return t.append_column("minhash", arr)
 
 
@@ -117,6 +117,91 @@ def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 3,
     return ds.map_batches(MinHasher, fn_constructor_args=(num_perm, shingle_k, seed),
                           batch_format="pyarrow",
                           concurrency=_conc(concurrency))
+
+
+def _sig_matrix(sh_flat: np.ndarray, starts: np.ndarray,
+                a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signatures for contiguous shingle segments, one
+    vectorized pass per permutation (no per-doc Python).
+
+    ``sh_flat`` holds the concatenated shingle hashes of the batch's
+    NON-EMPTY docs; ``starts`` the segment start index of each doc.
+    Returns (n_docs, num_perm) uint64 — identical values to the old
+    per-doc ``(sh * a + b) % p → min`` (same uint64 wraparound)."""
+    num_perm = len(a)
+    if len(starts) == 0:
+        return np.empty((0, num_perm), np.uint64)
+    M = np.uint64(_MERS)
+    sig = np.empty((num_perm, len(starts)), np.uint64)
+    for i in range(num_perm):
+        v = (sh_flat * a[i] + b[i]) % M
+        sig[i] = np.minimum.reduceat(v, starts)
+    return sig.T
+
+
+def _band_hashes(sig_docs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, num_perm) signatures → (n_docs, bands) int64 band
+    hashes. ``pd.util.hash_array`` is elementwise, so hashing the whole
+    matrix once and summing per band segment is bit-identical to the
+    old per-(doc, band) ``hash_array(seg).sum() % 2^62`` calls."""
+    n, num_perm = sig_docs.shape
+    rows_per_band = num_perm // bands
+    h = pd.util.hash_array(np.ascontiguousarray(sig_docs).ravel()) \
+        .astype(np.uint64)
+    sums = h.reshape(n, bands, rows_per_band).sum(axis=2, dtype=np.uint64)
+    return (sums % np.uint64(1 << 62)).astype(np.int64)
+
+
+def _flat_segments(arrays: list[np.ndarray]):
+    """Concatenate per-doc shingle arrays → (flat, lens)."""
+    lens = np.array([len(s) for s in arrays], np.int64)
+    nonempty = [s for s in arrays if len(s)]
+    flat = (np.concatenate(nonempty).astype(np.uint64)
+            if nonempty else np.empty(0, np.uint64))
+    return flat, lens
+
+
+def _flat_packed(col) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-binary shingle column → (flat uint64 hashes, per-doc
+    element counts). Zero-copy view of the Arrow values buffer when
+    unsliced/8-aligned; one bytes-join fallback otherwise."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = (pc.binary_length(arr).fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64) // 8)
+    bufs = arr.buffers()
+    if arr.null_count == 0 and len(bufs) > 2 and bufs[2] is not None:
+        offsets = np.frombuffer(bufs[1], np.int32)[
+            arr.offset:arr.offset + len(arr) + 1]
+        s, e = int(offsets[0]), int(offsets[-1])
+        if s % 8 == 0:
+            raw = np.frombuffer(bufs[2], np.uint8)[s:e]
+            return raw.view(np.uint64), lens
+    flat = b"".join(x or b"" for x in arr.to_pylist())
+    return np.frombuffer(flat, np.uint64).copy(), lens
+
+
+def _band_table(ids: np.ndarray, sig_docs: np.ndarray,
+                bands: int) -> pa.Table:
+    """(doc ids, signatures) → exploded (doc_id, band_id, band_hash)
+    rows, fully vectorized; row order matches the old per-doc loop
+    (docs in batch order, bands ascending within each doc)."""
+    n = len(ids)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+        })
+    bh = _band_hashes(sig_docs, bands)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids.astype(np.int64), bands),
+                           pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                            pa.int32()),
+        "band_hash": pa.array(bh.ravel(), pa.int64()),
+    })
 
 
 class _BandExploder:
@@ -131,28 +216,16 @@ class _BandExploder:
         self.hasher = MinHasher(num_perm, shingle_k, seed)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        id_col = t.column("doc_id").to_pylist()
+        ids = np.asarray(t.column("doc_id").to_pylist(), np.int64)
         shingle_sets = _shingle_hashes_batch(
             t.column("text").to_pylist(), self.hasher.k)
-        for did, sh in zip(id_col, shingle_sets):
-            if len(sh) == 0:
-                continue
-            vals = (sh[None, :] * self.hasher.a[:, None]
-                    + self.hasher.b[:, None]) % np.uint64(_MERS)
-            sig = vals.min(axis=1)
-            for b in range(self.bands):
-                seg = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                bh = int(pd.util.hash_array(seg.astype(np.uint64))
-                         .astype(np.uint64).sum() % (1 << 62))
-                ids.append(did)
-                band_ids.append(b)
-                band_hashes.append(bh)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-        })
+        flat, lens = _flat_segments(shingle_sets)
+        keep = lens > 0
+        starts = np.concatenate(
+            [[0], np.cumsum(lens[keep])[:-1]]).astype(np.int64) \
+            if keep.any() else np.empty(0, np.int64)
+        sig = _sig_matrix(flat, starts, self.hasher.a, self.hasher.b)
+        return _band_table(ids[keep], sig, self.bands)
 
 
 class _ShingleSets:
@@ -188,29 +261,20 @@ def _explode_packed(t: pa.Table, num_perm: int, bands: int,
                     seed: int) -> pa.Table:
     """Band rows derived from the PACKED shingle column — shingling is
     the dominant per-doc compute and must run once, not once per plan
-    consumer."""
+    consumer. Fully vectorized: the packed binary column is viewed as
+    one flat uint64 array, signatures come from per-permutation
+    ``minimum.reduceat`` passes, and band hashes from ONE
+    ``pd.util.hash_array`` call over the whole signature matrix
+    (bit-identical to the old per-(doc, band) loop)."""
     a, b = _perm_params(num_perm, seed)
-    rows_per_band = num_perm // bands
-    ids, band_ids, band_hashes = [], [], []
-    id_col = t.column("doc_id").to_pylist()
-    for did, packed in zip(id_col, t.column("shingles").to_pylist()):
-        if not packed:
-            continue
-        sh = np.frombuffer(packed, np.int64).astype(np.uint64)
-        vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERS)
-        sig = vals.min(axis=1)
-        for bb in range(bands):
-            seg = sig[bb * rows_per_band:(bb + 1) * rows_per_band]
-            bh = int(pd.util.hash_array(seg.astype(np.uint64))
-                     .astype(np.uint64).sum() % (1 << 62))
-            ids.append(did)
-            band_ids.append(bb)
-            band_hashes.append(bh)
-    return pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "band_id": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hashes, pa.int64()),
-    })
+    ids = np.asarray(t.column("doc_id").to_pylist(), np.int64)
+    flat, lens = _flat_packed(t.column("shingles"))
+    keep = lens > 0
+    starts = np.concatenate(
+        [[0], np.cumsum(lens[keep])[:-1]]).astype(np.int64) \
+        if keep.any() else np.empty(0, np.int64)
+    sig = _sig_matrix(flat, starts, a, b)
+    return _band_table(ids[keep], sig, bands)
 
 
 def _pair_partition_scan(t: pa.Table, num_pair_parts: int) -> pa.Table:
