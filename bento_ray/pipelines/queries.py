@@ -829,6 +829,17 @@ def q_flagship_stream(sf_dir: str):
     return df.sort_values(["window_end", "lang"]).reset_index(drop=True)
 
 
+# Pinned as a named constant so tests can assert the vectorizing
+# compiler (blobl/vectorize.py) accepts EXACTLY this mapping — if a
+# compiler change silently demotes it to the per-row interpreter, the
+# bench query gets ~3x slower with no functional signal.
+BLOBLANG_REVENUE_MAPPING = '''
+root.flag = this.l_returnflag
+root.revenue = this.l_extendedprice * (1.0 - this.l_discount)
+root.size_class = if this.l_quantity > 30.0 { "big" } else { "small" }
+'''
+
+
 def q_bloblang_revenue(sf_dir: str):
     """Revenue per (returnflag, size-class) where the per-row compute
     runs through a COMPILED Bloblang mapping string — the reference's
@@ -838,12 +849,7 @@ def q_bloblang_revenue(sf_dir: str):
 
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
-    src = '''
-root.flag = this.l_returnflag
-root.revenue = this.l_extendedprice * (1.0 - this.l_discount)
-root.size_class = if this.l_quantity > 30.0 { "big" } else { "small" }
-'''
-    mapped = mapping_stage(ds, src, concurrency=(1, 8))
+    mapped = mapping_stage(ds, BLOBLANG_REVENUE_MAPPING, concurrency=(1, 8))
     out = mapped.groupby(["flag", "size_class"]).aggregate(
         Sum("revenue", alias_name="revenue"),
         Count(alias_name="n"),

@@ -410,6 +410,24 @@ def test_vectorizer_rejects_complex_mappings():
             compile_vectorized(Mapping(src))
 
 
+def test_bench_revenue_mapping_is_vectorized():
+    """The driver-bench mapping (q_bloblang_revenue) MUST take the
+    compiled Arrow path — a compiler regression that demotes it to the
+    per-row interpreter triples the bench time with no other signal."""
+    import pyarrow as pa
+
+    from bento_ray.blobl.stage import MappingStage
+    from bento_ray.pipelines.queries import BLOBLANG_REVENUE_MAPPING
+
+    st = MappingStage(BLOBLANG_REVENUE_MAPPING)
+    assert st.vectorized is not None
+    t = pa.table({"l_returnflag": ["A", "N"], "l_quantity": [40.0, 1.0],
+                  "l_extendedprice": [100.0, 50.0],
+                  "l_discount": [0.1, 0.0]})
+    out = _vec_and_interp(BLOBLANG_REVENUE_MAPPING, t)
+    assert out.column_names == ["flag", "revenue", "size_class"]
+
+
 def test_mapping_stage_uses_vectorizer():
     from bento_ray.blobl.stage import MappingStage
 
