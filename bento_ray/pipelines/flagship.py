@@ -54,9 +54,13 @@ class _Extract:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = strip_html_batch(t.column("html").to_pylist())
-        nbytes = pa.array(
-            [len(x.encode("utf-8")) if x is not None else 0 for x in texts],
-            pa.int64())
+        # utf-8 byte length from Arrow string offsets — re-encoding
+        # every text (`len(x.encode())`) would copy the corpus again
+        # (same trick as the streaming Feeder, streaming/engine.py)
+        arr = pa.array(texts, pa.string())
+        offs = np.frombuffer(arr.buffers()[1], np.int32,
+                             count=len(arr) + 1)
+        nbytes = pa.array(np.diff(offs).astype(np.int64), pa.int64())
         out = t.drop_columns(["html"])
         return out.append_column("extracted_nbytes", nbytes)
 

@@ -107,27 +107,52 @@ def broadcast_join(ds, small, on, how: str = "left", suffix: str = "_r",
 class _VersionedJoiner:
     """Last-write-wins stream-table join: for each fact row pick the
     newest dimension version with version_ts ≤ fact_ts (merge_asof per
-    key). Dimension (all versions) broadcast once per actor."""
+    key). Dimension (all versions) broadcast once per actor.
+
+    The fact batch stays Arrow end-to-end: only the projected
+    (key, fact_ts, row-pos) columns take the pandas merge_asof round
+    trip; the matched dimension payload attaches by ``Table.take`` on
+    the resolved version indices (nulls where no version qualifies)."""
 
     def __init__(self, dim_ref, on, fact_ts, version_ts):
         dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
-        dim = _small_to_pandas(dim).sort_values(version_ts, kind="stable")
-        self.dim = dim
+        dim = _small_to_pandas(dim).sort_values(version_ts, kind="stable") \
+            .reset_index(drop=True)
         self.on = on
         self.fact_ts = fact_ts
         self.version_ts = version_ts
+        # asof works on this 3-column frame; payload (everything but the
+        # by-key, version_ts included) is a ONE-TIME Arrow conversion
+        self._asof = dim[[on, version_ts]].copy()
+        self._asof["__dimpos"] = np.arange(len(dim), dtype=np.int64)
+        self._payload = pa.Table.from_pandas(
+            dim.drop(columns=[on]), preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["__pos"] = np.arange(len(df))
-        left = df.sort_values(self.fact_ts, kind="stable")
+        n = len(t)
+        left = pd.DataFrame({
+            self.on: t.column(self.on).to_pandas(),
+            self.fact_ts: t.column(self.fact_ts).to_pandas(),
+        })
+        left["__pos"] = np.arange(n, dtype=np.int64)
+        left = left.sort_values(self.fact_ts, kind="stable")
         out = pd.merge_asof(
-            left, self.dim,
+            left, self._asof,
             left_on=self.fact_ts, right_on=self.version_ts,
-            by=self.on, direction="backward", suffixes=("", "_dim"),
+            by=self.on, direction="backward", suffixes=("", "__v"),
         )
-        out = out.sort_values("__pos", kind="stable").drop(columns=["__pos"])
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        out = out.sort_values("__pos", kind="stable")
+        pos = out["__dimpos"].to_numpy()
+        miss = pd.isna(pos)
+        idx = pa.array(np.where(miss, 0, pos).astype(np.int64),
+                       pa.int64(), mask=np.asarray(miss))
+        existing = set(t.column_names)
+        for name in self._payload.column_names:
+            out_name = name if name not in existing else name + "_dim"
+            t = t.append_column(out_name,
+                                self._payload.column(name).take(idx))
+        return t
 
 
 def broadcast_join_versioned(ds, dim_versions, on: str, fact_ts: str,

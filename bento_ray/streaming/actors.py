@@ -47,6 +47,75 @@ def _pane_ends(ts: np.ndarray, size_us: int, slide_us: int | None,
     return idx, ends
 
 
+class _SeenSet:
+    """url-hash → first-event-ts store, numpy-backed.
+
+    16 bytes/entry (sorted uint64 hashes + aligned int64 timestamps)
+    vs ~100 for a Python dict slot, and every operation is vectorized:
+    membership is a searchsorted probe of the sorted main run plus an
+    isin probe of the small unsorted tail; the tail merges into the
+    main run when it outgrows max(4096, main/4), so inserts amortize
+    to O(log n) with no per-key Python. TTL GC masks both runs. With
+    ``dedupe_ttl_us`` set, memory is bounded by key-arrival-rate × TTL;
+    without it the full distinct-key set is held (documented trade,
+    SURVEY §8) at ~6× less RAM than the dict this replaces."""
+
+    __slots__ = ("h", "t", "th", "tt")
+
+    def __init__(self):
+        self.h = np.empty(0, np.uint64)
+        self.t = np.empty(0, np.int64)
+        self.th = np.empty(0, np.uint64)
+        self.tt = np.empty(0, np.int64)
+
+    def __len__(self):
+        return len(self.h) + len(self.th)
+
+    def contains(self, q: np.ndarray) -> np.ndarray:
+        res = np.zeros(len(q), bool)
+        if len(self.h):
+            pos = np.minimum(np.searchsorted(self.h, q), len(self.h) - 1)
+            res |= self.h[pos] == q
+        if len(self.th):
+            res |= np.isin(q, self.th)
+        return res
+
+    def add(self, q: np.ndarray, ts: np.ndarray) -> None:
+        """Append hashes KNOWN to be absent (and mutually unique)."""
+        if not len(q):
+            return
+        self.th = np.concatenate([self.th, q])
+        self.tt = np.concatenate([self.tt, ts])
+        if len(self.th) > max(4096, len(self.h) // 4):
+            self._merge()
+
+    def _merge(self) -> None:
+        h = np.concatenate([self.h, self.th])
+        t = np.concatenate([self.t, self.tt])
+        order = np.argsort(h, kind="stable")
+        self.h, self.t = h[order], t[order]
+        self.th = np.empty(0, np.uint64)
+        self.tt = np.empty(0, np.int64)
+
+    def gc(self, horizon_us: int) -> None:
+        if len(self.th):
+            self._merge()
+        m = self.t >= horizon_us
+        self.h, self.t = self.h[m], self.t[m]
+
+    def rebuild(self, h: np.ndarray, t: np.ndarray) -> None:
+        """Restore path: entries ordered oldest→newest, later wins
+        (a hash can reappear in a later delta after TTL eviction)."""
+        idx = np.arange(len(h))
+        order = np.lexsort((idx, h))
+        hh, tt = np.asarray(h, np.uint64)[order], np.asarray(t, np.int64)[order]
+        last = np.flatnonzero(np.concatenate(
+            [hh[1:] != hh[:-1], [True]])) if len(hh) else np.empty(0, np.int64)
+        self.h, self.t = hh[last], tt[last]
+        self.th = np.empty(0, np.uint64)
+        self.tt = np.empty(0, np.int64)
+
+
 @ray.remote
 class PartitionWorker:
     def __init__(self, part_id: int, size_us: int, slide_us: int | None,
@@ -65,8 +134,10 @@ class PartitionWorker:
             "lang": np.empty(0, object),
             "nbytes": np.empty(0, np.int64),
         }
-        self.seen: dict[int, int] = {}  # url hash → first event ts
-        self._seen_delta: dict[int, int] = {}  # added since last snapshot
+        self.seen = _SeenSet()  # url hash → first event ts
+        # hashes added since the last snapshot (list of array chunks)
+        self._delta_h: list[np.ndarray] = []
+        self._delta_t: list[np.ndarray] = []
         self.chunks_received = 0
         self.latest_flushed_end = -(1 << 62)
         self.max_ts = -(1 << 62)
@@ -103,9 +174,12 @@ class PartitionWorker:
         # reference's TTL'd memory cache evicts at access time)
         if self.dedupe_ttl_us is not None:
             horizon = watermark_us - self.dedupe_ttl_us
-            self.seen = {h: t for h, t in self.seen.items() if t >= horizon}
-            self._seen_delta = {h: t for h, t in self._seen_delta.items()
-                                if t >= horizon}
+            self.seen.gc(horizon)
+            if self._delta_h:
+                dh = np.concatenate(self._delta_h)
+                dt = np.concatenate(self._delta_t)
+                m = dt >= horizon
+                self._delta_h, self._delta_t = [dh[m]], [dt[m]]
         if self._raw:
             ts = np.concatenate([c[0] for c in self._raw])
             urlh = np.concatenate([c[1] for c in self._raw])
@@ -125,16 +199,15 @@ class PartitionWorker:
             _, first_idx = np.unique(urlh, return_index=True)
             keep = np.zeros(len(ts), dtype=bool)
             keep[first_idx] = True
-            seen = self.seen
-            delta = self._seen_delta
-            for i in first_idx:
-                h = int(urlh[i])
-                if h in seen:
-                    keep[i] = False
-                else:
-                    v = int(ts[i])
-                    seen[h] = v
-                    delta[h] = v
+            fh = urlh[first_idx].astype(np.uint64)
+            known = self.seen.contains(fh)
+            keep[first_idx[known]] = False
+            new_h = fh[~known]
+            new_t = ts[first_idx[~known]].astype(np.int64)
+            self.seen.add(new_h, new_t)
+            if len(new_h):
+                self._delta_h.append(new_h)
+                self._delta_t.append(new_t)
             self.metrics["dedupe_dropped"] += int((~keep).sum())
             ts, urlh, lang, nbytes = ts[keep], urlh[keep], lang[keep], nbytes[keep]
 
@@ -200,12 +273,15 @@ class PartitionWorker:
         every epoch is O(stream length) driver time — a scaling
         bottleneck (and impossible at 10^12 docs); deltas are O(epoch).
         Restore applies the epoch chain 0..E in order."""
-        delta = self._seen_delta
-        self._seen_delta = {}
+        dh = (np.concatenate(self._delta_h) if self._delta_h
+              else np.empty(0, np.uint64))
+        dt = (np.concatenate(self._delta_t) if self._delta_t
+              else np.empty(0, np.int64))
+        self._delta_h, self._delta_t = [], []
         return pickle.dumps({
             "part_id": self.part_id,
             "ready": self._ready,
-            "seen_delta": delta,
+            "seen_delta": (dh, dt),
             "latest_flushed_end": self.latest_flushed_end,
             "max_ts": self.max_ts,
             "metrics": self.metrics,
@@ -217,11 +293,22 @@ class PartitionWorker:
         the newest snapshot."""
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
-        self.seen = {}
+        hs: list[np.ndarray] = []
+        ts_: list[np.ndarray] = []
         for blob in blobs:
             st = pickle.loads(blob)
-            self.seen.update(st.get("seen_delta", st.get("seen", {})))
-        self._seen_delta = {}
+            delta = st.get("seen_delta", st.get("seen", {}))
+            if isinstance(delta, dict):  # pre-array snapshot format
+                hs.append(np.fromiter(delta.keys(), np.uint64, len(delta)))
+                ts_.append(np.fromiter(delta.values(), np.int64, len(delta)))
+            else:
+                hs.append(np.asarray(delta[0], np.uint64))
+                ts_.append(np.asarray(delta[1], np.int64))
+        self.seen = _SeenSet()
+        self.seen.rebuild(
+            np.concatenate(hs) if hs else np.empty(0, np.uint64),
+            np.concatenate(ts_) if ts_ else np.empty(0, np.int64))
+        self._delta_h, self._delta_t = [], []
         self._ready = st["ready"]
         self.latest_flushed_end = st["latest_flushed_end"]
         self.max_ts = st["max_ts"]

@@ -156,6 +156,62 @@ def test_lineage_records(stream_out):
         assert "watermark" in r["lineage"]
 
 
+def test_ttl_bounded_dedupe_matches_unbounded(pages_small, stream_out,
+                                              tmp_path):
+    """A TTL'd seen-set (bounded memory at CC scale) must produce
+    byte-identical output to the unbounded run when no duplicate
+    recurs beyond the TTL — here TTL exceeds the whole event-time
+    span, so every recrawl is still within it while the GC/horizon
+    code paths all run each flush."""
+    out = str(tmp_path / "ttl_run")
+    flagship_streaming(pages_small, out, partitions=4, files_per_epoch=2)
+    unbounded = _read_sink(stream_out[0])
+
+    out_ttl = str(tmp_path / "ttl_run2")
+    cfg = StreamConfig(window_size_us=10_000_000, partitions=4,
+                       out_partitions=4, files_per_epoch=2,
+                       dedupe_ttl_us=10**15)
+    m = run_stream(pages_small, cfg, out_ttl,
+                   dim_versions=dim_versions_table())
+    assert m["worker_metrics"]["dedupe_dropped"] > 0
+    pd.testing.assert_frame_equal(_read_sink(out_ttl), unbounded)
+
+
+def test_seen_set_semantics():
+    """_SeenSet vs a dict reference: contains/add/gc/rebuild across
+    merges of the unsorted tail into the sorted main run."""
+    from bento_ray.streaming.actors import _SeenSet
+
+    rng = np.random.RandomState(7)
+    s = _SeenSet()
+    ref: dict[int, int] = {}
+    for step in range(30):
+        q = rng.randint(0, 500, size=200).astype(np.uint64)
+        ts = (rng.randint(0, 1000, size=200) + step * 100).astype(np.int64)
+        # first occurrence within the batch wins, like the worker loop
+        _, fi = np.unique(q, return_index=True)
+        q, ts = q[fi], ts[fi]
+        known = s.contains(q)
+        assert list(known) == [int(h) in ref for h in q]
+        s.add(q[~known], ts[~known])
+        for h, t in zip(q[~known], ts[~known]):
+            ref[int(h)] = int(t)
+        if step % 7 == 3:
+            horizon = int(step * 35)
+            s.gc(horizon)
+            ref = {h: t for h, t in ref.items() if t >= horizon}
+        assert len(s) == len(ref)
+    # rebuild keeps the LAST occurrence per hash (restore semantics)
+    s2 = _SeenSet()
+    h = np.array([5, 9, 5, 7], np.uint64)
+    t = np.array([10, 20, 30, 40], np.int64)
+    s2.rebuild(h, t)
+    assert len(s2) == 3
+    assert list(s2.contains(np.array([5, 7, 9, 8], np.uint64))) == \
+        [True, True, True, False]
+    assert s2.t[s2.h == 5][0] == 30
+
+
 def test_late_rows_dropped():
     """Reference late rule (buffer_system_window.go:333-336): rows at or
     before the flushed frontier are dropped, not emitted."""
