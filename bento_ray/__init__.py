@@ -19,6 +19,12 @@ or the test fixture own the Ray session.
 
 from bento_ray.html import strip_html
 from bento_ray.schema import PAGES_SCHEMA
+from bento_ray.util import quiet_benign_ray_warnings
+
+# install the filter for Ray's known-benign empty-schema-divergence
+# warning (see util._BenignEmptySchemaDivergence); pure logging config,
+# no Ray session is touched
+quiet_benign_ray_warnings()
 
 __all__ = ["strip_html", "PAGES_SCHEMA"]
 __version__ = "0.1.0"

@@ -29,6 +29,15 @@ HOUR_US = 3_600_000_000
 HALF_HOUR_US = 1_800_000_000
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop the file-level ``pandas`` schema metadata the parquet
+    writer attached: Ray's block concat dedupes schemas by hashing
+    them, and the metadata dict makes that fail (the BENCH-tail
+    "Failed to hash the schemas" warning) — every downstream concat
+    then pays a full unify instead of the early-exit."""
+    return t.replace_schema_metadata(None)
+
+
 def _t(sf_dir: str, name: str, columns=None):
     """Read one testdata table. ``override_num_blocks ≈ CPUs`` — the
     default splits small files into hundreds of tiny blocks whose
@@ -40,8 +49,11 @@ def _t(sf_dir: str, name: str, columns=None):
         nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         nb = 8
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
-                           override_num_blocks=nb)
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                         override_num_blocks=nb)
+    # fuses with the query's first map_batches — no extra pass
+    return ds.map_batches(_strip_meta, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def _round_cols(ds, cols: list[str], digits: int = 4):

@@ -25,10 +25,18 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # file-level pandas metadata breaks Ray's hash-based schema dedupe
+    # at every concat (see pipelines/queries._strip_meta)
+    return t.replace_schema_metadata(None)
+
+
 def read_parquet(paths, columns=None, **kw):
     """Primary source. Always pass ``columns`` — reading all columns for
     a 2-column transform wastes the scan at scale."""
-    return rd.read_parquet(paths, columns=columns, **kw)
+    ds = rd.read_parquet(paths, columns=columns, **kw)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def read_csv(paths, **kw):

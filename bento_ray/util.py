@@ -95,3 +95,34 @@ def empty_like(schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array([], type=f.type) for f in schema], schema=schema
     )
+
+
+class _BenignEmptySchemaDivergence:
+    """Logging filter for one known-benign Ray Data warning.
+
+    Ray's sort-based shuffle (used by groupby/aggregate) represents
+    empty key partitions as a schemaless ``pa.table({})``
+    (ray/data/_internal/arrow_block.py: ``_empty_table`` at the
+    find-partition paths), so downstream operators emit 0-row
+    RefBundles whose schema is EMPTY and the executor logs "Operator
+    produced a RefBundle with a different schema … new schema: ."
+    for every one. Zero-row + empty-schema divergence is harmless
+    (the executor itself early-exits the symmetric case where the
+    OLD schema is empty); we cannot give those Ray-internal blocks a
+    schema from user code, so we drop exactly that message.
+    Divergences with a real (non-empty) new schema still surface."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+def quiet_benign_ray_warnings() -> None:
+    import logging
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _BenignEmptySchemaDivergence)
+               for f in lg.filters):
+        lg.addFilter(_BenignEmptySchemaDivergence())
