@@ -53,7 +53,9 @@ class Pipeline:
     # -- sources ------------------------------------------------------
     @classmethod
     def read_parquet(cls, path, columns=None, **kw) -> "Pipeline":
-        return cls(rd.read_parquet(path, columns=columns, **kw))
+        from bento_ray.sources.inputs import read_parquet
+
+        return cls(read_parquet(path, columns=columns, **kw))
 
     @classmethod
     def from_dataset(cls, ds) -> "Pipeline":

@@ -814,6 +814,98 @@ def q_quality_scores(sf_dir: str):
          "quality_score"])
 
 
+# Mirrors QualityScorer exactly (textops/quality.py): words are \S+
+# runs; metrics stay 0 for word-less docs (the Python loop `continue`s
+# before computing ANY of them, digit_ratio included); the composite
+# score is computed from the UNROUNDED metrics, then everything rounds
+# at 6 digits (duckdb_round on the Ray side ≡ DuckDB ROUND).
+SQL_QUALITY_SCORES = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\S+') AS words,
+         length(regexp_replace(text, '\s', '', 'g')) AS wchars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndig,
+         length(text) AS nchars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN len(words) = 0 THEN 0.0 ELSE
+      len(list_filter(words, x -> lower(x) IN
+          ('the','and','of','a','to','in','is','it','that','for')))
+      / CAST(len(words) AS DOUBLE) END AS stop_ratio,
+    CASE WHEN len(words) = 0 THEN 0.0
+         ELSE wchars / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+    CASE WHEN len(words) = 0 THEN 0.0
+         ELSE ndig / CAST(GREATEST(1, nchars) AS DOUBLE) END AS digit_ratio
+  FROM w
+)
+SELECT doc_id,
+  ROUND(stop_ratio, 6)    AS stop_ratio,
+  ROUND(mean_word_len, 6) AS mean_word_len,
+  ROUND(digit_ratio, 6)   AS digit_ratio,
+  ROUND(LEAST(GREATEST(stop_ratio * 5, 0), 1) * 0.4
+      + LEAST(GREATEST(1 - abs(mean_word_len - 5.0) / 5.0, 0), 1) * 0.4
+      + LEAST(GREATEST(1 - digit_ratio * 10, 0), 1) * 0.2, 6)
+    AS quality_score
+FROM m
+"""
+
+
+def q_config_yaml_orders(sf_dir: str):
+    """The declarative config surface end-to-end: a Bento-shaped YAML
+    (parquet input → Bloblang ``mapping`` with a computed column and a
+    ``deleted()`` filter → ``dedupe``) compiled by ``Pipeline.from_yaml``
+    and executed distributed. First non-urgent order per customer."""
+    from bento_ray.pipelines.builder import Pipeline
+
+    yaml_text = f"""
+input:
+  parquet:
+    path: {sf_dir}/orders.parquet
+    columns: [o_orderkey, o_custkey, o_totalprice, o_orderpriority]
+pipeline:
+  processors:
+    - mapping: |
+        root = this
+        root.charge = this.o_totalprice * 1.1
+        root = if this.o_orderpriority == "1-URGENT" {{ deleted() }}
+    - dedupe:
+        key_cols: [o_custkey]
+        keep: first
+        order_cols: [o_orderkey]
+"""
+    return Pipeline.from_yaml(yaml_text).dataset()
+
+
+SQL_CONFIG_YAML = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+       o_totalprice * 1.1 AS charge
+FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderpriority <> '1-URGENT')
+WHERE rn = 1
+"""
+
+
+def q_archive_roundtrip(sf_dir: str):
+    """archive → unarchive identity (processor_archive.go /
+    processor_unarchive.go semantics): each batch packs into ONE
+    json_array document and explodes back; the oracle is the identity
+    projection, so any serde loss hash-mismatches."""
+    from bento_ray.stages.core import archive, unarchive
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _rt(t: pa.Table) -> pa.Table:
+        return unarchive(archive(t, "json_array"), "json_array")
+
+    return ds.map_batches(_rt, batch_format="pyarrow")
+
+
+SQL_ARCHIVE_ROUNDTRIP = "SELECT doc_id, text, lang FROM documents"
+
+
 def q_ann_lsh(sf_dir: str):
     from bento_ray.textops import lsh_cosine_topk
 
@@ -906,12 +998,14 @@ QUERIES = {
     "q_minmax_events": (q_minmax_events, SQL_MINMAX),
     "q_distinct_users": (q_distinct_users, SQL_DISTINCT),
     "q_union_streams": (q_union_streams, SQL_UNION),
+    "q_quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "q_config_yaml_orders": (q_config_yaml_orders, SQL_CONFIG_YAML),
+    "q_archive_roundtrip": (q_archive_roundtrip, SQL_ARCHIVE_ROUNDTRIP),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),
     "q_lang_id": (q_lang_id, None),
     "q_doc_fingerprints": (q_doc_fingerprints, None),
-    "q_quality_scores": (q_quality_scores, None),
     "q_ann_lsh": (q_ann_lsh, None),
     "q_flagship_stream": (q_flagship_stream, None),
 }

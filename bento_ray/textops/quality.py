@@ -79,10 +79,17 @@ class QualityScorer:
         score = (np.clip(stop_ratio * 5, 0, 1) * 0.4
                  + np.clip(1 - np.abs(mean_wlen - 5.0) / 5.0, 0, 1) * 0.4
                  + np.clip(1 - digit_ratio * 10, 0, 1) * 0.2)
-        t = t.append_column("stop_ratio", pa.array(np.round(stop_ratio, 6)))
-        t = t.append_column("mean_word_len", pa.array(np.round(mean_wlen, 6)))
-        t = t.append_column("digit_ratio", pa.array(np.round(digit_ratio, 6)))
-        return t.append_column("quality_score", pa.array(np.round(score, 6)))
+        # duckdb_round (half-away-from-zero), not np.round (half-even):
+        # the driver gate hash-compares these against a DuckDB ROUND()
+        from bento_ray.util import duckdb_round
+
+        t = t.append_column("stop_ratio", pa.array(duckdb_round(stop_ratio, 6)))
+        t = t.append_column("mean_word_len",
+                            pa.array(duckdb_round(mean_wlen, 6)))
+        t = t.append_column("digit_ratio",
+                            pa.array(duckdb_round(digit_ratio, 6)))
+        return t.append_column("quality_score",
+                               pa.array(duckdb_round(score, 6)))
 
 
 def quality_stage(ds, concurrency: int | None = None):
