@@ -970,6 +970,87 @@ class ProtobufProcessor(Processor):
         return [batch]
 
 
+class AvroProcessor(Processor):
+    """``avro`` (internal/impl/avro/processor.go): to_json / from_json
+    between Avro (textual / binary / single encodings) and JSON, via
+    the pure-Python codec in bento_ray/avroschema.py (no avro lib in
+    this sandbox). Union values wrap goavro-style as
+    ``{"<branch name>": value}``."""
+
+    name = "avro"
+
+    def __init__(self, operator: str, encoding: str = "textual",
+                 schema: str = "", schema_path: str = "",
+                 base_dir: str | None = None):
+        from bento_ray.avroschema import AvroError, parse_schema
+
+        if operator not in ("to_json", "from_json"):
+            raise ValueError(f"operator not recognised: {operator}")
+        if encoding not in ("textual", "binary", "single"):
+            raise ValueError(f"encoding '{encoding}' not recognised")
+        if schema_path:
+            # processor.go:207-213: file:// or http:// only; http is
+            # out of scope (no network in this sandbox)
+            if not schema_path.startswith("file://"):
+                raise ValueError(
+                    "invalid schema_path provided, must start with "
+                    "file:// or http://")
+            import os
+
+            path = schema_path[len("file://"):]
+            if base_dir is not None and not os.path.isabs(path):
+                path = os.path.join(base_dir, path)
+            try:
+                with open(path) as fh:
+                    schema = fh.read()
+            except OSError as e:
+                raise ValueError(
+                    f"failed to load Avro schema definition: {e}") from None
+        if not schema:
+            raise ValueError("a schema must be specified with either the "
+                             "`schema` or `schema_path` fields")
+        try:
+            self.schema = parse_schema(schema)
+        except AvroError as e:
+            raise ValueError(f"failed to parse schema: {e}") from None
+        self.operator = operator
+        self.encoding = encoding
+
+    def process_batch(self, batch, rt):
+        from bento_ray import avroschema as av
+
+        for m in batch:
+            try:
+                if self.operator == "to_json":
+                    raw = m.content_bytes()
+                    if self.encoding == "textual":
+                        doc = av.decode_textual(self.schema, raw)
+                    elif self.encoding == "binary":
+                        doc = av.decode_binary(self.schema, raw)
+                    else:
+                        doc = av.decode_single(self.schema, raw)
+                    m._structured = doc
+                    m._parsed = True
+                    m.raw = None
+                else:
+                    doc = m.structured()
+                    native = av._from_avro_json(self.schema, doc)
+                    if self.encoding == "textual":
+                        m.raw = av.encode_textual(
+                            self.schema, native).encode("utf-8")
+                    elif self.encoding == "binary":
+                        m.raw = av.encode_binary(self.schema, native)
+                    else:
+                        m.raw = av.encode_single(self.schema, native)
+                    m._structured = None
+                    m._parsed = False
+            except av.AvroError as e:
+                m.error = (f"failed to convert Avro document to JSON: {e}"
+                           if self.operator == "to_json" else
+                           f"failed to convert JSON to Avro schema: {e}")
+        return [batch]
+
+
 class MsgpackProcessor(Processor):
     """``msgpack`` (internal/impl/msgpack/processor.go): to_json /
     from_json between MessagePack and JSON payloads."""
@@ -1135,6 +1216,13 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
             base_dir=_BASE_DIR[0] if _BASE_DIR else None)
     if kind == "msgpack":
         return MsgpackProcessor(operator=cfg["operator"])
+    if kind == "avro":
+        return AvroProcessor(
+            operator=cfg["operator"],
+            encoding=cfg.get("encoding", "textual"),
+            schema=cfg.get("schema", ""),
+            schema_path=cfg.get("schema_path", ""),
+            base_dir=_BASE_DIR[0] if _BASE_DIR else None)
     if kind == "awk":
         return AWKProcessor(program=cfg["program"],
                             codec=cfg.get("codec", "text"))

@@ -156,6 +156,109 @@ def skip_bom(inner: Scanner) -> Scanner:
     return scan
 
 
+def avro(raw_json: bool = False) -> Scanner:
+    """internal/impl/avro/scanner.go: consume an Avro OCF stream, one
+    message per datum, serialized as Avro JSON (unions wrapped
+    ``{"<branch>": value}``); ``raw_json`` unwraps unions like
+    goavro's standard-JSON codec. Pure-Python OCF reader
+    (bento_ray/avroschema.py)."""
+    import json as _json
+
+    from bento_ray.avroschema import encode_textual, read_ocf, unwrap_unions
+
+    def scan(data: bytes):
+        r = read_ocf(data)
+        for v in r.values():
+            if raw_json:
+                yield _json.dumps(unwrap_unions(r.schema, v),
+                                  separators=(",", ":"),
+                                  ensure_ascii=False).encode("utf-8")
+            else:
+                yield encode_textual(r.schema, v).encode("utf-8")
+
+    return scan
+
+
+def xml_documents(cast: bool = False) -> Scanner:
+    """``xml_documents`` scanner (internal/impl/pure/scanner_xml.go):
+    consume a stream of concatenated XML documents and emit one JSON
+    message per top-level document, converted with the mxj.NewMapXml
+    conventions (the reference's only operator is ``to_json``).
+    ``cast=True`` casts number/bool text values (the scanner's
+    ``cast`` field). Splitting mirrors the reference's xml.Decoder
+    loop: each document runs from its root start-tag to the matching
+    end-tag; inter-document whitespace, garbage text, processing
+    instructions (``<?xml …?>``), comments and DOCTYPE are skipped;
+    a malformed document ends the stream (mxj reader error parity)."""
+    from bento_ray.blobl.methods import BloblangError, m_parse_xml
+    from bento_ray.blobl.values import go_json_dumps
+
+    def scan(data: bytes):
+        for doc in _split_xml_docs(data):
+            try:
+                parsed = m_parse_xml(doc.decode("utf-8", "replace"),
+                                     cast=cast)
+            except BloblangError:
+                return  # scanner_xml.go: reader error terminates stream
+            yield go_json_dumps(parsed).encode("utf-8")
+
+    return scan
+
+
+def _split_xml_docs(data: bytes) -> Iterator[bytes]:
+    i, n = 0, len(data)
+    while i < n:
+        lt = data.find(b"<", i)
+        if lt < 0:
+            return
+        # skip non-element preludes between documents
+        if data.startswith(b"<?", lt):
+            end = data.find(b"?>", lt)
+            i = n if end < 0 else end + 2
+            continue
+        if data.startswith(b"<!--", lt):
+            end = data.find(b"-->", lt)
+            i = n if end < 0 else end + 3
+            continue
+        if data.startswith(b"<!", lt):
+            end = data.find(b">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        # element: track tag depth until the root closes
+        depth = 0
+        j = lt
+        while j < n:
+            if data.startswith(b"<!--", j):
+                end = data.find(b"-->", j)
+                j = n if end < 0 else end + 3
+                continue
+            if data.startswith(b"<![CDATA[", j):
+                end = data.find(b"]]>", j)
+                j = n if end < 0 else end + 3
+                continue
+            if data[j:j + 1] == b"<":
+                gt = data.find(b">", j)
+                if gt < 0:
+                    j = n
+                    break
+                if data.startswith(b"</", j):
+                    depth -= 1
+                elif data.startswith(b"<?", j) or data.startswith(b"<!", j):
+                    pass
+                elif data[gt - 1:gt] == b"/":
+                    pass  # self-closing
+                else:
+                    depth += 1
+                j = gt + 1
+                if depth == 0:
+                    break
+            else:
+                j += 1
+        yield data[lt:j]
+        i = j
+
+
+
 def to_the_end() -> Scanner:
     """scanner_to_the_end.go: whole payload, one message."""
 
