@@ -593,6 +593,48 @@ def m_decode(v, scheme):
     raise BloblangError(f"unrecognised encoding {scheme}")
 
 
+def m_encrypt_aes(v, scheme, key, iv):
+    """encrypt_aes (methods_strings.go:282-384): ctr/ofb/cbc/gcm over
+    AES-128/192/256; returns the raw ciphertext bytes (Go returns a
+    byte-string). GCM appends the 16-byte tag (nil AAD)."""
+    from bento_ray import aescipher as ac
+
+    scheme = get_string(scheme)
+    b, key_b, iv_b = get_bytes(v), get_bytes(key), get_bytes(iv)
+    try:
+        if scheme == "ctr":
+            return ac.ctr_xor(key_b, iv_b, b)
+        if scheme == "ofb":
+            return ac.ofb_xor(key_b, iv_b, b)
+        if scheme == "cbc":
+            return ac.cbc_encrypt(key_b, iv_b, b)
+        if scheme == "gcm":
+            return ac.gcm_seal(key_b, iv_b, b)
+    except ac.AESError as e:
+        raise BloblangError(str(e)) from None
+    raise BloblangError(f"unrecognized encryption type: {scheme}")
+
+
+def m_decrypt_aes(v, scheme, key, iv):
+    """decrypt_aes (methods_strings.go:388-505)."""
+    from bento_ray import aescipher as ac
+
+    scheme = get_string(scheme)
+    b, key_b, iv_b = get_bytes(v), get_bytes(key), get_bytes(iv)
+    try:
+        if scheme == "ctr":
+            return ac.ctr_xor(key_b, iv_b, b)
+        if scheme == "ofb":
+            return ac.ofb_xor(key_b, iv_b, b)
+        if scheme == "cbc":
+            return ac.cbc_decrypt(key_b, iv_b, b)
+        if scheme == "gcm":
+            return ac.gcm_open(key_b, iv_b, b)
+    except ac.AESError as e:
+        raise BloblangError(str(e)) from None
+    raise BloblangError(f"unrecognized decryption type: {scheme}")
+
+
 def m_hash(v, algorithm, *extra, **kw):
     """Reference: methods_strings.go:820-900 — returns BYTES; xxhash64 /
     crc32 return their decimal representation as ASCII bytes."""
@@ -830,6 +872,8 @@ def _build_registry():
     reg("parse_csv", _parse_csv_entry)
     reg("encode", _m(m_encode))
     reg("decode", _m(m_decode))
+    reg("encrypt_aes", _m(m_encrypt_aes))
+    reg("decrypt_aes", _m(m_decrypt_aes))
     reg("hash", m_hash_entry)
     reg("compress", _compress_entry)
     reg("decompress", _decompress_entry)

@@ -129,3 +129,102 @@ def test_parse_xml_repeated_elements_become_arrays():
     got = compile_mapping('root = this.x.parse_xml()').run_value(
         {"x": "<r><i>1</i><i>2</i></r>"})
     assert got == {"r": {"i": ["1", "2"]}}
+
+
+# ------------------------------------------------------- AES methods
+# methods_test.go:1702-1900 "check aes-*" cases, run as full mapping
+# chains (decode hex → crypt → encode hex) like the reference does.
+AES_CASES = [
+    # ctr round trip (doc example methods_strings.go:287-292)
+    ('root = this.v.encrypt_aes("ctr",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")).encode("hex")',
+     {"v": "hello world!"}, "84e9b31ff7400bdf80be7254"),
+    ('root = this.v.decode("hex").decrypt_aes("ctr",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")).string()',
+     {"v": "84e9b31ff7400bdf80be7254"}, "hello world!"),
+    # ofb
+    ('root = this.v.encrypt_aes("ofb",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex")).encode("hex")',
+     {"v": "hello world!"}, "389b0ba0f64d45d9a86553c8"),
+    ('root = this.v.decode("hex").decrypt_aes("ofb",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex")).string()',
+     {"v": "389b0ba0f64d45d9a86553c8"}, "hello world!"),
+    # cbc (single-block NIST vector; non-UTF8 bytes so compare hex —
+    # Go strings carry raw bytes, Python str cannot)
+    ('root = this.v.decode("hex").encrypt_aes("cbc",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex")).encode("hex")',
+     {"v": "6bc1bee22e409f96e93d7e117393172a"},
+     "7649abac8119b246cee98e9b12e9197d"),
+    ('root = this.v.decode("hex").decrypt_aes("cbc",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex")).encode("hex")',
+     {"v": "7649abac8119b246cee98e9b12e9197d"},
+     "6bc1bee22e409f96e93d7e117393172a"),
+    # gcm
+    ('root = this.v.decode("hex").encrypt_aes("gcm",'
+     '"feffe9928665731c6d6a8f9467308308feffe9928665731c6d6a8f94'
+     '67308308".decode("hex"),'
+     '"54cc7dc2c37ec006bcc6d1da".decode("hex")).encode("hex")',
+     {"v": "007c5e5b3e59df24a7c355584fc1518d"},
+     "d50b9e252b70945d4240d351677eb10f937cdaef6f2822b6a3191654ba41b197"),
+    ('root = this.v.decode("hex").decrypt_aes("gcm",'
+     '"feffe9928665731c6d6a8f9467308308feffe9928665731c6d6a8f94'
+     '67308308".decode("hex"),'
+     '"54cc7dc2c37ec006bcc6d1da".decode("hex")).encode("hex")',
+     {"v": "d50b9e252b70945d4240d351677eb10f937cdaef6f2822b6a3191654"
+           "ba41b197"},
+     "007c5e5b3e59df24a7c355584fc1518d"),
+]
+
+
+@pytest.mark.parametrize("query,doc,want", AES_CASES)
+def test_aes_method_parity(query, doc, want):
+    from bento_ray.blobl.interp import Message
+
+    msg = Message(structured=doc)
+    out = compile_mapping(query).run_batch([msg])
+    got = out[0].structured() if out[0]._parsed else out[0].raw
+    assert got == want, (query, got, want)
+
+
+@pytest.mark.parametrize("query,doc,errpart", [
+    # "check aes-cbc encryption error"
+    ('root = this.v.encrypt_aes("cbc",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex"))',
+     {"v": "hello world"}, "plaintext is not a multiple"),
+    # "check aes-cbc decryption error"
+    ('root = this.v.decode("hex").decrypt_aes("cbc",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex"))',
+     {"v": "7649abac81"}, "ciphertext is not a multiple"),
+    # bad iv size
+    ('root = this.v.encrypt_aes("ctr",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"), "shortiv")',
+     {"v": "x"}, "initialisation vector size"),
+    # bad key size (crypto/aes error text)
+    ('root = this.v.encrypt_aes("ctr", "shortkey",'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex"))',
+     {"v": "x"}, "invalid key size"),
+    # unknown scheme
+    ('root = this.v.encrypt_aes("rot13",'
+     '"2b7e151628aed2a6abf7158809cf4f3c".decode("hex"),'
+     '"000102030405060708090a0b0c0d0e0f".decode("hex"))',
+     {"v": "x"}, "unrecognized encryption type"),
+    # gcm tampered tag
+    ('root = ("00".repeat(17)).decode("hex").decrypt_aes("gcm",'
+     '"feffe9928665731c6d6a8f9467308308feffe9928665731c6d6a8f94'
+     '67308308".decode("hex"),'
+     '"54cc7dc2c37ec006bcc6d1da".decode("hex"))',
+     {}, "authentication failed"),
+])
+def test_aes_method_errors(query, doc, errpart):
+    from bento_ray.blobl.interp import BloblangError, Message
+
+    with pytest.raises(BloblangError, match=errpart):
+        compile_mapping(query).run_batch([Message(structured=doc)])
