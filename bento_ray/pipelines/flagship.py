@@ -71,8 +71,10 @@ def pages_from_documents(sf_dir: str):
     Lets the flagship run directly over /root/testdata."""
     from bento_ray.html import go_escape
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang", "source"])
+    from bento_ray.sources.inputs import read_parquet
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
 
     def _f(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -99,7 +101,9 @@ def flagship_batch(pages, window_size_us: int = 10_000_000,
     of (window_end, lang, pages, nbytes, lang_name, script, version,
     window_end_timestamp)."""
     if isinstance(pages, str):
-        ds = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+        from bento_ray.sources.inputs import read_parquet
+
+        ds = read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
     else:
         ds = pages
     ds = ds.map_batches(_Extract(), batch_format="pyarrow")

@@ -49,11 +49,12 @@ def _t(sf_dir: str, name: str, columns=None):
         nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         nb = 8
-    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
-                         override_num_blocks=nb)
-    # fuses with the query's first map_batches — no extra pass
-    return ds.map_batches(_strip_meta, batch_format="pyarrow",
-                          batch_size=None)
+    # sources.read_parquet passes a metadata-stripped footer schema so
+    # Ray's schema dedupe works (no pandas-metadata dicts in any batch)
+    from bento_ray.sources.inputs import read_parquet
+
+    return read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                        override_num_blocks=nb)
 
 
 def _round_cols(ds, cols: list[str], digits: int = 4):

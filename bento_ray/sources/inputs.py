@@ -31,9 +31,42 @@ def _strip_meta(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def _clean_schema(paths, columns):
+    """Footer schema of the first file with ALL metadata stripped
+    (projected to ``columns`` when given). The driver's parquet carries
+    pandas metadata whose nested dicts make pyarrow.Schema unhashable,
+    which defeats Ray's hash-based schema dedupe at every unify (the
+    'Failed to hash the schemas' warning) — passing a clean schema to
+    read_parquet kills that at the source. Footer-only read: cheap at
+    any scale."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if os.path.isdir(path):
+        names = [n for n in sorted(os.listdir(path))
+                 if n.endswith(".parquet")]
+        if not names:
+            return None
+        path = os.path.join(path, names[0])
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
 def read_parquet(paths, columns=None, **kw):
     """Primary source. Always pass ``columns`` — reading all columns for
     a 2-column transform wastes the scan at scale."""
+    if "schema" not in kw:
+        try:
+            sch = _clean_schema(paths, columns)
+        except Exception:
+            sch = None
+        if sch is not None:
+            return rd.read_parquet(paths, columns=columns, schema=sch,
+                                   **kw)
     ds = rd.read_parquet(paths, columns=columns, **kw)
     return ds.map_batches(_strip_meta, batch_format="pyarrow",
                           batch_size=None)
