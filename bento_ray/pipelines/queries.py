@@ -912,7 +912,11 @@ def q_ann_lsh(sf_dir: str):
 
     qm, qids = _query_vectors(sf_dir, 5)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_cosine_topk(ds, qm, qids, k=10)
+    # 8-table OR-construction + 4-probe: measured recall@10 = 0.90 vs
+    # the q_ann_topk brute-force oracle at sf0.01 (pinned in
+    # tests/test_textops.py::test_lsh_ann_recall)
+    return lsh_cosine_topk(ds, qm, qids, k=10, num_planes=5,
+                           num_tables=8, num_probes=4)
 
 
 def q_flagship_stream(sf_dir: str):

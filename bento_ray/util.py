@@ -114,8 +114,12 @@ class _BenignEmptySchemaDivergence:
 
     def filter(self, record) -> bool:  # logging.Filter protocol
         msg = record.getMessage()
-        return not ("RefBundle with a different schema" in msg
-                    and "new schema: ." in msg)
+        if "RefBundle with a different schema" not in msg:
+            return True
+        # empty-Arrow ("new schema: .") and empty-pandas variants of
+        # the same Ray-internal empty-partition block
+        return not ("new schema: ." in msg
+                    or "new schema: PandasBlockSchema(names=[]" in msg)
 
 
 def quiet_benign_ray_warnings() -> None:
