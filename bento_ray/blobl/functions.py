@@ -110,8 +110,13 @@ def call_function(name, arg_qs, kwarg_qs, ctx, ev):
     if name == "throw":
         raise BloblangError(get_string(args[0]))
     if name == "fake":
+        from bento_ray.fakegen import get_fake_value
+
         kind = get_string(args[0]) if args else ""
-        return f"fake:{kind}"
+        try:
+            return get_fake_value(kind)
+        except ValueError as e:
+            raise BloblangError(str(e)) from None
     if name == "ulid":
         import base64 as _b
 

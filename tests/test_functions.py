@@ -159,3 +159,59 @@ def test_hash_crc32_decimal():
 
     out = METHODS["hash"](pa.array(["hello"]), "crc32").to_pylist()
     assert out == [str(binascii.crc32(b"hello"))]
+
+
+# ----------------------------------------------------------- fake()
+def test_fake_all_documented_functions():
+    """bloblang.go:62-67 documented list — every name returns a
+    non-empty value; shapes spot-checked; unknown errors like
+    GetFakeValue's tail (bloblang.go:240)."""
+    import re
+
+    from bento_ray.fakegen import get_fake_value
+
+    documented = [
+        "latitude", "longitude", "unix_time", "date", "time_string",
+        "month_name", "year_string", "day_of_week", "day_of_month",
+        "timestamp", "century", "timezone", "time_period", "email",
+        "mac_address", "domain_name", "url", "username", "ipv4",
+        "ipv6", "password", "jwt", "word", "sentence", "paragraph",
+        "cc_type", "cc_number", "currency", "amount_with_currency",
+        "title_male", "title_female", "first_name", "first_name_male",
+        "first_name_female", "last_name", "name", "gender",
+        "chinese_first_name", "chinese_last_name", "chinese_name",
+        "phone_number", "toll_free_phone_number", "e164_phone_number",
+        "uuid_hyphenated", "uuid_digit",
+    ]
+    for fn in documented:
+        v = get_fake_value(fn)
+        assert v not in (None, ""), fn
+    assert isinstance(get_fake_value("latitude"), float)
+    assert -90 <= get_fake_value("latitude") <= 90
+    assert isinstance(get_fake_value("unix_time"), int)
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", get_fake_value("date"))
+    assert re.fullmatch(r"\d{2}:\d{2}:\d{2}",
+                        get_fake_value("time_string"))
+    assert re.fullmatch(r"[a-z0-9]+@[a-z]+\.[a-z]+",
+                        get_fake_value("email"))
+    assert re.fullmatch(r"(\d{1,3}\.){3}\d{1,3}", get_fake_value("ipv4"))
+    assert re.fullmatch(r"([0-9a-f]{4}:){7}[0-9a-f]{4}",
+                        get_fake_value("ipv6"))
+    assert get_fake_value("jwt").count(".") == 2
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}",
+        get_fake_value("uuid_hyphenated"))
+    assert re.fullmatch(r"[0-9a-f]{32}", get_fake_value("uuid_digit"))
+    assert re.fullmatch(r"\d{3}-\d{3}-\d{4}",
+                        get_fake_value("phone_number"))
+    assert get_fake_value("") != ""  # default FakeData(&str)
+
+
+def test_fake_in_mapping_and_invalid():
+    from bento_ray.blobl import compile_mapping
+    from bento_ray.blobl.interp import BloblangError, Message
+
+    got = compile_mapping('root.e = fake("email")').run_value({})
+    assert "@" in got["e"]
+    with pytest.raises(BloblangError, match="invalid faker function: foo"):
+        compile_mapping('root = fake("foo")').run_value({})
