@@ -242,10 +242,21 @@ class Pipeline:
             cfg = dict(inp["csv"])
             p = cls(read_csv(cfg.pop("paths", cfg.pop("path", None)), **cfg))
         elif "file" in inp:
-            from bento_ray.sources.inputs import read_lines
-
             cfg = dict(inp["file"])
-            p = cls(read_lines(cfg.pop("paths", cfg.pop("path", None))))
+            paths = cfg.pop("paths", cfg.pop("path", None))
+            scanner_cfg = cfg.pop("scanner", None)
+            if scanner_cfg is not None:
+                # input_file.go scanner field: explode each file through
+                # the configured scanner (columns content/path)
+                from bento_ray.sources.scanners import (
+                    build_scanner, scan_paths,
+                )
+
+                p = cls(scan_paths(paths, build_scanner(scanner_cfg)))
+            else:
+                from bento_ray.sources.inputs import read_lines
+
+                p = cls(read_lines(paths))
         elif "generate" in inp:
             from bento_ray.blobl.stage import generate_dataset
 

@@ -292,3 +292,49 @@ def scan_paths(paths, scanner: Scanner, include_path: bool = True):
         return pa.table(cols)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def build_scanner(cfg) -> Scanner:
+    """Compile a Bento scanner config node (the ``scanner:`` field of
+    the file/socket inputs — internal/component/scanner registry) into
+    a Scanner. Nested scanners use the reference's field names
+    (``into`` for decompress, ``child`` for skip_bom):
+
+        {"lines": {}}
+        {"decompress": {"algorithm": "gzip", "into": {"lines": {}}}}
+        {"avro": {"raw_json": true}}
+    """
+    if cfg is None:
+        return lines()
+    if isinstance(cfg, str):
+        cfg = {cfg: {}}
+    (name, opts), = cfg.items()
+    opts = opts or {}
+    if name == "lines":
+        return lines()
+    if name == "chunker":
+        return chunker(int(opts["size"]))
+    if name == "re_match":
+        return re_match(opts["pattern"])
+    if name == "decompress":
+        inner = build_scanner(opts.get("into")) if "into" in opts else None
+        return decompress(opts["algorithm"], inner)
+    if name == "tar":
+        return tar()
+    if name == "csv":
+        return csv_scanner(opts.get("custom_delimiter", ","))
+    if name == "json_documents":
+        return json_documents()
+    if name == "skip_bom":
+        return skip_bom(build_scanner(opts.get("into") or
+                                      opts.get("child")))
+    if name == "avro":
+        return avro(bool(opts.get("raw_json", False)))
+    if name == "xml_documents":
+        if opts.get("operator", "to_json") not in ("", "to_json"):
+            raise ValueError(
+                f"operator not recognised: {opts['operator']}")
+        return xml_documents(bool(opts.get("cast", False)))
+    if name == "to_the_end":
+        return to_the_end()
+    raise ValueError(f"unknown scanner: {name}")

@@ -249,3 +249,48 @@ def test_xml_documents_cast_and_prelude():
             b'<r n="3">true</r>\n<r n="x">7</r>')
     assert xml_scan(data, cast=True) == [
         '{"r":{"#text":true,"-n":3}}', '{"r":{"#text":7,"-n":"x"}}']
+
+
+def test_file_input_scanner_field_yaml(tmp_path, ray_session):
+    """input_file.go scanner field through the YAML surface: an Avro
+    OCF file exploded by the avro scanner, and an xml_documents file,
+    each via Pipeline.from_yaml."""
+    s = av.parse_schema('"string"')
+    (tmp_path / "vals.avro").write_bytes(
+        av.write_ocf(s, '"string"', ["a", "b", "c"]))
+    (tmp_path / "docs.xml").write_text("<d>x</d>\n<d>y</d>\n")
+
+    from bento_ray.pipelines.builder import Pipeline
+
+    rows = Pipeline.from_yaml(f"""
+input:
+  file:
+    paths: ["{tmp_path}/vals.avro"]
+    scanner:
+      avro: {{}}
+""").dataset().take_all()
+    assert sorted(r["content"] for r in rows) == [b'"a"', b'"b"', b'"c"']
+
+    rows = Pipeline.from_yaml(f"""
+input:
+  file:
+    paths: ["{tmp_path}/docs.xml"]
+    scanner:
+      xml_documents:
+        operator: to_json
+""").dataset().take_all()
+    assert sorted(r["content"] for r in rows) == [
+        b'{"d":"x"}', b'{"d":"y"}']
+
+
+def test_build_scanner_nested_decompress():
+    import gzip
+
+    from bento_ray.sources.scanners import build_scanner
+
+    sc = build_scanner({"decompress": {"algorithm": "gzip",
+                                       "into": {"lines": {}}}})
+    data = gzip.compress(b"one\ntwo\nthree")
+    assert list(sc(data)) == [b"one", b"two", b"three"]
+    with pytest.raises(ValueError, match="unknown scanner"):
+        build_scanner({"nope": {}})
