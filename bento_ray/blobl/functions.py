@@ -95,7 +95,12 @@ def call_function(name, arg_qs, kwarg_qs, ctx, ev):
 
         return _b.b32encode(os.urandom(17)).decode().lower()[:27]
     if name == "snowflake_id":
-        return str((int(time.time() * 1000) << 22) | random.getrandbits(22))
+        # bwmarrin/snowflake layout (lang/bloblang.go:96-120):
+        # 41-bit ms since twitter epoch | 10-bit node_id | 12-bit seq
+        node_id = get_int(kwargs.get("node_id",
+                                     args[0] if args else 1)) & 0x3FF
+        ms = int(time.time() * 1000) - 1288834974657
+        return str((ms << 22) | (node_id << 12) | random.getrandbits(12))
     if name == "random_int":
         seed = kwargs.get("seed")
         mn = get_int(kwargs.get("min", args[0] if args else 0))
@@ -118,7 +123,28 @@ def call_function(name, arg_qs, kwarg_qs, ctx, ev):
         except ValueError as e:
             raise BloblangError(str(e)) from None
     if name == "ulid":
-        import base64 as _b
-
-        return _b.b32encode(os.urandom(16)).decode().rstrip("=")[:26]
+        # registerULID (lang/bloblang.go:243+): 48-bit ms timestamp +
+        # 80-bit randomness; crockford base32 (26 chars) or hex (32);
+        # random_source secure_random/fast_random
+        encoding = get_string(args[0]) if args else \
+            get_string(kwargs.get("encoding", "crockford"))
+        source = get_string(args[1]) if len(args) > 1 else \
+            get_string(kwargs.get("random_source", "secure_random"))
+        if source == "secure_random":
+            rnd = os.urandom(10)
+        elif source == "fast_random":
+            rnd = random.getrandbits(80).to_bytes(10, "big")
+        else:
+            raise BloblangError(
+                f"invalid random source: {source}")
+        raw = (int(time.time() * 1000) & ((1 << 48) - 1)).to_bytes(
+            6, "big") + rnd
+        if encoding == "hex":
+            return raw.hex()
+        if encoding != "crockford":
+            raise BloblangError(f"invalid ulid encoding: {encoding}")
+        alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+        n = int.from_bytes(raw, "big")
+        return "".join(alphabet[(n >> (5 * i)) & 31]
+                       for i in range(25, -1, -1))
     raise BloblangError(f"unrecognised function '{name}'")

@@ -268,7 +268,7 @@ def m_parse_xml(v, cast=False):
 _AST_METHODS = {"catch", "or", "from", "from_all", "apply", "map_each",
                 "map_each_key", "filter", "sort", "sort_by", "fold",
                 "any", "all", "find", "find_all", "find_by",
-                "find_all_by"}
+                "find_all_by", "split_by", "map"}
 
 
 def _annotate(node) -> str | None:
@@ -351,6 +351,45 @@ def _call_ast_method(target_q, name, arg_qs, kwarg_qs, ctx, ev):
             return out
         raise BloblangError(
             f"expected array or object value, got {type_of(target)}")
+    if name == "map":
+        # NewHiddenMethodSpec("map") (methods.go:335): run the query
+        # with the target as context
+        return _elem_eval(arg_qs[0], ctx, target, ev)
+    if name == "split_by":
+        # methods_structured.go:1859+ — strings split per character
+        # (separator chars dropped, empty segments kept); arrays split
+        # at elements where the predicate is true (separators dropped)
+        if isinstance(target, (str, bytes, bytearray)):
+            is_bytes = not isinstance(target, str)
+            s = get_string(target)
+            if s == "":
+                return [b"" if is_bytes else ""]
+            segments, start = [], 0
+            for i, ch in enumerate(s):
+                r = _elem_eval(arg_qs[0], ctx, ch, ev)
+                if r is not True:
+                    continue
+                seg = s[start:i]
+                segments.append(seg.encode() if is_bytes else seg)
+                start = i + 1
+            seg = s[start:]
+            segments.append(seg.encode() if is_bytes else seg)
+            return segments
+        if isinstance(target, list):
+            if not target:
+                return [[]]
+            segments, cur = [], []
+            for el in target:
+                r = _elem_eval(arg_qs[0], ctx, el, ev)
+                if r is True:
+                    segments.append(cur)
+                    cur = []
+                else:
+                    cur.append(el)
+            segments.append(cur)
+            return segments
+        raise BloblangError(
+            f"expected string, array or bytes value, got {type_of(target)}")
     if name == "map_each_key":
         if not isinstance(target, dict):
             raise BloblangError(
@@ -889,6 +928,36 @@ def _build_registry():
     # timestamps
     reg("parse_timestamp", _m(m_parse_timestamp))
     reg("format_timestamp", _m(m_format_timestamp))
+    # deprecated aliases (pure/bloblang_time.go *SpecDep registrations)
+    reg("parse_timestamp_strptime", _m(lambda v, f: _format_rfc3339(
+        _strptime(get_string(v), get_string(f)))))
+    reg("format_timestamp_strftime",
+        _m(lambda v, f, tz=None: _strftime(v, f, tz)))
+    reg("format_timestamp_unix", _m(lambda v: int(
+        _parse_ts(v).timestamp())))
+    reg("format_timestamp_unix_milli", _m(lambda v: int(
+        _parse_ts(v).timestamp() * 1_000)))
+    reg("format_timestamp_unix_micro", _m(lambda v: int(
+        _parse_ts(v).timestamp() * 1_000_000)))
+    reg("format_timestamp_unix_nano", _m(lambda v: int(
+        _parse_ts(v).timestamp() * 1_000_000_000)))
+    reg("ts_sub", _m(m_ts_sub))
+    # trig + pow (pure/bloblang_numbers.go v2 pack)
+    reg("cos", _num_method(math.cos))
+    reg("sin", _num_method(math.sin))
+    reg("tan", _num_method(math.tan))
+    reg("pow", _num_method(lambda v, e: v ** get_number(e)))
+    # structured / parsing additions
+    reg("re_find_all_object", _m(_re_find_all_object))
+    reg("re_replace", _m(lambda v, p, r: dispatch(
+        "re_replace_all", v, [p, r], {}, None)))  # deprecated alias
+    reg("format_xml", _m(m_format_xml))
+    reg("json_schema", _m(m_json_schema))
+    reg("json_path", _m(m_json_path))
+    reg("parse_form_url_encoded", _m(m_parse_form_url_encoded))
+    reg("parse_parquet", _m(m_parse_parquet))
+    reg("diff", _m(m_diff))
+    reg("patch", _m(m_patch))
     reg("ts_parse", _m(m_parse_timestamp))
     reg("ts_format", _m(m_format_timestamp))
     reg("ts_strptime", _m(lambda v, f: _format_rfc3339(
@@ -1274,6 +1343,305 @@ def _re_find_object(v, p):
     for name, g in (m.groupdict() or {}).items():
         out[name] = g if g is not None else ""
     return out
+
+
+def _re_find_all_object(v, p):
+    """re_find_all_object (methods_strings.go:1734): one group-object
+    per match."""
+    out = []
+    for m in re.finditer(_go_regex(get_string(p)), get_string(v)):
+        obj = {"0": m.group(0)}
+        for i, g in enumerate(m.groups(), 1):
+            obj[str(i)] = g if g is not None else ""
+        for name, g in (m.groupdict() or {}).items():
+            obj[name] = g if g is not None else ""
+        out.append(obj)
+    return out
+
+
+def _xml_value_to_elem(tag: str, val, indent: str, depth: int,
+                       out: list) -> None:
+    pad = indent * depth
+    if isinstance(val, list):
+        for item in val:
+            _xml_value_to_elem(tag, item, indent, depth, out)
+        return
+    if isinstance(val, dict):
+        attrs = "".join(f' {k[1:]}="{v}"' for k, v in sorted(val.items())
+                        if k.startswith("-"))
+        children = {k: v for k, v in val.items()
+                    if not k.startswith("-") and k != "#text"}
+        text = val.get("#text")
+        if not children and text is None:
+            out.append(f"{pad}<{tag}{attrs}></{tag}>")
+            return
+        if not children:
+            out.append(f"{pad}<{tag}{attrs}>{text}</{tag}>")
+            return
+        out.append(f"{pad}<{tag}{attrs}>")
+        if text is not None:
+            out.append(f"{pad}{indent}{text}")
+        for k in children:
+            _xml_value_to_elem(k, children[k], indent, depth + 1, out)
+        out.append(f"{pad}</{tag}>")
+        return
+    sval = "" if val is None else (
+        ("true" if val else "false") if isinstance(val, bool) else val)
+    out.append(f"{pad}<{tag}>{sval}</{tag}>")
+
+
+def m_format_xml(v, indent="    ", no_indent=False):
+    """format_xml (internal/impl/xml/bloblang.go:63+): object → XML
+    bytes; 4-space indentation by default, newlines kept even with an
+    empty indent string, ``no_indent`` flattens entirely."""
+    if not isinstance(v, dict):
+        raise BloblangError(f"expected object value, got {type_of(v)}")
+    indent = "" if no_indent else get_string(indent)
+    lines: list = []
+    for tag in v:
+        _xml_value_to_elem(tag, v[tag], indent, 0, lines)
+    joined = "".join(lines) if no_indent else "\n".join(lines)
+    return joined.encode("utf-8")
+
+
+def m_json_schema(v, schema):
+    """json_schema (methods_structured.go): validate the target
+    against a JSON schema; returns the target unchanged or errors."""
+    import json as _json
+
+    from bento_ray.stages.parsers import JsonSchemaValidator
+
+    sch = schema if isinstance(schema, dict) else \
+        _json.loads(get_string(schema))
+    err = JsonSchemaValidator(sch)._check(v, sch)
+    if err:
+        raise BloblangError(f"value failed JSON schema check: {err}")
+    return v
+
+
+_JP_PLURAL = re.compile(r"\.\.|\[\*\]|\.\*|\[\?\(")
+
+
+def _jsonpath_step(nodes, tok):
+    out = []
+    for n in nodes:
+        kind, arg = tok
+        if kind == "name":
+            if isinstance(n, dict) and arg in n:
+                out.append(n[arg])
+        elif kind == "wild":
+            if isinstance(n, dict):
+                out.extend(n.values())
+            elif isinstance(n, list):
+                out.extend(n)
+        elif kind == "index":
+            if isinstance(n, list) and -len(n) <= arg < len(n):
+                out.append(n[arg])
+        elif kind == "recur":
+            stack = [n]
+            while stack:
+                cur = stack.pop(0)
+                if isinstance(cur, dict):
+                    if arg in cur:
+                        out.append(cur[arg])
+                    stack.extend(cur.values())
+                elif isinstance(cur, list):
+                    stack.extend(cur)
+        elif kind == "filter":
+            field, op, want = arg
+            if isinstance(n, list):
+                for el in n:
+                    if isinstance(el, dict) and field in el:
+                        ok = el[field] == want if op == "==" \
+                            else el[field] != want
+                        if ok:
+                            out.append(el)
+    return out
+
+
+_JP_TOKEN = re.compile(
+    r"\.\.(?P<recur>[A-Za-z_][\w]*)"
+    r"|\.(?P<wildd>\*)"
+    r"|\.(?P<name>[A-Za-z_][\w]*)"
+    r"|\[\s*'(?P<qname>[^']*)'\s*\]"
+    r"|\[\s*\"(?P<dqname>[^\"]*)\"\s*\]"
+    r"|\[\s*(?P<index>-?\d+)\s*\]"
+    r"|\[\s*(?P<wildb>\*)\s*\]"
+    r"|\[\?\(\s*@\.(?P<ffield>[\w]+)\s*(?P<fop>==|!=)\s*"
+    r"(?:'(?P<fstr>[^']*)'|(?P<fnum>-?\d+(?:\.\d+)?))\s*\)\]")
+
+
+def m_json_path(v, expression):
+    """json_path (internal/impl/jsonpath/bloblang_jsonpath.go) —
+    subset evaluator: dot/bracket names, indices, wildcards,
+    recursive descent, and [?(@.field=='x')] filters. Definite paths
+    return the value itself; plural paths return an array (gval
+    jsonpath convention shown in the reference examples)."""
+    expr = get_string(expression)
+    if not expr.startswith("$"):
+        raise BloblangError(
+            f"failed to evaluate json path expression: {expr!r}")
+    rest = expr[1:]
+    toks = []
+    pos = 0
+    while pos < len(rest):
+        m = _JP_TOKEN.match(rest, pos)
+        if not m:
+            raise BloblangError(
+                f"failed to evaluate json path expression: {expr!r}")
+        if m.group("recur"):
+            toks.append(("recur", m.group("recur")))
+        elif m.group("wildd") or m.group("wildb"):
+            toks.append(("wild", None))
+        elif m.group("name") is not None:
+            toks.append(("name", m.group("name")))
+        elif m.group("qname") is not None:
+            toks.append(("name", m.group("qname")))
+        elif m.group("dqname") is not None:
+            toks.append(("name", m.group("dqname")))
+        elif m.group("index") is not None:
+            toks.append(("index", int(m.group("index"))))
+        else:
+            want = m.group("fstr") if m.group("fstr") is not None else \
+                float(m.group("fnum")) if "." in (m.group("fnum") or "") \
+                else int(m.group("fnum"))
+            toks.append(("filter", (m.group("ffield"), m.group("fop"),
+                                    want)))
+        pos = m.end()
+    nodes = [v]
+    for tok in toks:
+        nodes = _jsonpath_step(nodes, tok)
+    if _JP_PLURAL.search(expr):
+        return nodes
+    if not nodes:
+        raise BloblangError(f"json path {expr!r} found no results")
+    return nodes[0]
+
+
+def m_parse_form_url_encoded(v):
+    """parse_form_url_encoded (pure/bloblang_string.go): Go
+    url.ParseQuery shape — single values collapse to scalars."""
+    from urllib.parse import parse_qs
+
+    try:
+        parsed = parse_qs(get_string(v), keep_blank_values=True,
+                          strict_parsing=False, errors="strict")
+    except (UnicodeDecodeError, ValueError) as e:
+        raise BloblangError(
+            f"failed to parse value as url-encoded data: {e}")
+    return {k: (vals[0] if len(vals) == 1 else list(vals))
+            for k, vals in parsed.items()}
+
+
+def m_parse_parquet(v):
+    """parse_parquet (internal/impl/parquet/bloblang.go): parquet
+    bytes → array of row objects."""
+    import io as _io
+
+    import pyarrow.parquet as _pq
+
+    try:
+        table = _pq.read_table(_io.BytesIO(get_bytes(v)))
+    except Exception as e:
+        raise BloblangError(f"failed to parse value as parquet: {e}")
+    return table.to_pylist()
+
+
+def _diff_changelog(a, b, path, out):
+    """r3labs/diff-style changelog: entries {type, path, from, to}
+    with string path segments. Slices compare by index (documented
+    simplification of r3labs's unordered matching)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        for k in a:
+            if k in b:
+                _diff_changelog(a[k], b[k], path + [str(k)], out)
+            else:
+                out.append({"type": "delete", "path": path + [str(k)],
+                            "from": a[k], "to": None})
+        for k in b:
+            if k not in a:
+                out.append({"type": "create", "path": path + [str(k)],
+                            "from": None, "to": b[k]})
+        return
+    if isinstance(a, list) and isinstance(b, list):
+        for i in range(min(len(a), len(b))):
+            _diff_changelog(a[i], b[i], path + [str(i)], out)
+        for i in range(len(b), len(a)):
+            out.append({"type": "delete", "path": path + [str(i)],
+                        "from": a[i], "to": None})
+        for i in range(len(a), len(b)):
+            out.append({"type": "create", "path": path + [str(i)],
+                        "from": None, "to": b[i]})
+        return
+    if a != b or type(a) is not type(b):
+        out.append({"type": "update", "path": list(path),
+                    "from": a, "to": b})
+
+
+def m_diff(v, other):
+    """diff (internal/impl/changelog/bloblang.go:12-43)."""
+    if v is None:
+        return None
+    out: list = []
+    _diff_changelog(v, other, [], out)
+    return out
+
+
+def m_patch(v, changelog):
+    """patch (changelog/bloblang.go:45-87): apply a diff changelog."""
+    import copy
+
+    if v is None:
+        return None
+    if not isinstance(changelog, list):
+        raise BloblangError(
+            f"expected array changelog, got {type_of(changelog)}")
+    doc = copy.deepcopy(v)
+    for entry in changelog:
+        path = [str(p) for p in entry.get("path", [])]
+        typ = entry.get("type")
+        if not path:
+            continue
+        parent = doc
+        ok = True
+        for seg in path[:-1]:
+            if isinstance(parent, dict) and seg in parent:
+                parent = parent[seg]
+            elif isinstance(parent, list) and seg.lstrip("-").isdigit() \
+                    and -len(parent) <= int(seg) < len(parent):
+                parent = parent[int(seg)]
+            else:
+                ok = False
+                break
+        if not ok:
+            continue
+        leaf = path[-1]
+        if isinstance(parent, list):
+            if not leaf.lstrip("-").isdigit():
+                continue
+            idx = int(leaf)
+            if typ == "delete":
+                if -len(parent) <= idx < len(parent):
+                    del parent[idx]
+            elif typ == "create" and idx == len(parent):
+                parent.append(entry.get("to"))
+            elif -len(parent) <= idx < len(parent):
+                parent[idx] = entry.get("to")
+        elif isinstance(parent, dict):
+            if typ == "delete":
+                parent.pop(leaf, None)
+            else:
+                parent[leaf] = entry.get("to")
+    return doc
+
+
+def m_ts_sub(v, t2):
+    """ts_sub (pure/bloblang_time.go:581-603): t1 - t2 in
+    nanoseconds."""
+    td = _parse_ts(v) - _parse_ts(t2)
+    return (td.days * 86_400_000_000_000
+            + td.seconds * 1_000_000_000
+            + td.microseconds * 1_000)
 
 
 def _slug(v):

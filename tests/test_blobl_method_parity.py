@@ -228,3 +228,111 @@ def test_aes_method_errors(query, doc, errpart):
 
     with pytest.raises(BloblangError, match=errpart):
         compile_mapping(query).run_batch([Message(structured=doc)])
+
+
+# ------------------------------------------- round-3 method additions
+# Cases transcribed from the reference specs' doc examples:
+# methods_structured.go (split_by, json_schema), xml/bloblang.go
+# (format_xml), jsonpath/bloblang_jsonpath.go (json_path),
+# pure/bloblang_string.go (parse_form_url_encoded),
+# pure/bloblang_time.go (ts_sub + deprecated aliases),
+# changelog/bloblang.go (diff/patch), methods_strings.go
+# (re_find_all_object), pure/bloblang_numbers.go (trig/pow).
+R3_CASES = [
+    ('root.words = this.s.split_by(c -> c == " ")',
+     {"s": "The quick brown fox"},
+     {"words": ["The", "quick", "brown", "fox"]}),
+    ('root.tokens = this.t.split_by(c -> c == "," || c == ".")',
+     {"t": "foo,bar.baz"}, {"tokens": ["foo", "bar", "baz"]}),
+    ('root.segments = this.numbers.split_by(x -> x > 50)',
+     {"numbers": [10, 20, 60, 30, 40, 70, 50]},
+     {"segments": [[10, 20], [30, 40], [50]]}),
+    ('root.all_names = this.json_path("$..name")',
+     {"name": "alice", "foo": {"name": "bob"}},
+     {"all_names": ["alice", "bob"]}),
+    ('root.all_names = this.json_path("$..name")',
+     {"thing": ["this", "bar", {"name": "alice"}]},
+     {"all_names": ["alice"]}),
+    ("""root.text_objects = this.json_path("$.body[?(@.type=='text')]")""",
+     {"body": [{"type": "image", "id": "foo"},
+               {"type": "text", "id": "bar"}]},
+     {"text_objects": [{"type": "text", "id": "bar"}]}),
+    ('root.values = this.body.parse_form_url_encoded()',
+     {"body": "noise=meow&animal=cat&fur=orange&fur=fluffy"},
+     {"values": {"noise": "meow", "animal": "cat",
+                 "fur": ["orange", "fluffy"]}}),
+    ('root.between = this.started_at.ts_sub("2020-08-14T05:54:23Z")'
+     '.abs()',
+     {"started_at": "2020-08-13T05:54:23Z"},
+     {"between": 86400000000000}),
+    ('root = this.format_xml().string()',
+     {"foo": {"bar": {"baz": "foo bar baz"}}},
+     "<foo>\n    <bar>\n        <baz>foo bar baz</baz>\n    </bar>\n"
+     "</foo>"),
+    ('root = this.format_xml(no_indent: true).string()',
+     {"foo": {"bar": {"baz": "foo bar baz"}}},
+     "<foo><bar><baz>foo bar baz</baz></bar></foo>"),
+    ('root.m = this.value.re_find_all_object("a(?P<foo>x*)b")',
+     {"value": "-axxb-ab-"},
+     {"m": [{"0": "axxb", "1": "xx", "foo": "xx"},
+            {"0": "ab", "1": "", "foo": ""}]}),
+    ('root = this.s.re_replace("ab", "X")', {"s": "ab-ab"}, "X-X"),
+    ('root = this.n.cos()', {"n": 0}, 1.0),
+    ('root = (2).pow(8)', {}, 256.0),
+    ('root = this.t.format_timestamp_unix()',
+     {"t": "2020-08-14T05:54:23Z"}, 1597384463),
+    ('root = this.t.format_timestamp_unix_nano()',
+     {"t": "2020-08-14T05:54:23Z"}, 1597384463000000000),
+    ('root = this.t.parse_timestamp_strptime("%Y-%b-%d")',
+     {"t": "2020-Aug-14"}, "2020-08-14T00:00:00Z"),
+    ('root.d = this.a.diff(this.b)',
+     {"a": {"x": 1, "y": [1, 2]}, "b": {"x": 2, "y": [1, 2, 3]}},
+     {"d": [{"type": "update", "path": ["x"], "from": 1, "to": 2},
+            {"type": "create", "path": ["y", "2"], "from": None,
+             "to": 3}]}),
+    ('root.p = this.a.patch(this.a.diff(this.b))',
+     {"a": {"x": 1, "y": [1, 2]}, "b": {"x": 2, "y": [1, 2, 3]}},
+     {"p": {"x": 2, "y": [1, 2, 3]}}),
+    # hidden legacy map method (methods.go:335)
+    ('root = this.a.map(this + 1)', {"a": 4}, 5),
+    # split_by edge: empty string yields [""]
+    ('root = this.s.split_by(c -> c == " ")', {"s": ""}, [""]),
+]
+
+
+@pytest.mark.parametrize("query,doc,want", R3_CASES)
+def test_round3_method_parity(query, doc, want):
+    from bento_ray.blobl.interp import Message
+
+    msg = Message(structured=doc)
+    out = compile_mapping(query).run_batch([msg])
+    got = out[0].structured() if out[0]._parsed else out[0].raw
+    assert got == want, (query, got, want)
+
+
+def test_parse_parquet_round_trip():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bento_ray.blobl.interp import Message
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"x": [1, 2], "s": ["a", "b"]}), buf)
+    out = compile_mapping('root = content().parse_parquet()') \
+        .run_batch([Message(raw=buf.getvalue())])
+    assert out[0].structured() == [{"x": 1, "s": "a"},
+                                   {"x": 2, "s": "b"}]
+
+
+def test_json_schema_method():
+    from bento_ray.blobl.interp import BloblangError
+
+    ok_q = ('root = this.json_schema("""'
+            '{"type":"object","required":["a"]}""")')
+    bad_q = ('root = this.json_schema("""'
+             '{"type":"object","required":["b"]}""")')
+    assert compile_mapping(ok_q).run_value({"a": 1}) == {"a": 1}
+    with pytest.raises(BloblangError, match="schema"):
+        compile_mapping(bad_q).run_value({"a": 1})

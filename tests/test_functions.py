@@ -215,3 +215,34 @@ def test_fake_in_mapping_and_invalid():
     assert "@" in got["e"]
     with pytest.raises(BloblangError, match="invalid faker function: foo"):
         compile_mapping('root = fake("foo")').run_value({})
+
+
+def test_ulid_encodings_and_sources():
+    """lang/bloblang_test.go TestULID*: crockford = 26 chars (both
+    random sources), hex = 32 chars, monotone-ish timestamp prefix."""
+    import re
+
+    from bento_ray.blobl import compile_mapping
+    from bento_ray.blobl.interp import BloblangError
+
+    run = lambda m: compile_mapping(m).run_value({})
+    u = run("root = ulid()")
+    assert len(u) == 26 and re.fullmatch(
+        r"[0-9ABCDEFGHJKMNPQRSTVWXYZ]{26}", u)
+    assert len(run('root = ulid("crockford", "fast_random")')) == 26
+    h = run('root = ulid("hex")')
+    assert len(h) == 32 and re.fullmatch(r"[0-9a-f]{32}", h)
+    with pytest.raises(BloblangError):
+        run('root = ulid("nope")')
+    with pytest.raises(BloblangError):
+        run('root = ulid("crockford", "nope")')
+
+
+def test_snowflake_id_layout():
+    """lang/bloblang.go snowflake spec: numeric string; node_id lands
+    in bits 12..21."""
+    from bento_ray.blobl import compile_mapping
+
+    v = int(compile_mapping("root = snowflake_id(2)").run_value({}))
+    assert (v >> 12) & 0x3FF == 2
+    assert v > (1 << 22)
