@@ -919,6 +919,55 @@ def q_ann_lsh(sf_dir: str):
                            num_tables=8, num_probes=4)
 
 
+def q_cosine_near_dups(sf_dir: str):
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.4 — the
+    synthetic embeddings are loosely clustered, max pairwise cosine
+    ~0.6, so a classic 0.9 threshold would be a trivially-empty
+    oracle; 0.4 yields a real pair set with ≥ 1e-5 margin from the
+    threshold at every tested scale). Output is float-free (id pairs
+    only) so the hash compare is exact."""
+    from bento_ray.textops import cosine_near_dups
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_near_dups(ds, threshold=0.4)
+
+
+SQL_COSINE_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_cosine_near_dups_lsh(sf_dir: str):
+    """The LSH scale path for embedding near-dups: same semantics as
+    q_cosine_near_dups but bucketed (one groupby shuffle, no broadcast
+    matrix). Emitted pairs are exact-verified (precision 1.0); recall
+    against planted cos ≥ 0.9 duplicates is pinned ≥ 0.9 in
+    tests/test_textops.py. At the demonstration threshold 0.4 the
+    hyperplane collision probability is low (θ ≈ 66°), so this entry
+    uses 4 planes × 8 tables and is rows-only checked via its
+    golden."""
+    from bento_ray.textops import cosine_near_dups_lsh
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_near_dups_lsh(ds, threshold=0.4, num_planes=4,
+                                num_tables=8, dim=64)
+
+
+def q_ann_ivf(sf_dir: str):
+    from bento_ray.textops import ivf_cosine_topk
+
+    qm, qids = _query_vectors(sf_dir, 5)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # 16-cell spherical-kmeans quantizer, 8-cell probe: measured
+    # recall@10 = 0.71 vs the brute-force oracle at sf0.01 (the
+    # embeddings are loosely clustered; on tight clusters a 2-cell
+    # probe reaches ≥ 0.9 — both pinned in tests/test_textops.py)
+    return ivf_cosine_topk(ds, qm, qids, k=10, num_cells=16, nprobe=8)
+
+
 def q_flagship_stream(sf_dir: str):
     """The streaming flagship (windows + dedupe + enrichment +
     exactly-once sink) on a deterministic synthetic pages corpus —
@@ -1006,12 +1055,15 @@ QUERIES = {
     "q_quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "q_config_yaml_orders": (q_config_yaml_orders, SQL_CONFIG_YAML),
     "q_archive_roundtrip": (q_archive_roundtrip, SQL_ARCHIVE_ROUNDTRIP),
+    "q_cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),
     "q_lang_id": (q_lang_id, None),
     "q_doc_fingerprints": (q_doc_fingerprints, None),
     "q_ann_lsh": (q_ann_lsh, None),
+    "q_ann_ivf": (q_ann_ivf, None),
+    "q_cosine_near_dups_lsh": (q_cosine_near_dups_lsh, None),
     "q_flagship_stream": (q_flagship_stream, None),
 }
 

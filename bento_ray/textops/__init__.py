@@ -9,7 +9,13 @@ from bento_ray.textops.quality import (
     lang_id_stage,
     quality_stage,
 )
-from bento_ray.textops.similarity import cosine_topk, lsh_cosine_topk
+from bento_ray.textops.similarity import (
+    cosine_near_dups,
+    cosine_near_dups_lsh,
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 
 __all__ = [
     "doc_stats",
@@ -21,4 +27,7 @@ __all__ = [
     "simhash64",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "cosine_near_dups",
+    "cosine_near_dups_lsh",
 ]

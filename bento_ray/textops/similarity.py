@@ -203,3 +203,266 @@ def lsh_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
 
     return cands.groupby("query_id").map_groups(_final,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (the dedup-family member
+# over the embeddings table; the text-side families — exact, MinHash,
+# SimHash, n-gram Jaccard — live in textops/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+class _AllPairsNearDup:
+    """Exact all-pairs cosine scorer. Each actor rebuilds the full
+    (id, normalized-vector) reference matrix ONCE in ``__init__`` from
+    the object-store block refs — the blocks never pass through the
+    driver — then every batch runs chunked float64 matmuls against it.
+    Every unordered pair is emitted exactly once globally: the batch
+    row ``a`` reports neighbor ``b`` only when ``a < b`` (each pair has
+    exactly one smaller-id member, which lives in exactly one batch)."""
+
+    # reference columns per matmul — bounds the transient
+    # (batch_rows × CHUNK) float64 score matrix to a few MB
+    CHUNK = 8192
+
+    def __init__(self, block_refs, threshold, id_col, vec_col):
+        tables = [t for t in ray.get(list(block_refs)) if t.num_rows]
+        if tables:
+            self.ids = np.concatenate(
+                [np.asarray(t.column(id_col).to_pylist(), np.int64)
+                 for t in tables])
+            self.mat = _normalize(np.concatenate(
+                [_stack(t.column(vec_col)) for t in tables]))
+        else:
+            self.ids = np.empty(0, np.int64)
+            self.mat = np.empty((0, 0), np.float64)
+        self.threshold = float(threshold)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bids = np.asarray(t.column(self.id_col).to_pylist(), np.int64)
+        bm = _normalize(_stack(t.column(self.vec_col)))
+        out_a, out_b = [], []
+        for s in range(0, len(self.ids), self.CHUNK):
+            rid = self.ids[s:s + self.CHUNK]
+            sims = bm @ self.mat[s:s + self.CHUNK].T     # (n, chunk)
+            mask = (sims >= self.threshold) & \
+                (bids[:, None] < rid[None, :])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                out_a.append(bids[ii])
+                out_b.append(rid[jj])
+        A = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        B = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        order = np.lexsort((B, A))
+        return pa.table({"id_a": pa.array(A[order], pa.int64()),
+                         "id_b": pa.array(B[order], pa.int64())})
+
+
+def cosine_near_dups(ds, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency: int | None = None):
+    """EXACT embedding-cosine near-duplicate pairs: all (a, b) with
+    a < b and cosine(v_a, v_b) ≥ threshold.
+
+    Shape: the input is materialized once into the object store; every
+    scorer actor mounts the block refs as its reference matrix (no
+    driver materialization — the driver only holds refs) and each batch
+    is one chunked matmul, so compute is O(N²·D / cluster) with O(N·D)
+    per-worker heap for the reference copy. That makes this the exact
+    baseline for corpora whose embedding matrix fits a worker
+    (~10⁸ rows × 64 dims × 8 B ≈ 51 GB is the practical ceiling);
+    beyond that use :func:`cosine_near_dups_lsh`, which shuffles
+    instead of broadcasting."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    return mat.map_batches(
+        _AllPairsNearDup,
+        fn_constructor_args=(refs, threshold, id_col, vec_col),
+        batch_format="pyarrow", concurrency=_conc(concurrency))
+
+
+def cosine_near_dups_lsh(ds, threshold: float = 0.9, num_planes: int = 8,
+                         num_tables: int = 8, seed: int = 42,
+                         dim: int | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         concurrency: int | None = None,
+                         num_pair_parts: int | None = None):
+    """Approximate embedding-cosine near-duplicate pairs — the scale
+    path. Random-hyperplane LSH (the same ``_LshBucketer``
+    OR-construction as :func:`lsh_cosine_topk`) buckets vectors into
+    ``num_tables × 2**num_planes`` buckets; ONE groupby shuffle
+    co-locates each bucket, a vectorized pairwise matmul inside the
+    bucket emits candidate pairs verified EXACTLY against the
+    threshold (precision 1.0 — only recall is approximate), and a
+    second tiny groupby dedupes pairs that collide in several tables.
+
+    Recall for genuinely-near duplicates is high because a hyperplane
+    splits a pair at angle θ with probability θ/π: at cosine ≥ 0.9
+    (θ ≤ 26°), P(same bucket per table) = (1 − θ/π)^planes ≈ 0.28 and
+    8 tables give ≈ 0.93 (pinned against planted duplicates in
+    tests/test_textops.py). Pair ids are packed into uint64 for the
+    dedup, so ids must fit uint32 — same documented bound as
+    near_dup_pairs_minhash."""
+    if dim is None:
+        dim = len(ds.limit(1).take(1)[0][vec_col])
+    if num_pair_parts is None:
+        from bento_ray.util import cluster_cpus
+
+        num_pair_parts = max(4, cluster_cpus())
+    P = num_pair_parts
+    thr = float(threshold)
+    rng = np.random.RandomState(seed)
+    planes_ref = ray.put(rng.standard_normal((num_tables, num_planes, dim)))
+
+    bucketed = ds.map_batches(
+        _LshBucketer, fn_constructor_args=(planes_ref, vec_col),
+        batch_format="pyarrow", concurrency=_conc(concurrency))
+
+    def _empty_pairs():
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "pair_part": pd.Series(dtype="int64")})
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs()
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vm = _normalize(np.array(g[vec_col].to_numpy()[order].tolist(),
+                                 np.float64))
+        S = vm @ vm.T                       # bucket-local — LSH bounds m
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= thr
+        if not keep.any():
+            return _empty_pairs()
+        packed = np.unique(
+            ids[ia[keep]].astype(np.uint64) << np.uint64(32)
+            | ids[ib[keep]].astype(np.uint64))
+        return pd.DataFrame({
+            "id_a": (packed >> np.uint64(32)).astype(np.int64),
+            "id_b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "pair_part": (packed % np.uint64(P)).astype(np.int64)})
+
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        _per_bucket, batch_format="pandas")
+
+    def _uniq(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _empty_pairs()[["id_a", "id_b"]]
+        packed = np.unique(
+            g["id_a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
+            | g["id_b"].to_numpy(np.int64).astype(np.uint64))
+        return pd.DataFrame({
+            "id_a": (packed >> np.uint64(32)).astype(np.int64),
+            "id_b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+
+    return pairs.groupby("pair_part").map_groups(
+        _uniq, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN — the coarse-quantizer alternative to LSH
+# ---------------------------------------------------------------------------
+
+
+def _spherical_kmeans(sample: np.ndarray, num_cells: int, iters: int,
+                      rng) -> np.ndarray:
+    """Lloyd iterations on NORMALIZED vectors (assign by max dot
+    product, recenter, renormalize) — the standard IVF coarse
+    quantizer, trained on a bounded sample. Empty cells are reseeded
+    to the point worst-served by the current centroids."""
+    num_cells = min(num_cells, sample.shape[0])
+    C = sample[rng.choice(sample.shape[0], num_cells, replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ C.T                        # (n, cells)
+        assign = np.argmax(sims, axis=1)
+        for c in range(num_cells):
+            members = sample[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = sample[np.argmin(sims.max(axis=1))]
+        C = _normalize(C)
+    return C
+
+
+class _IvfAssigner:
+    def __init__(self, c_ref, vec_col):
+        self.C = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vm = _normalize(_stack(t.column(self.vec_col)))
+        cell = np.argmax(vm @ self.C.T, axis=1).astype(np.int64)
+        return t.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+
+def ivf_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
+                    num_cells: int = 16, nprobe: int = 2,
+                    train_sample: int = 2048, train_iters: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    concurrency: int | None = None):
+    """IVF approximate top-k: a spherical k-means coarse quantizer
+    (trained driver-side on a BOUNDED ``train_sample``-row sample —
+    the standard IVF recipe; the sample and the (cells × dim) centroid
+    matrix are small regardless of corpus size) partitions vectors
+    into ``num_cells`` cells; each query probes its ``nprobe`` nearest
+    cells. One groupby shuffle over cell ids does all the scanning
+    (cells are data-adaptive, so — unlike LSH's oblivious hyperplanes —
+    probed cells concentrate true neighbors: measured recall@10 on the
+    sf0.01 embeddings is pinned in tests/test_textops.py). The final
+    combine sees ≤ nprobe × k candidate rows per query."""
+    rng = np.random.RandomState(seed)
+    sample = ds.limit(train_sample).take(train_sample)
+    sm = _normalize(np.array([r[vec_col] for r in sample], np.float64))
+    C = _spherical_kmeans(sm, num_cells, train_iters, rng)
+    c_ref = ray.put(C)
+
+    assigned = ds.map_batches(
+        _IvfAssigner, fn_constructor_args=(c_ref, vec_col),
+        batch_format="pyarrow", concurrency=_conc(concurrency))
+
+    qm = _normalize(np.asarray(query_matrix, np.float64))
+    nprobe = min(nprobe, C.shape[0])
+    probe = np.argsort(-(qm @ C.T), axis=1, kind="stable")[:, :nprobe]
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(qm.shape[0]):
+        for c in probe[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
+    qids = list(query_ids)
+
+    def _per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        qis = by_cell.get(int(g["ivf_cell"].iloc[0]), [])
+        if not qis:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        vm = _normalize(np.array(g[vec_col].tolist(), np.float64))
+        ids = g[id_col].to_numpy()
+        out = []
+        for qi in qis:
+            row = qm[qi] @ vm.T
+            kk = min(k + 1, len(row))   # +1 survives self-match removal
+            for j in np.argpartition(-row, kk - 1)[:kk]:
+                if ids[j] == qids[qi]:
+                    continue
+                out.append((qids[qi], int(ids[j]), float(row[j])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+
+    cands = assigned.groupby("ivf_cell").map_groups(
+        _per_cell, batch_format="pandas")
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id") \
+             .sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["score"] = g["score"].round(6)
+        return g[["query_id", "vec_id", "rank", "score"]]
+
+    return cands.groupby("query_id").map_groups(_final,
+                                                batch_format="pandas")

@@ -181,7 +181,8 @@ def test_minhash_no_driver_materialization():
 
 
 GOLDEN_QUERIES = ["q_simhash", "q_lang_id", "q_doc_fingerprints",
-                  "q_quality_scores", "q_minhash_near_dups", "q_ann_lsh"]
+                  "q_quality_scores", "q_minhash_near_dups", "q_ann_lsh",
+                  "q_ann_ivf", "q_cosine_near_dups_lsh"]
 
 
 @pytest.mark.parametrize("name", GOLDEN_QUERIES)
@@ -235,3 +236,108 @@ def test_lsh_ann_recall_multiprobe_multitable(ray_session):
     r_multi = len(multi & truth) / len(truth)
     assert r_multi >= 0.8, (r_single, r_multi)
     assert r_multi >= r_single + 0.3, (r_single, r_multi)
+
+
+def test_cosine_near_dups_exact_matches_numpy(ray_session):
+    """Exact embedding-cosine near-dup pairs equal the O(N²) numpy
+    upper-triangle scan — every pair emitted once, ordered a < b."""
+    from bento_ray.textops import cosine_near_dups
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    planted = base[:20] + 0.1 * rng.standard_normal((20, 16)) \
+        .astype(np.float32)
+    vecs = np.vstack([base, planted])
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()}
+        for i in range(len(vecs))])
+    out = cosine_near_dups(ds, 0.9).to_pandas()
+
+    vm = vecs.astype(np.float64)
+    vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+    S = vm @ vm.T
+    ia, ib = np.triu_indices(len(vecs), 1)
+    keep = S[ia, ib] >= 0.9
+    want = sorted(zip(ia[keep].tolist(), ib[keep].tolist()))
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert len(want) == 20 and got == want
+
+
+def test_cosine_near_dups_lsh_planted_recall(ray_session):
+    """The LSH scale path finds planted near-duplicates (cos ≥ 0.9)
+    with recall ~1 at 8 tables × 8 planes, and NEVER emits a
+    below-threshold pair (candidates are exact-verified in-bucket, so
+    precision is 1.0 by construction)."""
+    from bento_ray.textops import cosine_near_dups_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    planted = base[:20] + 0.1 * rng.standard_normal((20, 16)) \
+        .astype(np.float32)
+    vecs = np.vstack([base, planted])
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()}
+        for i in range(len(vecs))])
+    out = cosine_near_dups_lsh(ds, 0.9, num_planes=8, num_tables=8,
+                               dim=16).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+
+    vm = vecs.astype(np.float64)
+    vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+    S = vm @ vm.T
+    ia, ib = np.triu_indices(len(vecs), 1)
+    keep = S[ia, ib] >= 0.9
+    want = set(zip(ia[keep].tolist(), ib[keep].tolist()))
+    assert got <= want                       # precision 1.0
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivf_ann_recall_clustered_and_real(ray_session):
+    """IVF coarse quantization is data-adaptive: on tightly clustered
+    vectors a 2-of-16-cell probe already recovers ≥ 0.9 of true
+    top-10 neighbors; on the loosely clustered sf0.01 embeddings
+    recall grows monotonically with nprobe (measured 0.26 → 0.57 →
+    0.71 for nprobe 1/4/8)."""
+    from bento_ray.textops import cosine_topk, ivf_cosine_topk
+
+    def pairs(res):
+        df = res.to_pandas()
+        return {(int(a), int(b))
+                for a, b in zip(df["query_id"], df["vec_id"])}
+
+    # tight synthetic clusters
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((10, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, 60, axis=0) + \
+        0.05 * rng.standard_normal((600, 16))
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()}
+             for i in range(600)]
+    qm = vecs[:5].astype(np.float64)
+    qids = list(range(5))
+
+    truth = pairs(cosine_topk(rd.from_items(items), qm, qids, k=10))
+    approx = pairs(ivf_cosine_topk(rd.from_items(items), qm, qids, k=10,
+                                   num_cells=16, nprobe=2,
+                                   train_sample=600))
+    assert len(approx & truth) / len(truth) >= 0.9
+
+    # real embeddings: recall must grow with nprobe
+    sf = "/root/testdata/sf0.01"
+    rows = rd.read_parquet(f"{sf}/embeddings.parquet").take(10)
+    rqids = [r["vec_id"] for r in rows]
+    rqm = np.array([r["embedding"] for r in rows])
+
+    def fresh():
+        return rd.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    rtruth = pairs(cosine_topk(fresh(), rqm, rqids, k=10))
+    r1 = len(pairs(ivf_cosine_topk(fresh(), rqm, rqids, k=10,
+                                   num_cells=16, nprobe=1)) & rtruth) \
+        / len(rtruth)
+    r8 = len(pairs(ivf_cosine_topk(fresh(), rqm, rqids, k=10,
+                                   num_cells=16, nprobe=8)) & rtruth) \
+        / len(rtruth)
+    assert r8 >= 0.6, (r1, r8)
+    assert r8 >= r1 + 0.2, (r1, r8)

@@ -23,7 +23,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "goldens")
 
 QUERIES = ["q_simhash", "q_lang_id", "q_doc_fingerprints",
-           "q_quality_scores", "q_minhash_near_dups", "q_ann_lsh"]
+           "q_quality_scores", "q_minhash_near_dups", "q_ann_lsh",
+           "q_ann_ivf", "q_cosine_near_dups_lsh"]
 
 SORT_KEYS = {
     "q_simhash": ["doc_id"],
@@ -32,6 +33,8 @@ SORT_KEYS = {
     "q_quality_scores": ["doc_id"],
     "q_minhash_near_dups": ["doc_a", "doc_b"],
     "q_ann_lsh": ["query_id", "doc_id"],
+    "q_ann_ivf": ["query_id", "vec_id"],
+    "q_cosine_near_dups_lsh": ["id_a", "id_b"],
 }
 
 
