@@ -1111,6 +1111,226 @@ class SelectPartsProcessor(Processor):
         return [out] if out else []
 
 
+class JavascriptProcessor(Processor):
+    """``javascript`` (internal/impl/javascript/processor.go:29 +
+    vm.go + functions.go): runs an ES5-subset program
+    (:mod:`bento_ray.jslang` ≈ goja) once per message with the
+    ``bento.v0_*`` host functions bound to the target message, plus a
+    nodejs-style ``require()`` resolving ``<name>.js`` from
+    ``global_folders``.
+
+    Parity notes (vm.go:60-66, 123-143): host-function failures are
+    thrown into JS as plain STRING values, so ``catch (e)`` observes
+    the error text; an UNCAUGHT error fails the whole batch (the
+    reference's ProcessBatch returns the error — here every message of
+    the batch is flagged, the engine's batch-error convention);
+    ``v0_msg_as_structured`` hands the script a deep copy, mirroring
+    goja's export-into-JS-values (TestProcessorStructuredImut).
+    ``v0_fetch`` has no network in this runtime and throws unless a
+    ``fetch_fn(url, headers, method, body) -> {"status","body"}`` hook
+    is injected (tests inject one; processor_http.go is likewise
+    mockable-only here)."""
+
+    name = "javascript"
+
+    def __init__(self, code: str = "", file: str = "",
+                 global_folders=(), base_dir: str | None = None,
+                 fetch_fn=None):
+        from bento_ray import jslang
+
+        if not code and not file:
+            raise ValueError(
+                "either a `code` or `file` must be specified")
+        if file:
+            path = file if os.path.isabs(file) or base_dir is None \
+                else os.path.join(base_dir, file)
+            with open(path, "r", encoding="utf-8") as f:
+                code = f.read()
+        self.program = jslang.compile_js(code)
+        self.global_folders = [
+            g if os.path.isabs(g) or base_dir is None
+            else os.path.join(base_dir, g) for g in global_folders]
+        self.fetch_fn = fetch_fn
+        self._module_cache: dict[str, object] = {}
+        self._target: list = [None]          # current message holder
+        self.interp = jslang.Interp(host={
+            "bento": self._bento_object(),
+            "require": jslang.NativeFunction("require", self._require),
+        })
+
+    # -- host functions (functions.go:88-255) --------------------------
+
+    def _bento_object(self):
+        from bento_ray.jslang import NativeFunction
+
+        fns = {
+            "v0_msg_as_string": self._as_string,
+            "v0_msg_set_string": self._set_string,
+            "v0_msg_as_structured": self._as_structured,
+            "v0_msg_set_structured": self._set_structured,
+            "v0_msg_exists_meta": self._exists_meta,
+            "v0_msg_get_meta": self._get_meta,
+            "v0_msg_set_meta": self._set_meta,
+            "v0_fetch": self._fetch,
+        }
+        return {name: NativeFunction(name, fn)
+                for name, fn in fns.items()}
+
+    @staticmethod
+    def _parse_args(args, n_required):
+        """parseArgs parity (vm.go:72-85): undefined args error."""
+        from bento_ray.jslang import JSThrow, UNDEFINED
+
+        for i, a in enumerate(args):
+            if a is UNDEFINED:
+                raise JSThrow(
+                    f"argument at position {i} is undefined")
+        if len(args) < n_required:
+            raise JSThrow(
+                f"have {len(args)} arguments, but "
+                f"{n_required} are required")
+
+    @staticmethod
+    def _to_structured(v):
+        """JS value → message value (goja Export): undefined → null."""
+        from bento_ray.jslang import UNDEFINED
+
+        if v is UNDEFINED:
+            return None
+        if isinstance(v, list):
+            return [JavascriptProcessor._to_structured(x) for x in v]
+        if isinstance(v, dict):
+            return {k: JavascriptProcessor._to_structured(x)
+                    for k, x in v.items() if k != "__is_error__"}
+        return v
+
+    def _as_string(self, args):
+        m = self._target[0]
+        b = m.content_bytes()
+        return b.decode("utf-8", errors="replace")
+
+    def _set_string(self, args):
+        from bento_ray.jslang import UNDEFINED, to_string
+
+        self._parse_args(args, 1)
+        m = self._target[0]
+        m.raw = to_string(args[0])
+        m._structured = None
+        m._parsed = False
+        return UNDEFINED
+
+    def _as_structured(self, args):
+        import copy
+
+        from bento_ray.jslang import JSThrow
+
+        m = self._target[0]
+        try:
+            return copy.deepcopy(m.structured())
+        except BloblangError as e:
+            raise JSThrow(str(e))
+
+    def _set_structured(self, args):
+        from bento_ray.jslang import UNDEFINED
+
+        self._parse_args(args, 1)
+        m = self._target[0]
+        m._structured = self._to_structured(args[0])
+        m._parsed = True
+        m.raw = None
+        return UNDEFINED
+
+    def _exists_meta(self, args):
+        from bento_ray.jslang import to_string
+
+        self._parse_args(args, 1)
+        return to_string(args[0]) in self._target[0].meta
+
+    def _get_meta(self, args):
+        from bento_ray.jslang import JSThrow, to_string
+
+        self._parse_args(args, 1)
+        key = to_string(args[0])
+        try:
+            return self._target[0].meta[key]
+        except KeyError:
+            raise JSThrow("key not found")
+
+    def _set_meta(self, args):
+        from bento_ray.jslang import UNDEFINED, to_string
+
+        self._parse_args(args, 2)
+        self._target[0].meta[to_string(args[0])] = \
+            self._to_structured(args[1])
+        return UNDEFINED
+
+    def _fetch(self, args):
+        from bento_ray.jslang import JSThrow, to_string
+
+        self._parse_args(args, 1)
+        if self.fetch_fn is None:
+            raise JSThrow(
+                "v0_fetch: network disabled in this runtime")
+        url = to_string(args[0])
+        headers = args[1] if len(args) > 1 and isinstance(
+            args[1], dict) else {}
+        method = to_string(args[2]) if len(args) > 2 else "GET"
+        body = to_string(args[3]) if len(args) > 3 else ""
+        return self.fetch_fn(url, headers, method, body)
+
+    def _require(self, args):
+        """nodejs-style require (processor.go:127-158 sourceLoader +
+        goja_nodejs require): resolve ``<name>.js`` from
+        global_folders, execute once with ``module.exports``."""
+        from bento_ray import jslang
+        from bento_ray.jslang import JSThrow, Scope, to_string
+
+        self._parse_args(args, 1)
+        name = to_string(args[0])
+        fname = name if name.endswith(".js") else name + ".js"
+        for folder in self.global_folders:
+            path = os.path.join(folder, fname)
+            if os.path.isfile(path):
+                break
+        else:
+            raise JSThrow(f"module {name!r} was not found")
+        path = os.path.abspath(path)
+        if path in self._module_cache:
+            return self._module_cache[path]
+        with open(path, "r", encoding="utf-8") as f:
+            src = f.read()
+        module = {"exports": {}}
+        scope = Scope(self.interp.globals, is_function=True)
+        scope.declare("module", module, "let")
+        scope.declare("exports", module["exports"], "let")
+        self.interp.run(jslang.compile_js(src), scope)
+        self._module_cache[path] = module["exports"]
+        return module["exports"]
+
+    # -- batch loop (vm.go:123-143) -------------------------------------
+
+    def process_batch(self, batch, rt):
+        from bento_ray.jslang import JSError, JSThrow, Scope, to_string
+
+        for m in batch:
+            self._target[0] = m
+            try:
+                self.interp.run(self.program,
+                                Scope(self.interp.globals,
+                                      is_function=True))
+            except JSThrow as e:
+                for mm in batch:
+                    mm.error = to_string(e.value)
+                break
+            except (JSError, RecursionError) as e:
+                for mm in batch:
+                    mm.error = str(e)
+                break
+            finally:
+                self._target[0] = None
+        return [batch]
+
+
 class HTTPProcessor(Processor):
     """Unmocked ``http`` — flags every message (no network in this
     runtime); the test runner replaces it via ``mocks:``."""
@@ -1294,6 +1514,11 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return SelectPartsProcessor(parts=cfg.get("parts", [0]))
     if kind == "http":
         return HTTPProcessor(**(cfg or {}))
+    if kind == "javascript":
+        return JavascriptProcessor(
+            code=cfg.get("code", ""), file=cfg.get("file", ""),
+            global_folders=cfg.get("global_folders", []),
+            base_dir=_BASE_DIR[0] if _BASE_DIR else None)
     raise ValueError(f"unsupported processor kind {kind!r}")
 
 
