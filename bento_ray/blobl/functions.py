@@ -15,7 +15,7 @@ import time
 import uuid
 
 from bento_ray.blobl.values import (
-    DELETE, BloblangError, get_int, get_string,
+    DELETE, NOTHING, BloblangError, get_int, get_string,
 )
 
 
@@ -28,6 +28,51 @@ def _dot_path(path: str) -> list[str]:
 
 
 def call_function(name, arg_qs, kwarg_qs, ctx, ev):
+    if name == "counter":
+        # impl/pure/bloblang_general.go:16-160: per-INSTANTIATION
+        # counter; min/max resolved once per mapping lifetime; `set`
+        # executed lazily each resolution (null → peek, delete →
+        # reset, int → set-and-yield, nothing → normal increment).
+        # State keys off the call site's arg containers (fresh per
+        # parse) inside the process-lifetime counters dict.
+        skey = ("__counter__", id(arg_qs), id(kwarg_qs))
+        st = ctx.counters.get(skey)
+        if st is None:
+            qmin = kwarg_qs.get("min",
+                                arg_qs[0] if len(arg_qs) > 0 else None)
+            qmax = kwarg_qs.get("max",
+                                arg_qs[1] if len(arg_qs) > 1 else None)
+            mn = get_int(ev(qmin, ctx)) if qmin is not None else 1
+            mx = get_int(ev(qmax, ctx)) if qmax is not None \
+                else (1 << 63) - 1
+            if mn < 0:
+                raise BloblangError(
+                    f"failed to resolve min argument: min argument "
+                    f"must be >0, got {mn}")
+            if mx < 0 or mx <= mn:
+                raise BloblangError(
+                    f"failed to resolve max argument: max argument "
+                    f"must be >0 and >min, got {mx}")
+            st = {"min": mn, "max": mx, "i": mn - 1}
+            ctx.counters[skey] = st
+        qset = kwarg_qs.get("set",
+                            arg_qs[2] if len(arg_qs) > 2 else None)
+        if qset is not None:
+            sv = ev(qset, ctx)
+            if sv is None:
+                return st["i"]
+            if sv is DELETE:
+                st["i"] = st["min"] - 1
+            elif sv is not NOTHING:
+                iv = get_int(sv)
+                st["i"] = iv
+                return iv
+        st["i"] += 1
+        v = st["i"]
+        if v >= st["max"]:
+            st["i"] = st["min"] - 1
+        return v
+
     args = [ev(q, ctx) for q in arg_qs]
     kwargs = {k: ev(q, ctx) for k, q in kwarg_qs.items()}
 

@@ -1393,6 +1393,19 @@ def set_config_base_dir(d: str | None):
         _BASE_DIR.append(d)
 
 
+# every kind _build_by_kind dispatches — the builder's from_spec uses
+# this to route config-registry processors through the dataset bridge
+# (bento_ray.config.stage)
+CONFIG_PROCESSOR_KINDS = frozenset({
+    "mapping", "bloblang", "mutation", "dedupe", "split", "archive",
+    "unarchive", "protobuf", "msgpack", "avro", "awk", "xml", "switch",
+    "branch", "try", "catch", "retry", "for_each", "while", "cache",
+    "sleep", "metric", "group_by_value", "bounds_check", "parse_log",
+    "grok", "compress", "decompress", "insert_part", "jq", "jmespath",
+    "noop", "log", "select_parts", "http", "javascript",
+})
+
+
 def build_processor(spec: dict, resources: dict | None = None) -> Processor:
     """One processors-list entry → Processor. ``label`` is attached as
     ``.label``; ``resource: name`` resolves from processor_resources."""

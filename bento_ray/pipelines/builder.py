@@ -201,13 +201,20 @@ class Pipeline:
         from bento_ray.config.envsubst import interpolate_env
 
         text = path_or_text
+        base_dir = None
         if "\n" not in path_or_text and _os.path.exists(path_or_text):
             text = open(path_or_text).read()
+            base_dir = _os.path.dirname(_os.path.abspath(path_or_text))
         doc = _yaml.safe_load(interpolate_env(
             text, env if env is not None else _os.environ)) or {}
         spec: dict = {}
         if "input" in doc:
             spec["input"] = doc["input"]
+        for key in ("cache_resources", "processor_resources"):
+            if doc.get(key):
+                spec[key] = doc[key]
+        if base_dir:
+            spec["base_dir"] = base_dir
         steps = (doc.get("pipeline") or {})
         if isinstance(steps, dict):
             steps = steps.get("processors", [])
@@ -271,12 +278,47 @@ class Pipeline:
             p = cls(resource(name))
         else:
             raise ValueError(f"unsupported input: {list(inp)}")
+        import inspect
+
+        from bento_ray.config.processors import CONFIG_PROCESSOR_KINDS
+
+        def _binds(fn, kwargs) -> bool:
+            if not isinstance(kwargs, dict):
+                return False
+            try:
+                inspect.signature(fn).bind(**kwargs)
+                return True
+            except TypeError:
+                return False
+
+        # consecutive config-registry steps compile into ONE
+        # actor-pool bridge stage so the chain keeps the reference's
+        # batch semantics (splits, drops) without N pools
+        pending: list[dict] = []
+
+        def _flush(p: "Pipeline") -> "Pipeline":
+            if not pending:
+                return p
+            from bento_ray.config.stage import config_processor_stage
+
+            out = Pipeline(config_processor_stage(
+                p._ds, list(pending),
+                cache_specs=spec.get("cache_resources"),
+                resource_specs=spec.get("processor_resources"),
+                base_dir=spec.get("base_dir")))
+            pending.clear()
+            return out
+
         for step in spec.get("pipeline", []):
             (name, kwargs), = step.items()
             if name in _PROCESSORS:
+                p = _flush(p)
                 p = Pipeline(_PROCESSORS[name](p._ds, **kwargs))
-            elif hasattr(p, name):
+            elif hasattr(p, name) and _binds(getattr(p, name), kwargs):
+                p = _flush(p)
                 p = getattr(p, name)(**kwargs)
+            elif name in CONFIG_PROCESSOR_KINDS:
+                pending.append({name: kwargs})
             else:
                 raise ValueError(f"unknown processor: {name}")
-        return p
+        return _flush(p)

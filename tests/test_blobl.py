@@ -625,3 +625,46 @@ def test_protoschema_enums_and_packageless(tmp_path):
     Outer = ss.message_class("Outer")
     o = json_format.Parse('{"p":{"color":"BLUE"}}', Outer())
     assert Outer.FromString(o.SerializeToString()).p.color == 1
+
+
+def test_counter_function_reference_examples():
+    """counter() (impl/pure/bloblang_general.go:16-160): doc examples
+    — per-instantiation state, map reuse, set: reset/peek semantics,
+    max wraparound."""
+    from bento_ray.blobl.interp import Mapping
+
+    def seq(src, docs, ctr):
+        outs = []
+        m = _COMPILED.setdefault(src, Mapping(src))
+        for d in docs:
+            out = m.run_batch([Message.from_content(d)], env={},
+                              counters=ctr)
+            outs.append(out[0].structured())
+        return outs
+
+    _COMPILED: dict = {}
+    assert seq('root.id = counter()', [{}, {}], {}) == [
+        {"id": 1}, {"id": 2}]
+    two_per_msg = ('map foos {\n  root = counter()\n}\n'
+                   'root.meow_id = null.apply("foos")\n'
+                   'root.woof_id = null.apply("foos")')
+    assert seq(two_per_msg, [{}, {}], {}) == [
+        {"meow_id": 1, "woof_id": 2}, {"meow_id": 3, "woof_id": 4}]
+    doggos = ('root.consecutive_doggos = counter(min: 1, '
+              'set: if !this.sound.lowercase().contains("woof") { 0 })')
+    assert [r["consecutive_doggos"] for r in seq(
+        doggos, [{"sound": "woof woof"}, {"sound": "woofer wooooo"},
+                 {"sound": "meow"},
+                 {"sound": "uuuuh uh uh woof uhhhhhh"}], {})] == \
+        [1, 2, 0, 1]
+    peek = 'root.things = counter(set: if this.id == null { null })'
+    assert [r["things"] for r in seq(
+        peek, [{"id": "a"}, {"id": "b"}, {"what": "x"}, {"id": "c"}],
+        {})] == [1, 2, 2, 3]
+    wrap = 'root.n = counter(min: 2, max: 4)'
+    assert [r["n"] for r in seq(wrap, [{}] * 6, {})] == \
+        [2, 3, 4, 2, 3, 4]
+    # two instantiations in one mapping are independent
+    indep = 'root.a = counter()\nroot.b = counter()'
+    assert seq(indep, [{}, {}], {}) == [
+        {"a": 1, "b": 1}, {"a": 2, "b": 2}]

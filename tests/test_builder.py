@@ -97,3 +97,61 @@ pipeline:
     m.delete("s1")
     with _pytest.raises(KeyError):
         m.read("s1")
+
+
+def test_from_yaml_config_registry_bridge(tmp_path):
+    """Config-registry processors (javascript, jq, …) unknown to the
+    builder compile into ONE actor-pool bridge stage
+    (config/stage.py); chain semantics follow run_processors
+    (processor_*.go pipeline contract)."""
+    p = Pipeline.from_yaml("""
+input:
+  generate:
+    count: 6
+    mapping: 'root = {"n": counter()}'
+pipeline:
+  processors:
+    - javascript:
+        code: |
+          var m = bento.v0_msg_as_structured();
+          m.sq = m.n * m.n;
+          bento.v0_msg_set_structured(m);
+    - jq:
+        query: '{sq: .sq, n: .n}'
+    - mapping: |
+        root = this
+        root.half = this.sq / 2
+""")
+    df = p.to_pandas().sort_values("n").reset_index(drop=True)
+    assert df["sq"].tolist() == [1, 4, 9, 16, 25, 36]
+    assert df["half"].tolist() == [0.5, 2.0, 4.5, 8.0, 12.5, 18.0]
+
+
+def test_from_yaml_bridge_cardinality_and_state(tmp_path):
+    """split/archive cardinality changes flow through the bridge; a
+    cache-referencing chain is forced to one actor so the
+    single-process cache visibility of the reference holds."""
+    from bento_ray.config.stage import _chain_is_stateful
+
+    assert _chain_is_stateful([{"dedupe": {"cache": "c", "key": "k"}}])
+    assert _chain_is_stateful(
+        [{"try": [{"cache": {"resource": "c", "operator": "get",
+                             "key": "k"}}]}])
+    assert not _chain_is_stateful([{"jq": {"query": "."}}])
+    p = Pipeline.from_yaml("""
+input:
+  generate:
+    count: 4
+    mapping: 'root = {"n": counter(), "k": counter() % 2}'
+cache_resources:
+  - label: seen
+    memory: {}
+pipeline:
+  processors:
+    - dedupe:
+        cache: seen
+        key: '${! json("k") }'
+""")
+    df = p.to_pandas()
+    assert len(df) == 2          # two distinct k values survive
+    assert sorted(df["k"].tolist()) == [0, 1]
