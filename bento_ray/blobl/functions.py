@@ -27,6 +27,11 @@ def _dot_path(path: str) -> list[str]:
             for p in path.split(".")]
 
 
+# static-path file() contents, read once per process (io/bloblang.go
+# ImportFile caching)
+_FILE_CACHE: dict[str, bytes] = {}
+
+
 def call_function(name, arg_qs, kwarg_qs, ctx, ev):
     if name == "counter":
         # impl/pure/bloblang_general.go:16-160: per-INSTANTIATION
@@ -155,10 +160,63 @@ def call_function(name, arg_qs, kwarg_qs, ctx, ev):
         return rng.randint(mn, mx)
     if name == "hostname":
         return socket.gethostname()
-    if name == "file":
-        raise BloblangError("file function is disabled in this runtime")
+    if name in ("file", "file_rel"):
+        # io/bloblang.go:82,135: read file contents as bytes; static
+        # paths cached for the mapping lifetime unless no_cache.
+        # file_rel resolves relative to the mapping's directory (here
+        # the active config base dir when one is set).
+        path = get_string(args[0] if args else kwargs.get("path"))
+        no_cache = bool(kwargs.get("no_cache",
+                                   args[1] if len(args) > 1 else False))
+        if name == "file_rel" and not os.path.isabs(path):
+            from bento_ray.config.processors import _BASE_DIR
+
+            if _BASE_DIR:
+                path = os.path.join(_BASE_DIR[0], path)
+        try:
+            if no_cache:
+                with open(path, "rb") as f:
+                    return f.read()
+            if path not in _FILE_CACHE:
+                with open(path, "rb") as f:
+                    _FILE_CACHE[path] = f.read()
+            return _FILE_CACHE[path]
+        except OSError as e:
+            raise BloblangError(str(e)) from None
     if name == "throw":
         raise BloblangError(get_string(args[0]))
+    if name == "pi":
+        import math
+
+        return math.pi
+    if name == "cosine_similarity":
+        # impl/pure/bloblang_numbers_v2.go:35-92
+        a = args[0] if args else kwargs.get("a")
+        b = args[1] if len(args) > 1 else kwargs.get("b")
+        for v in (a, b):
+            if not isinstance(v, list) or any(
+                    isinstance(x, bool) or
+                    not isinstance(x, (int, float)) for x in v):
+                raise BloblangError(
+                    "vector must be an array of numeric types")
+        if len(a) != len(b):
+            raise BloblangError("vectors must be equal length")
+        if not a:
+            raise BloblangError("vectors cannot be empty")
+        dot = ss_a = ss_b = 0.0
+        for fa, fb in zip(a, b):
+            dot += fa * fb
+            ss_a += fa * fa
+            ss_b += fb * fb
+        if ss_a == 0 or ss_b == 0:
+            raise BloblangError("vectors must not be null (all zeros)")
+        return dot / ((ss_a ** 0.5) * (ss_b ** 0.5))
+    if name == "tracing_id":
+        # functions.go tracing_id: zeroed when no span (no tracer in
+        # this runtime)
+        return "00000000000000000000000000000000"
+    if name == "tracing_span":
+        return None
     if name == "fake":
         from bento_ray.fakegen import get_fake_value
 

@@ -668,3 +668,43 @@ def test_counter_function_reference_examples():
     indep = 'root.a = counter()\nroot.b = counter()'
     assert seq(indep, [{}, {}], {}) == [
         {"a": 1, "b": 1}, {"a": 2, "b": 2}]
+
+
+def test_pi_cosine_similarity_tracing_file(tmp_path):
+    """pi() (bloblang_numbers.go:249), cosine_similarity()
+    (bloblang_numbers_v2.go:35-92), tracing_* zero values
+    (functions.go), file()/file_rel() (io/bloblang.go:82,135)."""
+    from bento_ray.blobl.interp import Mapping
+
+    def run1(src, doc=None):
+        out = Mapping(src).run_batch(
+            [Message.from_content(doc or {})], env={}, counters={},
+            on_error="mark")
+        m = out[0]
+        return m.structured() if m.error is None else ("ERR", m.error)
+
+    assert run1('root.radians = this.degrees * (pi() / 180)',
+                {"degrees": 45}) == {"radians": 0.7853981633974483}
+    assert run1('root.s = cosine_similarity([1, 2, 3], [2, 4, 6])') \
+        == {"s": 1.0}
+    assert run1('root.s = cosine_similarity([1, 0], [0, 1])') == \
+        {"s": 0.0}
+    assert "equal length" in run1(
+        'root.s = cosine_similarity([1, 0], [0, 1, 2])')[1]
+    assert "all zeros" in run1(
+        'root.s = cosine_similarity([0, 0], [0, 0])')[1]
+    assert "numeric types" in run1(
+        'root.s = cosine_similarity([1, "a"], [1, 2])')[1]
+    assert run1('root.t = tracing_id()') == \
+        {"t": "00000000000000000000000000000000"}
+    assert run1('root.t = tracing_span()') == {"t": None}
+    p = tmp_path / "doc.json"
+    p.write_text('{"foo":"bar"}')
+    assert run1(f'root.doc = file("{p}").parse_json()') == \
+        {"doc": {"foo": "bar"}}
+    p.unlink()
+    # static cache: file already read once keeps yielding
+    assert run1(f'root.doc = file("{p}").parse_json()') == \
+        {"doc": {"foo": "bar"}}
+    assert "ERR" == run1(
+        f'root.doc = file(path: "{p}", no_cache: true)')[0]
