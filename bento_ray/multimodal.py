@@ -1,27 +1,32 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (this container has no
-PIL/ffmpeg/torchaudio): each stage tries the real library in
-``__init__`` and, when absent, falls back to a clearly-marked
-deterministic fake so the Ray-side plumbing — schema, byte-capped batch
-sizing, actor signature, output layout — is real and testable. Swap
-``_decode_*_fake`` for the library call on a full image.
+Decode is REAL for the containers a pure-Python + numpy codec can
+handle (PNG / BMP / PPM / GIF images, animated GIF as the multi-frame
+"video" path, RIFF/WAVE audio — see ``bento_ray.mediacodec``). Formats
+that need a native library this container lacks (JPEG, MP4/H.264,
+MP3/AAC) fall back to a clearly-marked deterministic fake so the
+Ray-side plumbing still runs; the ``decoder`` column records which
+path produced each row ("pil" / "pure" / "fake").
 
 Scale notes: binary payloads are wide — size batches by BYTES not rows
 (``batch_size`` here is deliberately small; at 1 MB payloads,
 batch_size=64 ≈ 64 MB per batch) and keep stages in
 ``batch_format="pyarrow"`` (binary columns don't survive pandas
-round-trips unscathed).
+round-trips unscathed). Decode itself is a per-item kernel by nature
+(each payload is one opaque blob), so the per-row loop INSIDE the
+batch is correct here — the parallelism axis is payloads × actors.
 """
 
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
 
+from bento_ray import mediacodec as mc
 from bento_ray.util import default_concurrency as _dc
 
 
@@ -40,19 +45,35 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def _fake_pixels(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
-    """Deterministic fake decode: pseudo-pixels from a payload digest —
-    stands in for PIL.Image.open(...) so downstream feature code runs."""
+    """Deterministic fake decode for undecodable containers:
+    pseudo-pixels from a payload digest so downstream feature code
+    still runs and the run is reproducible."""
     d = hashlib.blake2b(payload, digest_size=32).digest()
     rng = np.random.Generator(np.random.Philox(int.from_bytes(d[:8], "big")))
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def _ahash64(luma: np.ndarray) -> int:
+    """64-bit average-hash over an 8x8 luma grid."""
+    g = luma[:8, :8]
+    bits = (g > g.mean()).flatten()[:64]
+    return int(np.packbits(bits).astype(np.uint64)
+               .dot(256 ** np.arange(bits.size // 8,
+                                     dtype=np.uint64)[::-1]))
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    # ITU-R 601
+    return (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+
+
 class ImageDecoder:
     """Actor stage: payload → (width, height, mean_luma, phash64).
 
-    Real path: ``PIL.Image.open``; loaded once per actor in __init__.
-    Fallback: deterministic fake decode (marked in the ``decoder``
-    column so downstream consumers can tell)."""
+    Decode ladder, resolved once per actor in ``__init__``:
+    PIL when importable → pure codecs (PNG/BMP/PPM/GIF) → deterministic
+    fake. width/height are the REAL container dimensions on the real
+    paths; luma/phash are computed on a bilinear thumb."""
 
     def __init__(self, thumb: int = 8):
         self.thumb = thumb
@@ -63,46 +84,84 @@ class ImageDecoder:
         except ImportError:
             self._pil = None
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int, int, str]:
+        """→ (thumb pixels, real width, real height, decoder tag)."""
         if self._pil is not None:
             import io
 
-            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
-            img = img.resize((self.thumb, self.thumb))
-            return np.asarray(img)
-        return _fake_pixels(payload, self.thumb, self.thumb)
+            try:
+                img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+                w, h = img.size
+                img = img.resize((self.thumb, self.thumb))
+                return np.asarray(img), w, h, "pil"
+            except Exception:
+                pass
+        try:
+            px = mc.decode_image(payload)
+            h, w = px.shape[:2]
+            return mc.resize_bilinear(px, (self.thumb, self.thumb)), \
+                w, h, "pure"
+        except (mc.MediaDecodeError, ValueError, struct_error):
+            px = _fake_pixels(payload, self.thumb, self.thumb)
+            return px, self.thumb, self.thumb, "fake"
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        widths, heights, lumas, phashes = [], [], [], []
+        widths, heights, lumas, phashes, decoders = [], [], [], [], []
         for payload in t.column("payload").to_pylist():
-            px = self._decode(payload or b"")
-            h, w, _ = px.shape
+            px, w, h, dec = self._decode(payload or b"")
             widths.append(w)
             heights.append(h)
-            # ITU-R 601 luma
-            luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]
-                    + 0.114 * px[..., 2])
+            luma = _luma(px)
             lumas.append(float(luma.mean()))
-            # 64-bit average-hash over the 8x8 luma grid
-            g = luma[:8, :8]
-            bits = (g > g.mean()).flatten()[:64]
-            phashes.append(int(np.packbits(bits).astype(np.uint64)
-                               .dot(256 ** np.arange(bits.size // 8,
-                                                     dtype=np.uint64)[::-1])))
+            phashes.append(_ahash64(luma))
+            decoders.append(dec)
         t = t.append_column("width", pa.array(widths, pa.int32()))
         t = t.append_column("height", pa.array(heights, pa.int32()))
         t = t.append_column("mean_luma", pa.array(np.round(lumas, 4)))
         t = t.append_column("phash64", pa.array(
             np.array(phashes, np.uint64).astype(np.int64), pa.int64()))
-        return t.append_column(
-            "decoder", pa.array(
-                ["pil" if self._pil else "fake"] * len(t), pa.string()))
+        return t.append_column("decoder", pa.array(decoders, pa.string()))
+
+
+class ImageResizer:
+    """Actor stage: payload → resized payload (re-encoded PNG) +
+    updated meta_width/meta_height. Undecodable payloads pass through
+    unchanged with decoder='fake' so a mixed corpus never errors."""
+
+    def __init__(self, width: int, height: int, method: str = "bilinear"):
+        self.size = (width, height)
+        self.resize = (mc.resize_bilinear if method == "bilinear"
+                       else mc.resize_nearest)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads, widths, heights, decoders = [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            payload = payload or b""
+            try:
+                px = mc.decode_image(payload)
+                out = self.resize(px, self.size)
+                payloads.append(mc.encode_png(out))
+                widths.append(self.size[0])
+                heights.append(self.size[1])
+                decoders.append("pure")
+            except (mc.MediaDecodeError, ValueError, struct_error):
+                payloads.append(payload)
+                widths.append(0)
+                heights.append(0)
+                decoders.append("fake")
+        cols = {name: t.column(name) for name in t.column_names}
+        cols["payload"] = pa.array(payloads, pa.binary())
+        cols["meta_width"] = pa.array(widths, pa.int32())
+        cols["meta_height"] = pa.array(heights, pa.int32())
+        cols["decoder"] = pa.array(decoders, pa.string())
+        return pa.table(cols)
 
 
 class AudioFeatures:
-    """Actor stage: audio payload → (n_samples, rms, zero_crossings).
-    Real path would use soundfile/torchaudio; fallback derives a
-    deterministic fake waveform from the payload bytes."""
+    """Actor stage: audio payload → (n_samples, sample_rate, rms,
+    zero_crossings). Decode ladder: soundfile → pure RIFF/WAVE codec →
+    deterministic fake waveform. Multi-channel audio is mono-mixed
+    before the features."""
 
     def __init__(self, sample_rate: int = 16000):
         self.sr = sample_rate
@@ -113,53 +172,93 @@ class AudioFeatures:
         except ImportError:
             self._sf = None
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int, str]:
         if self._sf is not None:
             import io
 
-            data, _ = self._sf.read(io.BytesIO(payload))
-            return np.asarray(data, np.float32)
-        raw = np.frombuffer(
-            hashlib.blake2b(payload, digest_size=64).digest(), np.uint8)
-        return (raw.astype(np.float32) - 127.5) / 127.5
+            try:
+                data, rate = self._sf.read(io.BytesIO(payload))
+                return np.asarray(data, np.float32), int(rate), "sf"
+            except Exception:
+                pass
+        try:
+            x, rate = mc.decode_wav(payload)
+            return x, rate, "pure"
+        except (mc.MediaDecodeError, ValueError, struct_error):
+            raw = np.frombuffer(
+                hashlib.blake2b(payload, digest_size=64).digest(), np.uint8)
+            return (raw.astype(np.float32) - 127.5) / 127.5, self.sr, "fake"
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n, rms, zc = [], [], []
+        n, rates, rms, zc, decoders = [], [], [], [], []
         for payload in t.column("payload").to_pylist():
-            w = self._decode(payload or b"")
+            w, rate, dec = self._decode(payload or b"")
+            if w.ndim == 2:
+                w = w.mean(axis=1)
             n.append(len(w))
+            rates.append(rate)
             rms.append(float(np.sqrt(np.mean(w ** 2))) if len(w) else 0.0)
             zc.append(int((np.diff(np.sign(w)) != 0).sum()) if len(w) else 0)
+            decoders.append(dec)
         t = t.append_column("n_samples", pa.array(n, pa.int64()))
+        t = t.append_column("sample_rate", pa.array(rates, pa.int32()))
         t = t.append_column("rms", pa.array(np.round(rms, 6)))
-        return t.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        t = t.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        return t.append_column("decoder", pa.array(decoders, pa.string()))
 
 
 class FrameSampler:
-    """Video stage: sample K evenly-spaced 'frames' (offsets into the
-    payload; a real build decodes via ffmpeg). Emits one row per frame
-    (1→N), each with a frame fingerprint — the layout a downstream
-    image-embedding stage consumes."""
+    """Video stage: sample K evenly-spaced frames, one output row per
+    frame (1→N), each with a 64-bit frame fingerprint — the layout a
+    downstream image-embedding stage consumes.
+
+    Real path: animated GIF (the only video-ish container decodable
+    without ffmpeg) — decodes the actual frames and fingerprints their
+    luma. Other containers (mp4/webm) take the deterministic
+    byte-range fallback, recorded in ``decoder``."""
 
     def __init__(self, k: int = 4):
         self.k = k
 
+    def _sample_real(self, payload: bytes):
+        frames = list(mc.decode_gif_frames(payload))
+        if not frames:
+            raise mc.MediaDecodeError("empty GIF")
+        # evenly-spaced selection over the real frame sequence
+        pos = np.linspace(0, len(frames) - 1, self.k).round().astype(int)
+        return [_ahash64(_luma(mc.resize_bilinear(frames[p], (8, 8))))
+                for p in pos]
+
+    def _sample_fake(self, payload: bytes):
+        fps = []
+        for j in range(self.k):
+            lo = (len(payload) * j) // self.k
+            hi = (len(payload) * (j + 1)) // self.k
+            d = hashlib.blake2b(payload[lo:hi], digest_size=8).digest()
+            fps.append(int.from_bytes(d, "big") >> 1)
+        return fps
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, fidx, fps = [], [], []
+        ids, fidx, fps, decoders = [], [], [], []
         for mid, payload in zip(t.column("media_id").to_pylist(),
                                 t.column("payload").to_pylist()):
             payload = payload or b""
-            for j in range(self.k):
-                lo = (len(payload) * j) // self.k
-                hi = (len(payload) * (j + 1)) // self.k
-                d = hashlib.blake2b(payload[lo:hi], digest_size=8).digest()
+            try:
+                fingerprints = self._sample_real(payload)
+                dec = "pure"
+            except (mc.MediaDecodeError, ValueError, struct_error):
+                fingerprints = self._sample_fake(payload)
+                dec = "fake"
+            for j, fp in enumerate(fingerprints):
                 ids.append(mid)
                 fidx.append(j)
-                fps.append(int.from_bytes(d, "big") >> 1)
+                fps.append(int(np.uint64(fp).astype(np.int64)))
+                decoders.append(dec)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(fidx, pa.int32()),
             "frame_fp": pa.array(fps, pa.int64()),
+            "decoder": pa.array(decoders, pa.string()),
         })
 
 
@@ -167,6 +266,14 @@ def decode_images(ds, concurrency: int | None = None, batch_size: int = 64):
     """Byte-capped batches: payloads are wide, so batch small."""
     return ds.map_batches(ImageDecoder, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=_conc(concurrency))
+
+
+def resize_images(ds, width: int, height: int, method: str = "bilinear",
+                  concurrency: int | None = None, batch_size: int = 64):
+    return ds.map_batches(ImageResizer,
+                          fn_constructor_args=(width, height, method),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=_conc(concurrency))
 
 
 def audio_features(ds, concurrency: int | None = None, batch_size: int = 64):
@@ -181,21 +288,48 @@ def sample_frames(ds, k: int = 4, concurrency: int | None = None, batch_size: in
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for tests."""
-    import random
-
+    """Deterministic media corpus with REAL encoded payloads: PNG
+    gradients+noise for images, 16-bit PCM WAV sines for audio, and
+    6-frame animated GIFs (web-safe palette) for video — so tests
+    exercise the real decode paths end-to-end. A slice of rows gets
+    JPEG-magic payloads to exercise the fake-fallback path too."""
     rows = {k: [] for k in ("media_id", "kind", "mime", "payload",
                             "meta_width", "meta_height", "meta_duration_ms")}
-    kinds = [("image", "image/jpeg"), ("audio", "audio/wav"),
-             ("video", "video/mp4")]
+    kinds = [("image", "image/png"), ("audio", "audio/wav"),
+             ("video", "image/gif")]
+    levels = np.array([0, 51, 102, 153, 204, 255], np.uint8)
     for i in range(n):
-        rng = random.Random((seed << 16) ^ i)
+        rng = np.random.Generator(np.random.Philox((seed << 16) ^ i))
         kind, mime = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
+        w = h = dur = 0
+        if kind == "image" and i % 9 == 0:
+            # undecodable container: JPEG magic + random tail
+            payload = b"\xff\xd8\xff\xe0" + rng.bytes(200)
+            mime = "image/jpeg"
+        elif kind == "image":
+            w, h = int(rng.integers(12, 40)), int(rng.integers(12, 40))
+            ramp = np.linspace(0, 255, w, dtype=np.float32)
+            px = np.clip(ramp[None, :, None]
+                         + rng.normal(0, 40, (h, w, 3)), 0, 255) \
+                .astype(np.uint8)
+            payload = mc.encode_png(px)
+        elif kind == "audio":
+            rate = 8000
+            dur = int(rng.integers(50, 300))
+            t = np.arange(int(rate * dur / 1000), dtype=np.float32) / rate
+            freq = float(rng.integers(100, 2000))
+            payload = mc.encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+        else:  # video: animated GIF with real frames
+            w, h, nf = 16, 12, 6
+            base = levels[rng.integers(0, 6, (h, w, 3))]
+            frames = [np.roll(base, j * 2, axis=1) for j in range(nf)]
+            payload = mc.encode_gif(frames)
+            dur = nf * 100
         rows["mime"].append(mime)
-        rows["payload"].append(rng.randbytes(rng.randint(200, 2000)))
-        rows["meta_width"].append(640 if kind != "audio" else 0)
-        rows["meta_height"].append(480 if kind != "audio" else 0)
-        rows["meta_duration_ms"].append(0 if kind == "image" else 5000)
+        rows["payload"].append(payload)
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(dur)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)

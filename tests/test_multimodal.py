@@ -1,15 +1,20 @@
-"""Multimodal binary-column plumbing (stubbed decoders, real Ray-side
-schema/batching/actor signatures)."""
+"""Multimodal binary-column stages: REAL pure-codec decode for
+PNG/GIF/WAV payloads (mediacodec), deterministic fake fallback for
+containers the sandbox can't decode (JPEG), real Ray-side
+schema/batching/actor signatures throughout."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
 import ray.data as rd
 
+from bento_ray import mediacodec as mc
 from bento_ray.multimodal import (
     MEDIA_SCHEMA,
     audio_features,
     decode_images,
+    resize_images,
     sample_frames,
     synth_media_table,
 )
@@ -28,7 +33,17 @@ def test_image_decode_stage(media_ds):
     assert len(out) == 10
     assert set(["width", "height", "mean_luma", "phash64", "decoder"]) <= \
         set(out.columns)
-    assert (out["decoder"] == "fake").all()  # no PIL in this container
+    # PNG payloads decode for real; the JPEG-magic rows fall back
+    by_dec = out.groupby("decoder").size().to_dict()
+    assert by_dec.get("pure", 0) > 0 and by_dec.get("fake", 0) > 0
+    assert "pil" not in by_dec  # no PIL in this container
+    # real dimensions come from the container, not the thumb size
+    pure = out[out["decoder"] == "pure"]
+    meta = media_ds.filter(lambda r: r["kind"] == "image").to_pandas() \
+        .set_index("media_id")
+    for _, row in pure.iterrows():
+        assert row["width"] == meta.loc[row["media_id"], "meta_width"]
+        assert row["height"] == meta.loc[row["media_id"], "meta_height"]
     assert out["phash64"].nunique() > 1
 
 
@@ -40,17 +55,62 @@ def test_image_decode_deterministic(media_ds):
     assert a["mean_luma"].tolist() == b["mean_luma"].tolist()
 
 
+def test_image_resize_stage(media_ds):
+    imgs = media_ds.filter(lambda r: r["kind"] == "image")
+    out = resize_images(imgs, 10, 7, concurrency=2).to_pandas()
+    pure = out[out["decoder"] == "pure"]
+    assert len(pure) > 0
+    for _, row in pure.iterrows():
+        px = mc.decode_png(row["payload"])
+        assert px.shape == (7, 10, 3)
+        assert row["meta_width"] == 10 and row["meta_height"] == 7
+    # undecodable rows pass through byte-identical
+    fake = out[out["decoder"] == "fake"]
+    orig = imgs.to_pandas().set_index("media_id")
+    for _, row in fake.iterrows():
+        assert row["payload"] == orig.loc[row["media_id"], "payload"]
+
+
 def test_audio_features_stage(media_ds):
     aud = media_ds.filter(lambda r: r["kind"] == "audio")
     out = audio_features(aud, concurrency=2).to_pandas()
     assert len(out) == 10
+    assert (out["decoder"] == "pure").all()  # real WAV decode
+    assert (out["sample_rate"] == 8000).all()
     assert (out["n_samples"] > 0).all()
-    assert (out["rms"] > 0).all()
+    # a 0.5-amplitude sine has rms ≈ 0.3536
+    assert np.allclose(out["rms"], 0.3536, atol=0.01)
+    assert (out["zero_crossings"] > 0).all()
+    # n_samples must match the synthesized duration
+    meta = aud.to_pandas().set_index("media_id")
+    for _, row in out.iterrows():
+        dur = meta.loc[row["media_id"], "meta_duration_ms"]
+        assert row["n_samples"] == int(8000 * dur / 1000)
 
 
-def test_frame_sampler_one_to_many(media_ds):
+def test_frame_sampler_real_gif_frames(media_ds):
     vid = media_ds.filter(lambda r: r["kind"] == "video")
     out = sample_frames(vid, k=4, concurrency=2).to_pandas()
     assert len(out) == 10 * 4
+    assert (out["decoder"] == "pure").all()  # real GIF frame decode
     per = out.groupby("media_id")["frame_idx"].apply(list)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per)
+    # rolled frames differ → fingerprints should vary within a video
+    nunique = out.groupby("media_id")["frame_fp"].nunique()
+    assert (nunique > 1).any()
+
+
+def test_frame_sampler_fallback_for_non_gif():
+    t = pa.Table.from_pydict({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "mime": pa.array(["video/mp4"], pa.string()),
+        "payload": pa.array([b"\x00\x00\x00\x18ftypmp42" + b"x" * 100],
+                            pa.binary()),
+        "meta_width": pa.array([0], pa.int32()),
+        "meta_height": pa.array([0], pa.int32()),
+        "meta_duration_ms": pa.array([0], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = sample_frames(rd.from_arrow(t), k=3).to_pandas()
+    assert len(out) == 3
+    assert (out["decoder"] == "fake").all()
