@@ -1025,6 +1025,115 @@ GROUP BY 1, 2
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction parity check. The raw documents are synthetic
+    word-salad with no PII, so BOTH sides (this pipeline and the DuckDB
+    oracle) first lace the text with deterministic doc_id-derived
+    emails / SSNs / phone numbers / IPv4s, then redact with their own
+    regex engine (Arrow RE2 here, DuckDB RE2 there) — the value-hash
+    compares the redacted text and sequential per-category counts, so
+    it verifies the redaction chain itself, not a trivial identity."""
+    import pandas as pd
+
+    from bento_ray.textops.redact import redact_batch
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        s = pd.Series(ids).astype(str)
+        txt = t.column("text").to_pandas()
+        z = lambda v, w: pd.Series(v).astype(str).str.zfill(w)  # noqa: E731
+        email = (" contact u" + s + "@ex" + z(ids % 7, 1) + ".com") \
+            .where(ids % 3 == 0, "")
+        ssn = (" ssn " + z(ids % 1000, 3) + "-" + z(ids % 100, 2)
+               + "-" + z((ids * 13) % 10000, 4)).where(ids % 7 == 0, "")
+        phone = (" call 555-" + z(ids % 1000, 3) + "-"
+                 + z((ids * 7) % 10000, 4)).where(ids % 4 == 0, "")
+        ip = (" host 10." + z(ids % 256, 1) + "." + z((ids * 3) % 256, 1)
+              + "." + z((ids * 9) % 256, 1)).where(ids % 5 == 0, "")
+        raw = txt + email + ssn + phone + ip
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(raw, pa.string())})
+
+    def _redact(t: pa.Table) -> pa.Table:
+        red, counts = redact_batch(t.column("text"))
+        out = {"doc_id": t.column("doc_id"), "redacted": red}
+        out.update({f"n_{tag.lower()}": arr for tag, arr in counts.items()})
+        return pa.table(out)
+
+    return ds.map_batches(_lace, batch_format="pyarrow") \
+        .map_batches(_redact, batch_format="pyarrow")
+
+
+def _pii_sql() -> str:
+    from bento_ray.textops.redact import pii_sql_counts, pii_sql_replace
+
+    laced = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+       || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' ssn '
+       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+       || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+       || CAST(doc_id % 256 AS VARCHAR) || '.'
+       || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+       || CAST((doc_id * 9) % 256 AS VARCHAR) ELSE '' END AS text
+FROM documents
+"""
+    counts = ",\n       ".join(f"{expr} AS {name}"
+                               for name, expr in pii_sql_counts("text").items())
+    return (f"SELECT doc_id, {pii_sql_replace('text')} AS redacted,\n"
+            f"       {counts}\nFROM ({laced})")
+
+
+SQL_PII_REDACT = _pii_sql()
+
+
+def q_repetition_metrics(sf_dir: str):
+    """Gopher-style repetition signals per document (top-word fraction,
+    distinct-word fraction, duplicate-word character fraction) —
+    position-free definitions shared with the DuckDB oracle."""
+    from bento_ray.textops import repetition_metrics
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_metrics(ds).select_columns(
+        ["doc_id", "top_word_frac", "distinct_word_frac",
+         "dup_word_char_frac"])
+
+
+# Mirrors repetition_metrics exactly: ' '-split, empties dropped,
+# word-less docs report 0.0 for all three metrics.
+SQL_REPETITION = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c, length(w) AS wlen
+  FROM words GROUP BY doc_id, w
+), m AS (
+  SELECT doc_id,
+    ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_word_frac,
+    ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_word_frac,
+    ROUND(SUM(CASE WHEN c > 1 THEN c * wlen ELSE 0 END)
+          / CAST(SUM(c * wlen) AS DOUBLE), 6) AS dup_word_char_frac
+  FROM wc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.top_word_frac, 0.0) AS top_word_frac,
+       COALESCE(m.distinct_word_frac, 0.0) AS distinct_word_frac,
+       COALESCE(m.dup_word_char_frac, 0.0) AS dup_word_char_frac
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_bloblang_revenue": (q_bloblang_revenue, SQL_BLOBLANG_REVENUE),
@@ -1056,6 +1165,8 @@ QUERIES = {
     "q_config_yaml_orders": (q_config_yaml_orders, SQL_CONFIG_YAML),
     "q_archive_roundtrip": (q_archive_roundtrip, SQL_ARCHIVE_ROUNDTRIP),
     "q_cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
+    "q_pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "q_repetition_metrics": (q_repetition_metrics, SQL_REPETITION),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),

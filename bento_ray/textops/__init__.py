@@ -8,7 +8,9 @@ from bento_ray.textops.quality import (
     fingerprint_stage,
     lang_id_stage,
     quality_stage,
+    repetition_metrics,
 )
+from bento_ray.textops.redact import redact_pii
 from bento_ray.textops.similarity import (
     cosine_near_dups,
     cosine_near_dups_lsh,
@@ -20,6 +22,8 @@ from bento_ray.textops.similarity import (
 __all__ = [
     "doc_stats",
     "quality_stage",
+    "repetition_metrics",
+    "redact_pii",
     "lang_id_stage",
     "fingerprint_stage",
     "minhash_signatures",

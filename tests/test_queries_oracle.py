@@ -18,6 +18,8 @@ SUBSET = [
     "q_switch_route",
     "q_ann_topk",
     "q_token_count_by_lang",
+    "q_pii_redact",
+    "q_repetition_metrics",
 ]
 
 

@@ -341,3 +341,86 @@ def test_ivf_ann_recall_clustered_and_real(ray_session):
         / len(rtruth)
     assert r8 >= 0.6, (r1, r8)
     assert r8 >= r1 + 0.2, (r1, r8)
+
+
+class TestRedactAndRepetition:
+    def test_redact_batch_patterns_and_order(self):
+        import pyarrow as pa
+
+        from bento_ray.textops.redact import redact_batch
+
+        texts = pa.array([
+            "mail bob@corp.io now",
+            "ssn 123-45-6789 tel 555-123-4567",
+            "srv 192.168.0.1 and 10.0.0.255",
+            "none here",
+            "a@b.co x@y.org",           # two emails in one doc
+        ])
+        red, counts = redact_batch(texts)
+        red = red.to_pylist()
+        assert red[0] == "mail <EMAIL> now"
+        # SSN matched before PHONE could mis-take it; both redacted
+        assert red[1] == "ssn <SSN> tel <PHONE>"
+        assert red[2] == "srv <IP> and <IP>"
+        assert red[3] == "none here"
+        assert red[4] == "<EMAIL> <EMAIL>"
+        assert counts["EMAIL"].to_pylist() == [1, 0, 0, 0, 2]
+        assert counts["SSN"].to_pylist() == [0, 1, 0, 0, 0]
+        assert counts["PHONE"].to_pylist() == [0, 1, 0, 0, 0]
+        assert counts["IP"].to_pylist() == [0, 0, 2, 0, 0]
+
+    def test_redact_sql_parity_on_adversarial_strings(self):
+        """The Arrow RE2 chain and the generated DuckDB chain must
+        agree byte-for-byte, including on boundary-adjacent shapes."""
+        import duckdb
+        import pyarrow as pa
+
+        from bento_ray.textops.redact import (
+            pii_sql_counts,
+            pii_sql_replace,
+            redact_batch,
+        )
+
+        texts = [
+            "a.b+c@d-e.museum tail",
+            "999-99-99999 not an ssn (5-digit tail)",
+            "555.123.4567 dotted phone",
+            "1.2.3.4.5 five groups",
+            "v1.2.3 semver is not an ip",
+            "email@sub.domain.co, trailing comma",
+            "123-45-6789x suffix letter",
+        ]
+        red, counts = redact_batch(pa.array(texts))
+        con = duckdb.connect()
+        counts_sql = ",".join(f"{e} AS {n}"
+                              for n, e in pii_sql_counts("t").items())
+        rows = con.execute(
+            f"SELECT {pii_sql_replace('t')} AS r, {counts_sql} "
+            "FROM (SELECT unnest(?) AS t)", [texts]).fetchall()
+        for i, row in enumerate(rows):
+            assert row[0] == red.to_pylist()[i], texts[i]
+            assert row[1] == counts["EMAIL"].to_pylist()[i], texts[i]
+            assert row[2] == counts["SSN"].to_pylist()[i], texts[i]
+            assert row[3] == counts["PHONE"].to_pylist()[i], texts[i]
+            assert row[4] == counts["IP"].to_pylist()[i], texts[i]
+
+    def test_repetition_metrics_hand_check(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bento_ray.textops import repetition_metrics
+
+        t = pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b a c a",        # 5 words, a×3: top .6, dist .6, dup 3/5 chars
+                "x y z",            # all unique
+                "",                 # word-less
+                "aa aa b",          # dup chars 4/5
+            ],
+        })
+        out = repetition_metrics(rd.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["top_word_frac"].tolist() == [0.6, 0.333333, 0.0, 0.666667]
+        assert out["distinct_word_frac"].tolist() == [0.6, 1.0, 0.0, 0.666667]
+        assert out["dup_word_char_frac"].tolist() == [0.6, 0.0, 0.0, 0.8]
