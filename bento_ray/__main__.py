@@ -171,6 +171,38 @@ def _cmd_echo(args) -> int:
     return 0
 
 
+def _cmd_template(args) -> int:
+    """``bento template lint`` analog: parse each template file,
+    register nothing, run its embedded ``tests:`` blocks."""
+    from bento_ray.config.template import Template
+
+    files: list[str] = []
+    for pat in args.files:
+        files.extend(sorted(glob.glob(pat, recursive=True)) or [pat])
+    bad = 0
+    for f in files:
+        try:
+            tmpl = Template.from_file(f)
+        except Exception as e:  # noqa: BLE001
+            print(f"{f}: {e}")
+            bad += 1
+            continue
+        failures = tmpl.run_tests()
+        for fail in failures:
+            print(f"{f}: {fail}")
+        bad += len(failures)
+        if not failures:
+            print(f"ok   {f} ({len(tmpl.tests)} tests)")
+    return 1 if bad else 0
+
+
+def _load_templates(args) -> None:
+    if getattr(args, "templates", None):
+        from bento_ray.config.template import load_templates
+
+        load_templates(args.templates)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="bento_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -178,15 +210,29 @@ def main(argv=None) -> int:
     p_run = sub.add_parser("run", help="run a config pipeline")
     p_run.add_argument("config")
     p_run.add_argument("--output", help="parquet output path")
+    p_run.add_argument("-t", "--templates", action="append", default=[],
+                       help="template files/globs to register")
     p_run.set_defaults(fn=_cmd_run)
 
     p_test = sub.add_parser("test", help="run config unit tests")
     p_test.add_argument("paths", nargs="+")
+    p_test.add_argument("-t", "--templates", action="append", default=[],
+                        help="template files/globs to register")
     p_test.set_defaults(fn=_cmd_test)
 
     p_lint = sub.add_parser("lint", help="lint config files")
     p_lint.add_argument("configs", nargs="+")
+    p_lint.add_argument("-t", "--templates", action="append", default=[],
+                        help="template files/globs to register")
     p_lint.set_defaults(fn=_cmd_lint)
+
+    p_tmpl = sub.add_parser("template",
+                            help="template subcommands (lint)")
+    tmpl_sub = p_tmpl.add_subparsers(dest="template_cmd", required=True)
+    p_tmpl_lint = tmpl_sub.add_parser(
+        "lint", help="lint template files and run their embedded tests")
+    p_tmpl_lint.add_argument("files", nargs="+")
+    p_tmpl_lint.set_defaults(fn=_cmd_template)
 
     p_blobl = sub.add_parser("blobl", help="run a Bloblang mapping "
                                            "over stdin lines")
@@ -198,6 +244,7 @@ def main(argv=None) -> int:
     p_echo.set_defaults(fn=_cmd_echo)
 
     args = ap.parse_args(argv)
+    _load_templates(args)
     return args.fn(args)
 
 

@@ -114,6 +114,10 @@ def set_path(container, segs, val):
     for i, s in enumerate(segs[:-1]):
         key = str(s)
         if isinstance(cur, list):
+            if key == "-":  # gabs JSON-pointer append
+                cur.append({})
+                cur = cur[-1]
+                continue
             idx = _list_index(s, cur)
             while len(cur) <= idx:
                 cur.append(None)
@@ -128,6 +132,9 @@ def set_path(container, segs, val):
         cur = nxt
     last = segs[-1]
     if isinstance(cur, list):
+        if str(last) == "-":  # gabs JSON-pointer append
+            cur.append(val)
+            return
         idx = _list_index(last, cur)
         while len(cur) <= idx:
             cur.append(None)

@@ -1532,6 +1532,19 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
             code=cfg.get("code", ""), file=cfg.get("file", ""),
             global_folders=cfg.get("global_folders", []),
             base_dir=_BASE_DIR[0] if _BASE_DIR else None)
+    # registered config templates act as first-class processor kinds:
+    # render the Bloblang macro with this config, then build whatever
+    # real component the mapping produced (template.go Render)
+    from bento_ray.config.template import lookup_template
+
+    tmpl = lookup_template("processor", kind)
+    if tmpl is not None:
+        rendered = tmpl.render(cfg or {})
+        if not isinstance(rendered, dict) or len(rendered) != 1:
+            raise ValueError(
+                f"template {kind}: mapping must produce exactly one "
+                f"component config, got {type(rendered).__name__}")
+        return build_processor(rendered, resources)
     raise ValueError(f"unsupported processor kind {kind!r}")
 
 

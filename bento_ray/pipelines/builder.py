@@ -277,7 +277,23 @@ class Pipeline:
                 else inp["resource"]["name"]
             p = cls(resource(name))
         else:
-            raise ValueError(f"unsupported input: {list(inp)}")
+            from bento_ray.config.template import lookup_template
+
+            (iname, icfg), = inp.items() if isinstance(inp, dict) else [
+                (inp, {})]
+            tmpl = lookup_template("input", iname)
+            if tmpl is None:
+                raise ValueError(f"unsupported input: {list(inp)}")
+            # render the input template; any attached input-level
+            # processors run ahead of the pipeline section
+            rendered = tmpl.render(icfg or {})
+            inner_procs = rendered.pop("processors", []) \
+                if isinstance(rendered, dict) else []
+            sub = dict(spec)
+            sub["input"] = rendered
+            sub["pipeline"] = list(inner_procs) + list(
+                spec.get("pipeline", []))
+            return cls.from_spec(sub)
         import inspect
 
         from bento_ray.config.processors import CONFIG_PROCESSOR_KINDS
@@ -309,7 +325,13 @@ class Pipeline:
             pending.clear()
             return out
 
-        for step in spec.get("pipeline", []):
+        from collections import deque
+
+        from bento_ray.config.template import lookup_template
+
+        queue = deque(spec.get("pipeline", []))
+        while queue:
+            step = queue.popleft()
             (name, kwargs), = step.items()
             if name in _PROCESSORS:
                 p = _flush(p)
@@ -319,6 +341,12 @@ class Pipeline:
                 p = getattr(p, name)(**kwargs)
             elif name in CONFIG_PROCESSOR_KINDS:
                 pending.append({name: kwargs})
+            elif lookup_template("processor", name) is not None:
+                # config template: render the macro and process the
+                # resulting real component config in its place
+                rendered = lookup_template("processor", name) \
+                    .render(kwargs or {})
+                queue.appendleft(rendered)
             else:
                 raise ValueError(f"unknown processor: {name}")
         return _flush(p)
