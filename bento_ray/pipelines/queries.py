@@ -1134,6 +1134,49 @@ FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization parity: both sides lace the ASCII corpus
+    with the same doc_id-selected mixed-script repertoire string (plus
+    tab/extra-space noise), then normalize with their own engine —
+    Python unicodedata + Arrow RE2 here, DuckDB utf8proc there. The
+    hash compares the normalized text itself."""
+    import numpy as np
+
+    from bento_ray.textops.normalize import REPERTOIRE, normalize_series
+
+    rep = np.array(REPERTOIRE, dtype=object)
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        laced = (t.column("text").to_pandas()
+                 + "\t " + rep[ids % len(rep)] + "  END")
+        norm = normalize_series(pa.array(laced, pa.string()))
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "norm_text": norm,
+            "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _normalize_sql() -> str:
+    from bento_ray.textops.normalize import REPERTOIRE, normalize_sql_expr
+
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in REPERTOIRE)
+    laced = (f"text || chr(9) || ' ' || ([{lits}])"
+             f"[CAST(doc_id % {len(REPERTOIRE)} AS INT) + 1] || '  END'")
+    expr = normalize_sql_expr(f"({laced})")
+    return (f"SELECT doc_id, {expr} AS norm_text,\n"
+            f"       length({expr}) AS n_chars_norm\nFROM documents")
+
+
+SQL_NORMALIZE_TEXT = _normalize_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_bloblang_revenue": (q_bloblang_revenue, SQL_BLOBLANG_REVENUE),
@@ -1167,6 +1210,7 @@ QUERIES = {
     "q_cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     "q_pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "q_repetition_metrics": (q_repetition_metrics, SQL_REPETITION),
+    "q_normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),

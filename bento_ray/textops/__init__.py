@@ -10,6 +10,7 @@ from bento_ray.textops.quality import (
     quality_stage,
     repetition_metrics,
 )
+from bento_ray.textops.normalize import normalize_text
 from bento_ray.textops.redact import redact_pii
 from bento_ray.textops.similarity import (
     cosine_near_dups,
@@ -24,6 +25,7 @@ __all__ = [
     "quality_stage",
     "repetition_metrics",
     "redact_pii",
+    "normalize_text",
     "lang_id_stage",
     "fingerprint_stage",
     "minhash_signatures",

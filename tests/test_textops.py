@@ -424,3 +424,51 @@ class TestRedactAndRepetition:
         assert out["top_word_frac"].tolist() == [0.6, 0.333333, 0.0, 0.666667]
         assert out["distinct_word_frac"].tolist() == [0.6, 1.0, 0.0, 0.666667]
         assert out["dup_word_char_frac"].tolist() == [0.6, 0.0, 0.0, 0.8]
+
+
+class TestNormalizeText:
+    def test_engine_agreement_on_repertoire(self):
+        """Python unicodedata+lower and DuckDB utf8proc must agree on
+        every repertoire string — the invariant the oracle rests on."""
+        import duckdb
+
+        from bento_ray.textops.normalize import (
+            REPERTOIRE,
+            normalize_scalar,
+            normalize_sql_expr,
+        )
+
+        con = duckdb.connect()
+        for s in REPERTOIRE:
+            noisy = "  X\t" + s + " \n Y  "
+            d = con.execute(
+                f"select {normalize_sql_expr('?')}", [noisy]).fetchone()[0]
+            assert d == normalize_scalar(noisy), repr(s)
+
+    def test_normalize_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bento_ray.textops.normalize import normalize_text
+
+        t = pa.table({"doc_id": [0, 1, 2], "text": [
+            "CAFÉ   au  lait",   # decomposed E+accent, runs of spaces
+            "\tStraße  Å ", # ß survives, A+ring composes to å
+            "",
+        ]})
+        out = normalize_text(rd.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id")
+        assert out["text"].tolist() == ["café au lait", "straße å", ""]
+        # composed output: é is one codepoint
+        assert "́" not in out["text"].iloc[0]
+
+    def test_normalize_out_col(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from bento_ray.textops.normalize import normalize_text
+
+        t = pa.table({"text": ["A  B"]})
+        out = normalize_text(rd.from_arrow(t), out_col="norm").to_pandas()
+        assert out["text"].tolist() == ["A  B"]
+        assert out["norm"].tolist() == ["a b"]
