@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from bento_ray.util import default_concurrency as _dc
 
@@ -338,6 +339,66 @@ def _unique_pairs_partition(t: pa.Table) -> pa.Table:
     })
 
 
+# Bloom filter over candidate-pair doc ids. 2^23 bits = 1 MiB per
+# block-partial and for the merged broadcast array; with k=2 probes the
+# false-positive rate stays < 1% up to ~1.5M distinct pair-member ids
+# (shard the corpus or raise _BLOOM_BITS beyond that — false positives
+# only cost extra inner-join input, never wrong output).
+_BLOOM_BITS = 1 << 23
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized, wraps mod 2^64."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h = _mix64(ids.astype(np.uint64))
+    m = np.uint64(_BLOOM_BITS)
+    return h % m, _mix64(h) % m
+
+
+def _bloom_set(bits: np.ndarray, ids: np.ndarray) -> None:
+    for p in _bloom_positions(ids):
+        np.bitwise_or.at(
+            bits, (p >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)))
+
+
+def _bloom_test(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    mask = np.ones(len(ids), bool)
+    for p in _bloom_positions(ids):
+        byte = bits[(p >> np.uint64(3)).astype(np.int64)]
+        mask &= ((byte >> (p & np.uint64(7)).astype(np.uint8))
+                 & np.uint8(1)).astype(bool)
+    return mask
+
+
+def _build_pair_bloom(pairs):
+    """Distributed Bloom build over the (already materialized) pairs
+    Dataset: each block contributes one fixed-size partial (1 MiB
+    regardless of block row count); partials are OR-merged on the
+    driver and the merged array broadcast once via ray.put."""
+
+    def _block_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, np.uint8)
+        ids = np.concatenate([
+            t.column("doc_a").to_numpy().astype(np.uint64),
+            t.column("doc_b").to_numpy().astype(np.uint64)])
+        _bloom_set(bits, ids)
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(_BLOOM_BITS // 8, np.uint8)
+    partials = pairs.map_batches(_block_bloom, batch_format="pyarrow")
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for buf in batch.column("bloom").to_pylist():
+            merged |= np.frombuffer(buf, np.uint8)
+    return ray.put(merged)
+
+
 def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, threshold: float = 0.5,
                            seed: int = 42, concurrency: int | None = None,
@@ -415,10 +476,30 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
                 [col_to if c == col_from else c for c in t.column_names])
         return _f
 
-    sh_a = shingles.map_batches(_ren("doc_id", "doc_a"),
-                                batch_format="pyarrow")
-    sh_b = shingles.map_batches(_ren("doc_id", "doc_b"),
-                                batch_format="pyarrow")
+    # Bloom semi-join pruning: only docs that appear in SOME candidate
+    # pair need their shingle sets shipped through the attach joins —
+    # typically a small fraction of the corpus (near-dup rate << 1).
+    # The filter is built distributed (one fixed-size bit array per
+    # pairs block, OR-merged on the driver: bounded at _BLOOM_BITS/8
+    # bytes per block regardless of corpus size) and broadcast once
+    # via ray.put. False positives only ship extra shingle rows into
+    # an inner join — output is unchanged; false negatives are
+    # impossible. Requires one consumption of `pairs` beyond the
+    # joins, so pairs (small: post-dedup candidate pairs) is
+    # materialized.
+    pairs = pairs.materialize()
+    bloom_ref = _build_pair_bloom(pairs)
+
+    def _member(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        return t.filter(pa.array(_bloom_test(bits, ids)))
+
+    pruned = shingles.map_batches(_member, batch_format="pyarrow")
+    sh_a = pruned.map_batches(_ren("doc_id", "doc_a"),
+                              batch_format="pyarrow")
+    sh_b = pruned.map_batches(_ren("doc_id", "doc_b"),
+                              batch_format="pyarrow")
     joined = shuffle_join(pairs, sh_a, on="doc_a", how="inner",
                           suffix="_a")
     joined = joined.map_batches(_ren("shingles", "sh_a"),
