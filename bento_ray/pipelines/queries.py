@@ -1177,6 +1177,99 @@ def _normalize_sql() -> str:
 SQL_NORMALIZE_TEXT = _normalize_sql()
 
 
+def q_term_frequency(sf_dir: str):
+    """Corpus-wide term frequency, top 20 — combiner pattern: each
+    batch pre-aggregates its words with one Arrow hash-aggregate, so
+    the groupby shuffle moves ≤ |vocab| rows per block, never the raw
+    token stream."""
+    from bento_ray.textops import top_terms
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return top_terms(ds, k=20)
+
+
+SQL_TERM_FREQ = """
+SELECT w AS word, COUNT(*) AS cnt FROM (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+) WHERE w <> ''
+GROUP BY w ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+def q_top_bigrams(sf_dir: str):
+    """Adjacent-word-pair frequency, top 15 — boilerplate-phrase
+    detection shape; bigrams built vectorized from the batch's flat
+    word array with doc boundaries masked."""
+    from bento_ray.textops import top_bigrams
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return top_bigrams(ds, k=15)
+
+
+SQL_TOP_BIGRAMS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM t
+)
+SELECT a.w || ' ' || b.w AS bigram, COUNT(*) AS cnt
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 15
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document TF-IDF keyword extraction (top 3): per-doc term
+    counts need no shuffle (docs are block-atomic), the DF table is
+    vocab-sized and broadcast once via ray.put, ties broken by
+    integer keys (tf desc, df asc, term asc) so the order matches the
+    SQL oracle bit-for-bit."""
+    from bento_ray.textops import tfidf_top_terms
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), tc AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tc GROUP BY term
+), n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf,
+         ROUND(tc.tf * ln(n.nd / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tc.doc_id
+                            ORDER BY tc.tf DESC, df.df ASC, tc.term ASC)
+           AS rnk
+  FROM tc JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+FROM scored WHERE rnk <= 3
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 1/10 subsample by Knuth multiplicative hash of
+    doc_id — reproducible across runs/engines/cluster sizes, no RNG
+    state; the identical arithmetic runs in the SQL oracle."""
+    from bento_ray.textops import hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return hash_sample(ds, denom=10, residue=3)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 10 = 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_bloblang_revenue": (q_bloblang_revenue, SQL_BLOBLANG_REVENUE),
@@ -1211,6 +1304,10 @@ QUERIES = {
     "q_pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "q_repetition_metrics": (q_repetition_metrics, SQL_REPETITION),
     "q_normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "q_term_frequency": (q_term_frequency, SQL_TERM_FREQ),
+    "q_top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+    "q_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "q_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),

@@ -20,8 +20,23 @@ from bento_ray.textops.similarity import (
     lsh_cosine_topk,
 )
 
+from bento_ray.textops.terms import (
+    term_counts,
+    bigram_counts,
+    top_terms,
+    top_bigrams,
+    tfidf_top_terms,
+    hash_sample,
+)
+
 __all__ = [
     "doc_stats",
+    "term_counts",
+    "bigram_counts",
+    "top_terms",
+    "top_bigrams",
+    "tfidf_top_terms",
+    "hash_sample",
     "quality_stage",
     "repetition_metrics",
     "redact_pii",

@@ -1,0 +1,273 @@
+"""Corpus term statistics: term/bigram frequency, TF-IDF keyword
+extraction, deterministic hash sampling.
+
+These are the frequency-analysis ops a webtext training-data pipeline
+runs corpus-wide (vocabulary building, boilerplate-phrase detection,
+keyword extraction, reproducible subsampling). Reference anchor: the
+reference engine expresses these as Bloblang/awk aggregations over
+message streams (e.g. internal/impl/pure/processor_metric.go counters);
+here they are first-class distributed Dataset transforms.
+
+Ray-Data-first shapes:
+
+- **Combiner pattern everywhere.** Raw (word) rows never enter a
+  shuffle: each batch pre-aggregates to (word, partial_count) with ONE
+  Arrow ``Table.group_by`` — the all-to-all exchange then moves at most
+  |vocab| rows per block instead of |tokens|. At 100 TB the shuffle
+  input is bounded by vocabulary size × blocks, not corpus size.
+- **Per-doc stats need no shuffle at all.** A parquet row (one doc) is
+  atomic within a block, so per-doc term counts and top-k selections
+  complete inside ``map_batches``.
+- **Small sides broadcast.** The document-frequency table (vocabulary-
+  sized) is ``ray.put`` once and read per actor, never re-shipped per
+  batch; swap for a ``shuffle_join`` on ``term`` when the vocabulary
+  itself outgrows worker memory (hundreds of millions of distinct
+  terms) — the plan below keeps that substitution local to one stage.
+- Splitting is single-space with empties dropped — the same convention
+  as quality.py's metrics and every DuckDB oracle (`string_split` +
+  filter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+__all__ = [
+    "term_counts",
+    "bigram_counts",
+    "top_terms",
+    "top_bigrams",
+    "tfidf_top_terms",
+    "hash_sample",
+]
+
+# Knuth multiplicative hash constant (2^32 / phi) — public domain.
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def _split_words(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ' '-split of a string column with empties dropped.
+
+    Returns (flat word array, per-doc word counts). One Arrow kernel
+    pass; no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    la = pc.split_pattern(arr, " ")
+    flat = la.flatten()
+    lens = pc.list_value_length(la).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if keep_np.all():
+        return flat.to_numpy(zero_copy_only=False), lens
+    # rebuild per-doc counts after dropping empties; reduceat indices
+    # are clipped (trailing zero-length docs would index past the end)
+    # and zero-length docs overwritten after — reduceat returns a
+    # spurious single element for repeated indices.
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    kept_per_doc = np.add.reduceat(
+        keep_np.astype(np.int64),
+        np.minimum(bounds[:-1], len(flat) - 1)) if len(flat) else \
+        np.zeros(len(lens), np.int64)
+    kept_per_doc[lens == 0] = 0
+    return (flat.filter(keep).to_numpy(zero_copy_only=False),
+            kept_per_doc)
+
+
+def _partial_counts(words: pa.Array, name: str) -> pa.Table:
+    """ONE Arrow hash-aggregate over the batch's words → compact
+    (name, cnt) partial."""
+    t = pa.table({name: words})
+    agg = t.group_by(name).aggregate([(name, "count")])
+    return pa.table({
+        name: agg.column(name),
+        "cnt": agg.column(f"{name}_count").cast(pa.int64()),
+    })
+
+
+def term_counts(ds, col: str = "text"):
+    """Global term frequencies: Dataset of (word, cnt).
+
+    Plan: map_batches partial count (combiner) → groupby(word).sum —
+    the only shuffle moves ≤ |vocab| rows per block."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, _ = _split_words(t.column(col))
+        return _partial_counts(pa.array(flat, pa.string()), "word")
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    out = partials.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("cnt"), "cnt",
+                            t.column("cnt").cast(pa.int64()))
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+def bigram_counts(ds, col: str = "text"):
+    """Global adjacent-word-pair frequencies: Dataset of (bigram, cnt).
+
+    Bigrams are built vectorized from the batch's flattened word array:
+    element-wise join of W[:-1] and W[1:], with cross-document pairs
+    masked out by doc-boundary positions. Same combiner shape as
+    term_counts."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, lens = _split_words(t.column(col))
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        W = pa.array(flat, pa.string())
+        joined = pc.binary_join_element_wise(
+            W.slice(0, n - 1), W.slice(1), " ")
+        # positions i where (i, i+1) straddles a doc boundary
+        ends = np.cumsum(lens[lens > 0])
+        mask = np.ones(n - 1, bool)
+        mask[ends[:-1] - 1] = False  # last word of each doc (not final)
+        return _partial_counts(joined.filter(pa.array(mask)), "bigram")
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    out = partials.groupby("bigram").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("cnt"), "cnt",
+                            t.column("cnt").cast(pa.int64()))
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+def top_terms(ds, k: int = 20, col: str = "text"):
+    """Top-k terms by global count (ties → lexicographic)."""
+    return term_counts(ds, col).sort(
+        ["cnt", "word"], descending=[True, False]).limit(k)
+
+
+def top_bigrams(ds, k: int = 15, col: str = "text"):
+    """Top-k adjacent word pairs by global count."""
+    return bigram_counts(ds, col).sort(
+        ["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
+def _doc_term_counts(t: pa.Table, col: str) -> pa.Table:
+    """(doc_id, term, tf) for one batch — no shuffle needed: each doc
+    is atomic within its block."""
+    flat, lens = _split_words(t.column(col))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rep = np.repeat(ids, lens)
+    tt = pa.table({"doc_id": pa.array(rep, pa.int64()),
+                   "term": pa.array(flat, pa.string())})
+    agg = tt.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    return pa.table({
+        "doc_id": agg.column("doc_id"),
+        "term": agg.column("term"),
+        "tf": agg.column("term_count").cast(pa.int64()),
+    })
+
+
+class _TfidfScorer:
+    """Score per-doc term counts against the broadcast DF table and
+    keep each doc's top-k. DF map built once per actor from the
+    object-store ref (zero re-ship per batch)."""
+
+    def __init__(self, df_ref, n_docs: int, k: int):
+        df_tab = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) \
+            else df_ref
+        terms = df_tab.column("term").to_pylist()
+        dfs = df_tab.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        self.df_map = dict(zip(terms, dfs.tolist()))
+        self.n_docs = float(n_docs)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "tfidf": pa.array([], pa.float64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        terms = t.column("term").to_pylist()
+        tf = t.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dfv = np.array([self.df_map[w] for w in terms], np.float64)
+        score = tf * np.log(self.n_docs / dfv)
+        # top-k per doc: ties broken (tf desc, df asc, term asc) —
+        # integer keys, so the order matches the SQL oracle exactly
+        # even when two float scores round identically.
+        order = np.lexsort((np.asarray(terms, object), dfv, -tf, ids))
+        ids_s = ids[order]
+        starts = np.concatenate([[0], np.flatnonzero(
+            ids_s[1:] != ids_s[:-1]) + 1])
+        rank = np.arange(len(ids_s)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(ids_s)]])))
+        keep = order[rank < self.k]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "term": pa.array([terms[i] for i in keep], pa.string()),
+            "tf": pa.array(tf[keep].astype(np.int64), pa.int64()),
+            "tfidf": pa.array(np.round(score[keep], 6), pa.float64()),
+        })
+
+
+def tfidf_top_terms(ds, k: int = 3, col: str = "text"):
+    """Per-document TF-IDF keyword extraction: Dataset of
+    (doc_id, term, tf, tfidf) — each doc's top-k terms by
+    tf·ln(N/df), ties broken deterministically by (tf desc, df asc,
+    term asc).
+
+    Plan: per-batch (doc_id, term, tf) [no shuffle] → DF via the
+    term-level combiner groupby [vocab-sized shuffle] → DF broadcast
+    via ray.put → per-batch score + top-k [no shuffle]. The corpus is
+    read once and the tc Dataset reused for both the DF build and the
+    scoring pass (object-store materialize, spills under pressure).
+
+    Scale note: the broadcast DF table is vocabulary-sized; for
+    corpora whose distinct-term count outgrows worker memory, replace
+    the broadcast stage with ``shuffle_join(tc, df, on="term")`` —
+    everything else is unchanged."""
+    n_docs = ds.count()
+    tc = ds.map_batches(lambda t: _doc_term_counts(t, col),
+                        batch_format="pyarrow").materialize()
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        # rows are already distinct (doc, term) pairs → count per term
+        agg = t.group_by("term").aggregate([("term", "count")])
+        return pa.table({
+            "term": agg.column("term"),
+            "df": agg.column("term_count").cast(pa.int64()),
+        })
+
+    df_ds = (tc.map_batches(_df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+    df_tab = pa.Table.from_pandas(df_ds.to_pandas(), preserve_index=False) \
+        .replace_schema_metadata(None)
+    df_ref = ray.put(df_tab)
+
+    return tc.map_batches(
+        _TfidfScorer, fn_constructor_args=(df_ref, n_docs, k),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def hash_sample(ds, denom: int = 10, residue: int = 3,
+                key: str = "doc_id"):
+    """Deterministic 1/denom subsample by Knuth multiplicative hash of
+    an integer key — reproducible across runs, engines and cluster
+    sizes (no RNG state), expressible in SQL for cross-engine parity:
+    ``(key * 2654435761) % 2^32 % denom == residue``."""
+    d = np.uint64(denom)
+    r = np.uint64(residue)
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (ids * _KNUTH) % _M32 % d
+        return t.filter(pa.array(h == r))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

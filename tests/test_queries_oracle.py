@@ -20,6 +20,10 @@ SUBSET = [
     "q_token_count_by_lang",
     "q_pii_redact",
     "q_repetition_metrics",
+    "q_term_frequency",
+    "q_top_bigrams",
+    "q_tfidf_top_terms",
+    "q_hash_sample",
 ]
 
 

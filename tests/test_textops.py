@@ -472,3 +472,68 @@ class TestNormalizeText:
         out = normalize_text(rd.from_arrow(t), out_col="norm").to_pandas()
         assert out["text"].tolist() == ["A  B"]
         assert out["norm"].tolist() == ["a b"]
+
+
+def test_term_and_bigram_counts_edge_cases():
+    """Empty docs, extra spaces, and single-word docs: empties are
+    dropped, bigrams never cross doc boundaries."""
+    import ray.data as rd
+
+    from bento_ray.textops import bigram_counts, term_counts
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a b  a"},   # double space → empty token
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "c"},
+        {"doc_id": 3, "text": "b a"},
+    ])
+    tc = term_counts(ds).to_pandas().set_index("word")["cnt"].to_dict()
+    assert tc == {"a": 3, "b": 2, "c": 1}
+    bc = bigram_counts(ds).to_pandas().set_index("bigram")["cnt"].to_dict()
+    # "a b", "b a" (from doc0 after empty drop: a b a), "b a" (doc3);
+    # no bigram may join doc2's "c" to doc3's "b"
+    assert bc == {"a b": 1, "b a": 2}
+
+
+def test_tfidf_top_terms_small():
+    import ray.data as rd
+
+    from bento_ray.textops import tfidf_top_terms
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "x x y common"},
+        {"doc_id": 1, "text": "y z common"},
+        {"doc_id": 2, "text": "common common"},
+    ])
+    out = tfidf_top_terms(ds, k=2).to_pandas() \
+        .sort_values(["doc_id", "tfidf"], ascending=[True, False])
+    d0 = out[out.doc_id == 0]
+    # x: tf=2, df=1 → top; common: tf=1, df=3 → idf 0 → never above y
+    assert list(d0["term"])[0] == "x"
+    import numpy as np
+
+    row = d0[d0.term == "x"].iloc[0]
+    assert row["tfidf"] == round(2 * np.log(3 / 1), 6)
+    d2 = out[out.doc_id == 2]
+    # doc2 has one distinct term; ln(3/3)=0
+    assert list(d2["term"]) == ["common"] and float(d2["tfidf"].iloc[0]) == 0.0
+
+
+def test_hash_sample_deterministic_partition():
+    """The 10 residue classes partition the corpus exactly and each
+    class is identical across repeated runs."""
+    import ray.data as rd
+
+    from bento_ray.textops import hash_sample
+
+    ds = rd.from_items([{"doc_id": i} for i in range(1000)])
+    sizes = 0
+    first = None
+    for r in range(10):
+        got = sorted(hash_sample(ds, 10, r).to_pandas()["doc_id"])
+        sizes += len(got)
+        if r == 3:
+            first = got
+    assert sizes == 1000
+    again = sorted(hash_sample(ds, 10, 3).to_pandas()["doc_id"])
+    assert again == first
