@@ -1254,6 +1254,50 @@ FROM scored WHERE rnk <= 3
 """
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Cross-document duplicate 5-gram contamination per doc — an
+    n-gram instance is duplicated iff its 5-gram occurs in ≥2 distinct
+    docs corpus-wide. Only 61-bit n-gram hashes enter the shuffles;
+    the SQL oracle classifies by the n-gram string itself (identical
+    up to a ~|ngrams|²/2⁶¹ collision probability)."""
+    from bento_ray.textops import dup_ngram_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_stats(ds, n=5)
+
+
+SQL_DUP_NGRAMS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i:i+4], ' ')
+                 for i in range(1, greatest(len(ws)-3, 1))]) AS ng
+  FROM t WHERE len(ws) >= 5
+), inst AS (
+  SELECT doc_id, ng, COUNT(*) AS inst FROM g GROUP BY doc_id, ng
+), df AS (
+  SELECT ng, COUNT(*) AS df FROM inst GROUP BY ng
+), tot AS (
+  SELECT doc_id, CAST(SUM(inst) AS BIGINT) AS n_ngrams
+  FROM inst GROUP BY doc_id
+), dup AS (
+  SELECT i.doc_id, CAST(SUM(i.inst) AS BIGINT) AS n_dup
+  FROM inst i JOIN df USING (ng) WHERE df.df >= 2 GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(tot.n_ngrams, 0) AS n_ngrams,
+       COALESCE(dup.n_dup, 0) AS n_dup_ngrams,
+       ROUND(COALESCE(dup.n_dup, 0)
+             / CAST(GREATEST(COALESCE(tot.n_ngrams, 0), 1) AS DOUBLE), 6)
+         AS dup_ngram_frac
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN dup ON d.doc_id = dup.doc_id
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 1/10 subsample by Knuth multiplicative hash of
     doc_id — reproducible across runs/engines/cluster sizes, no RNG
@@ -1307,6 +1351,7 @@ QUERIES = {
     "q_term_frequency": (q_term_frequency, SQL_TERM_FREQ),
     "q_top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "q_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "q_dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAMS),
     "q_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),

@@ -26,6 +26,7 @@ from bento_ray.textops.terms import (
     top_terms,
     top_bigrams,
     tfidf_top_terms,
+    dup_ngram_stats,
     hash_sample,
 )
 
@@ -36,6 +37,7 @@ __all__ = [
     "top_terms",
     "top_bigrams",
     "tfidf_top_terms",
+    "dup_ngram_stats",
     "hash_sample",
     "quality_stage",
     "repetition_metrics",

@@ -42,6 +42,7 @@ __all__ = [
     "top_terms",
     "top_bigrams",
     "tfidf_top_terms",
+    "dup_ngram_stats",
     "hash_sample",
 ]
 
@@ -253,6 +254,124 @@ def tfidf_top_terms(ds, k: int = 3, col: str = "text"):
     return tc.map_batches(
         _TfidfScorer, fn_constructor_args=(df_ref, n_docs, k),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
+    """Cross-document duplicate n-gram contamination per doc:
+    (doc_id, n_ngrams, n_dup_ngrams, dup_ngram_frac), where an n-gram
+    INSTANCE is duplicated iff its n-gram occurs in ≥2 distinct
+    documents corpus-wide (within-doc repeats alone don't count) —
+    the Gopher/CCNet-style duplicate-n-gram signal used to score
+    boilerplate and cross-shard contamination.
+
+    Plan (n-grams never leave their batch as strings — only 61-bit
+    polynomial hashes move; collision odds ~|ngrams|²/2⁶¹):
+
+      docs → map_batches            (doc_id, ngh, inst) per-doc counts
+           → groupby(ngh).sum       document frequency  [vocab shuffle]
+           → filter df ≥ 2          dup-hash table
+      inst ⋈ dup on ngh             [hash shuffle]
+           → groupby(doc_id).sum    per-doc dup instance counts
+      totals ⋈ dup-counts (left)    final stats
+
+    The per-(doc, hash) inst table is consumed twice (DF build + dup
+    join) and is object-store-materialized once — it is hash-sized,
+    a small fraction of the text bytes. The raw input is read twice
+    (inst + totals passes); re-reading the pruned parquet columns is
+    cheaper at scale than pinning a full-corpus projection."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from bento_ray.stages.join import shuffle_join
+    from bento_ray.textops.quality import word_hashes
+
+    M = np.uint64((1 << 61) - 1)
+
+    def _explode(t: pa.Table):
+        flat, lens = _split_words(t.column(col))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hs = word_hashes(list(flat)) if len(flat) else \
+            np.empty(0, np.uint64)
+        total = len(hs)
+        if total >= n:
+            out = np.zeros(total - n + 1, np.uint64)
+            for j in range(n):
+                out = (out * np.uint64(1_000_003)
+                       + hs[j:total - n + 1 + j]) % M
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            valid = doc_of[:total - n + 1] == doc_of[n - 1:]
+            ngh = out[valid].astype(np.int64)
+            inst_doc = ids[doc_of[:total - n + 1][valid]]
+        else:
+            ngh = np.empty(0, np.int64)
+            inst_doc = np.empty(0, np.int64)
+        return ngh, inst_doc, ids, np.maximum(lens - n + 1, 0)
+
+    def _inst(t: pa.Table) -> pa.Table:
+        ngh, inst_doc, _, _ = _explode(t)
+        tt = pa.table({"doc_id": pa.array(inst_doc, pa.int64()),
+                       "ngh": pa.array(ngh, pa.int64())})
+        agg = tt.group_by(["doc_id", "ngh"]).aggregate([("ngh", "count")])
+        return pa.table({
+            "doc_id": agg.column("doc_id"),
+            "ngh": agg.column("ngh"),
+            "inst": agg.column("ngh_count").cast(pa.int64()),
+        })
+
+    def _totals(t: pa.Table) -> pa.Table:
+        _, _, ids, per_doc = _explode(t)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_ngrams": pa.array(per_doc.astype(np.int64), pa.int64()),
+        })
+
+    inst = ds.map_batches(_inst, batch_format="pyarrow").materialize()
+    totals = ds.map_batches(_totals, batch_format="pyarrow")
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        # inst rows are distinct (doc, ngh) pairs → count per hash
+        agg = t.group_by("ngh").aggregate([("ngh", "count")])
+        return pa.table({
+            "ngh": agg.column("ngh"),
+            "dfp": agg.column("ngh_count").cast(pa.int64()),
+        })
+
+    dup_hashes = (inst.map_batches(_df_partial, batch_format="pyarrow")
+                  .groupby("ngh").aggregate(_Sum("dfp", alias_name="df"))
+                  .map_batches(
+                      lambda t: t.filter(
+                          pc.greater_equal(t.column("df"), 2))
+                      .select(["ngh"]),
+                      batch_format="pyarrow"))
+
+    # Both right sides are SPARSE (dup hashes / docs-with-dups):
+    # Ray's Dataset.join aggregator builds schema-less empty tables
+    # for partitions that received no right-side blocks and pyarrow's
+    # join then fails on the missing key column, so take the portable
+    # co-bucketed fallback path — it projects both sides onto one
+    # combined schema up front and is immune to empty partitions.
+    dup_counts = (shuffle_join(inst, dup_hashes, on="ngh", how="inner",
+                               force_fallback=True)
+                  .groupby("doc_id")
+                  .aggregate(_Sum("inst", alias_name="n_dup_ngrams")))
+
+    out = shuffle_join(totals, dup_counts, on="doc_id", how="left",
+                       force_fallback=True)
+
+    def _final(t: pa.Table) -> pa.Table:
+        tot = t.column("n_ngrams").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dup = t.column("n_dup_ngrams").fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = np.round(dup / np.maximum(tot, 1), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ngrams": pa.array(tot, pa.int64()),
+            "n_dup_ngrams": pa.array(dup, pa.int64()),
+            "dup_ngram_frac": pa.array(frac, pa.float64()),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")
 
 
 def hash_sample(ds, denom: int = 10, residue: int = 3,

@@ -24,6 +24,7 @@ SUBSET = [
     "q_top_bigrams",
     "q_tfidf_top_terms",
     "q_hash_sample",
+    "q_dup_ngram_stats",
 ]
 
 

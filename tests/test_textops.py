@@ -537,3 +537,30 @@ def test_hash_sample_deterministic_partition():
     assert sizes == 1000
     again = sorted(hash_sample(ds, 10, 3).to_pandas()["doc_id"])
     assert again == first
+
+
+def test_dup_ngram_stats_semantics():
+    """Within-doc repeats alone don't count; cross-doc shared n-grams
+    mark every instance in every doc; short docs report 0/0."""
+    import ray.data as rd
+
+    from bento_ray.textops import dup_ngram_stats
+
+    shared = "alpha beta gamma"  # the shared trigram
+    ds = rd.from_items([
+        # doc0: shared trigram twice + own words → 2 dup instances
+        {"doc_id": 0, "text": f"{shared} x {shared}"},
+        # doc1: shared trigram once
+        {"doc_id": 1, "text": f"pre {shared} post"},
+        # doc2: repeats ITS OWN trigram twice — df=1, not dup
+        {"doc_id": 2, "text": "p q r p q r"},
+        # doc3: too short for a trigram
+        {"doc_id": 3, "text": "one two"},
+    ])
+    out = dup_ngram_stats(ds, n=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "n_ngrams"] == 5 and out.loc[0, "n_dup_ngrams"] == 2
+    assert out.loc[1, "n_ngrams"] == 3 and out.loc[1, "n_dup_ngrams"] == 1
+    assert out.loc[2, "n_dup_ngrams"] == 0
+    assert out.loc[3, "n_ngrams"] == 0 and out.loc[3, "dup_ngram_frac"] == 0.0
+    assert out.loc[0, "dup_ngram_frac"] == 0.4
