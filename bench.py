@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "q_priority_revenue",
     "q_doc_stats",
     "q_minhash_near_dups",
+    "q_dup_ngram_stats",
+    "q_tfidf_top_terms",
     "q_ann_topk",
     "q_salted_hot_key_agg",
     "q_nation_revenue",

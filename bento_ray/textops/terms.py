@@ -51,11 +51,12 @@ _KNUTH = np.uint64(2654435761)
 _M32 = np.uint64(1 << 32)
 
 
-def _split_words(col) -> tuple[np.ndarray, np.ndarray]:
+def _split_words(col) -> tuple[pa.Array, np.ndarray]:
     """Vectorized ' '-split of a string column with empties dropped.
 
-    Returns (flat word array, per-doc word counts). One Arrow kernel
-    pass; no per-row Python."""
+    Returns (flat Arrow word array, per-doc word counts). One Arrow
+    kernel pass; no per-row Python — keeping the flat array Arrow
+    preserves word_hashes' zero-copy buffer fast path."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     la = pc.split_pattern(arr, " ")
     flat = la.flatten()
@@ -64,7 +65,7 @@ def _split_words(col) -> tuple[np.ndarray, np.ndarray]:
     keep = pc.not_equal(flat, "")
     keep_np = keep.to_numpy(zero_copy_only=False)
     if keep_np.all():
-        return flat.to_numpy(zero_copy_only=False), lens
+        return flat, lens
     # rebuild per-doc counts after dropping empties; reduceat indices
     # are clipped (trailing zero-length docs would index past the end)
     # and zero-length docs overwritten after — reduceat returns a
@@ -75,8 +76,7 @@ def _split_words(col) -> tuple[np.ndarray, np.ndarray]:
         np.minimum(bounds[:-1], len(flat) - 1)) if len(flat) else \
         np.zeros(len(lens), np.int64)
     kept_per_doc[lens == 0] = 0
-    return (flat.filter(keep).to_numpy(zero_copy_only=False),
-            kept_per_doc)
+    return flat.filter(keep), kept_per_doc
 
 
 def _partial_counts(words: pa.Array, name: str) -> pa.Table:
@@ -98,7 +98,7 @@ def term_counts(ds, col: str = "text"):
 
     def _partial(t: pa.Table) -> pa.Table:
         flat, _ = _split_words(t.column(col))
-        return _partial_counts(pa.array(flat, pa.string()), "word")
+        return _partial_counts(flat, "word")
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     out = partials.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
@@ -124,7 +124,7 @@ def bigram_counts(ds, col: str = "text"):
         if n < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        W = pa.array(flat, pa.string())
+        W = flat
         joined = pc.binary_join_element_wise(
             W.slice(0, n - 1), W.slice(1), " ")
         # positions i where (i, i+1) straddles a doc boundary
@@ -163,7 +163,7 @@ def _doc_term_counts(t: pa.Table, col: str) -> pa.Table:
         .astype(np.int64)
     rep = np.repeat(ids, lens)
     tt = pa.table({"doc_id": pa.array(rep, pa.int64()),
-                   "term": pa.array(flat, pa.string())})
+                   "term": flat})
     agg = tt.group_by(["doc_id", "term"]).aggregate([("term", "count")])
     return pa.table({
         "doc_id": agg.column("doc_id"),
@@ -290,8 +290,7 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
         flat, lens = _split_words(t.column(col))
         ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        hs = word_hashes(list(flat)) if len(flat) else \
-            np.empty(0, np.uint64)
+        hs = word_hashes(flat) if len(flat) else np.empty(0, np.uint64)
         total = len(hs)
         if total >= n:
             out = np.zeros(total - n + 1, np.uint64)
@@ -319,7 +318,11 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
         })
 
     def _totals(t: pa.Table) -> pa.Table:
-        _, _, ids, per_doc = _explode(t)
+        # needs only word counts — skip the word-hash pass entirely
+        _, lens = _split_words(t.column(col))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        per_doc = np.maximum(lens - n + 1, 0)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_ngrams": pa.array(per_doc.astype(np.int64), pa.int64()),
