@@ -339,13 +339,17 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
             "dfp": agg.column("ngh_count").cast(pa.int64()),
         })
 
+    # materialize the two tiny join right sides: the fallback join
+    # calls .schema() on each, which otherwise EXECUTES the whole
+    # sub-plan once for schema inference and again for the union
+    # (measured: 3.9s of duplicate work at sf0.1)
     dup_hashes = (inst.map_batches(_df_partial, batch_format="pyarrow")
                   .groupby("ngh").aggregate(_Sum("dfp", alias_name="df"))
                   .map_batches(
                       lambda t: t.filter(
                           pc.greater_equal(t.column("df"), 2))
                       .select(["ngh"]),
-                      batch_format="pyarrow"))
+                      batch_format="pyarrow")).materialize()
 
     # Both right sides are SPARSE (dup hashes / docs-with-dups):
     # Ray's Dataset.join aggregator builds schema-less empty tables
@@ -356,7 +360,8 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
     dup_counts = (shuffle_join(inst, dup_hashes, on="ngh", how="inner",
                                force_fallback=True)
                   .groupby("doc_id")
-                  .aggregate(_Sum("inst", alias_name="n_dup_ngrams")))
+                  .aggregate(_Sum("inst", alias_name="n_dup_ngrams"))
+                  ).materialize()
 
     out = shuffle_join(totals, dup_counts, on="doc_id", how="left",
                        force_fallback=True)
