@@ -1,0 +1,618 @@
+"""Pure-Python + numpy baseline JPEG codec (ITU-T T.81).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit samples, any component
+count/sampling factors up to 2x2, restart intervals (DRI/RSTn), 8-bit
+quantization tables. Everything is table-driven FROM THE FILE — the
+DQT/DHT segments are parsed and used, never assumed — so any
+spec-conformant baseline JPEG decodes, not just this encoder's output.
+Progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
+raise MediaDecodeError and callers take their documented fallback.
+
+Encoder: baseline sequential with the JPEG Annex-K example quantization
+and Huffman tables (public spec constants), libjpeg-convention quality
+scaling, 4:4:4 or 4:2:0 chroma subsampling, optional restart interval.
+Exists so tests and the synthetic media corpus can round-trip REAL
+JPEG payloads without PIL.
+
+The 8x8 DCT runs as two numpy matmuls against the orthonormal DCT-II
+matrix over all blocks at once; the per-symbol Huffman loops are plain
+Python (fine for the thumbnail-scale payloads the multimodal stages
+process; a training-scale deployment would swap in a SIMD decoder
+behind the same function signature).
+
+Reference behavior anchor: the reference repo treats media as opaque
+bytes (`/root/reference/internal/message/part.go`); this implements the
+decode plugin a training-data pipeline registers on top.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+
+class MediaDecodeError(ValueError):
+    """Placeholder; rebound to mediacodec's shared exception class at
+    the bottom of this module (lookups are dynamic, so every raise in
+    this file uses the shared class once rebound)."""
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+
+# orthonormal DCT-II matrix: forward F = C @ B @ C.T, inverse B = C.T @ F @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(0.125) if _u == 0 else 0.5) * \
+            np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+# Annex K.1/K.2 example quantization tables (zigzag-free, row-major)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int32)
+
+# Annex K.3 example Huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
+    """(length, code) pairs in symbol order from a 16-entry bits list."""
+    out = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((length, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    un-stuffing; stops at any other marker (RSTn handled by caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(d):
+                # pad with 1-bits past the end (spec: fill bits)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    self.marker = nxt
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self):
+        """Discard to byte boundary and consume an expected RSTn."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip fill bytes to the marker
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                if 0xD0 <= m <= 0xD7:
+                    self.pos += 2
+                    self.marker = None
+                    return
+                self.marker = m
+                return
+            self.pos += 1
+
+
+class _HuffTable:
+    """First-level 8-bit lookup + slow path for longer codes."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        codes = _canonical_codes(bits)
+        self.lut = [None] * 256  # (symbol, length) for codes ≤ 8 bits
+        self.long: dict[tuple[int, int], int] = {}
+        self.maxlen = 0
+        for (length, code), sym in zip(codes, values):
+            self.maxlen = max(self.maxlen, length)
+            if length <= 8:
+                base = code << (8 - length)
+                for i in range(1 << (8 - length)):
+                    self.lut[base + i] = (sym, length)
+            else:
+                self.long[(length, code)] = sym
+
+    def decode(self, br: _BitReader) -> int:
+        if br.nbits < 16:
+            br._fill()
+        peek8 = (br.acc >> (br.nbits - 8)) & 0xFF
+        hit = self.lut[peek8]
+        if hit is not None:
+            sym, length = hit
+            br.nbits -= length
+            br.acc &= (1 << br.nbits) - 1
+            return sym
+        # long code: extend bit by bit
+        code = peek8
+        length = 8
+        br.nbits -= 8
+        br.acc &= (1 << br.nbits) - 1
+        while length < self.maxlen + 1:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = self.long.get((length, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 RGB (or (H, W) for grayscale
+    promoted by the caller). Any malformed/truncated input raises
+    MediaDecodeError — callers rely on that for their fallback path."""
+    try:
+        return _decode_jpeg(payload)
+    except MediaDecodeError:
+        raise
+    except (struct.error, IndexError, KeyError, StopIteration,
+            ValueError) as e:
+        raise MediaDecodeError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"\xff\xd8"):
+        raise MediaDecodeError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("bad marker alignment")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        if seglen < 2:
+            raise MediaDecodeError("invalid zero-length segment")
+        seg = payload[pos + 2:pos + seglen]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p:p + 64], np.uint8) \
+                        .astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p:p + 128], ">u2") \
+                        .astype(np.int32)
+                    p += 128
+                dq = np.zeros(64, np.int32)
+                dq[ZIGZAG] = tbl
+                qt[tq] = dq.reshape(8, 8)
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise MediaDecodeError(f"{prec}-bit JPEG unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError("non-baseline JPEG (progressive/"
+                                   "arithmetic/hierarchical) unsupported")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            order = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                c = next(c for c in comps if c["id"] == cs)
+                c["dc"] = huff.get((0, tt >> 4))
+                c["ac"] = huff.get((1, tt & 15))
+                order.append(c)
+            data_start = pos + seglen
+            return _decode_scan(payload, data_start, w, h, order, qt,
+                                restart)
+        pos += seglen
+    raise MediaDecodeError("no SOS marker found")
+
+
+def _decode_scan(payload: bytes, pos: int, w: int, h: int,
+                 comps: list[dict], qt: dict, restart: int) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["coef"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        c["pred"] = 0
+        if c["dc"] is None or c["ac"] is None:
+            raise MediaDecodeError("scan references undefined Huffman table")
+        if c["tq"] not in qt:
+            raise MediaDecodeError("scan references undefined quant table")
+    br = _BitReader(payload, pos)
+    zz = ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.align_to_marker()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in comps:
+                dc_t, ac_t = c["dc"], c["ac"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.float64)
+                        s = dc_t.decode(br)
+                        diff = _extend(br.read(s), s) if s else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(br)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise MediaDecodeError(
+                                    "AC coefficient index overflow")
+                            blk[zz[k]] = _extend(br.read(s), s)
+                            k += 1
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        q = qt[c["tq"]]
+                        f = blk.reshape(8, 8) * q
+                        c["coef"][y0:y0 + 8, x0:x0 + 8] = \
+                            _C.T @ f @ _C
+    planes = []
+    for c in comps:
+        p = c["coef"] + 128.0
+        # upsample to full resolution by pixel replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0] + 0.5, 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise MediaDecodeError(f"{len(planes)}-component JPEG unsupported")
+    Y, Cb, Cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([
+        Y + 1.402 * Cr,
+        Y - 0.344136 * Cb - 0.714136 * Cr,
+        Y + 1.772 * Cb,
+    ], axis=-1)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _size_cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
+                  dc_codes, ac_codes) -> int:
+    """Quantized zigzag block → entropy stream; returns new DC pred."""
+    dc = int(blk[0])
+    diff = dc - pred
+    s = _size_cat(diff)
+    length, code = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _size_cat(v)
+        length, code = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85,
+                subsample: bool = False, restart: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) → baseline JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 chroma (2x2 MCUs); ``restart`` > 0
+    writes a DRI segment and RSTn markers every that-many MCUs."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    ql = _scale_q(_Q_LUMA, quality)
+    qc = _scale_q(_Q_CHROMA, quality)
+    if gray:
+        Y = px[:, :, 0].astype(np.float64)
+        planes = [(Y, ql, 1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            planes = [(Y, ql, 2, 2), (Cb, qc, 1, 1), (Cr, qc, 1, 1)]
+        else:
+            planes = [(Y, ql, 1, 1), (Cb, qc, 1, 1), (Cr, qc, 1, 1)]
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # pad + (for chroma under 4:2:0) box-average downsample, then DCT
+    comp_blocks = []
+    for plane, q, ch, cv in planes:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        if ch < hmax or cv < vmax:
+            # downsample by box mean over (vmax/cv, hmax/ch)
+            fy, fx = vmax // cv, hmax // ch
+            eh, ew = -(-h // fy) * fy, -(-w // fx) * fx
+            tmp = np.empty((eh, ew))
+            tmp[:h, :w] = plane
+            tmp[h:, :w] = plane[-1:, :]
+            tmp[:, w:] = tmp[:, w - 1:w]
+            plane = tmp.reshape(eh // fy, fy, ew // fx, fx).mean((1, 3))
+        sh, sw = plane.shape
+        padded = np.empty((ph, pw))
+        padded[:sh, :sw] = plane
+        padded[sh:, :sw] = plane[-1:, :]
+        padded[:, sw:] = padded[:, sw - 1:sw]
+        blocks = _dct_quant(padded - 128.0, q)
+        comp_blocks.append(blocks)
+
+    # symbol → (length, code)
+    dc_l = dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0])))
+    ac_l = dict(zip(_AC_LUMA[1], _canonical_codes(_AC_LUMA[0])))
+    dc_c = dict(zip(_DC_CHROMA[1], _canonical_codes(_DC_CHROMA[0])))
+    ac_c = dict(zip(_AC_CHROMA[1], _canonical_codes(_AC_CHROMA[0])))
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst_i & 7)])
+                rst_i += 1
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (plane, q, ch, cv) in enumerate(planes):
+                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = comp_blocks[ci][my * cv + by, mx * ch + bx]
+                        preds[ci] = _encode_block(bw, blk, preds[ci],
+                                                  dct, act)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + ql[ZIGZAG].astype(np.uint8).tobytes())
+    if not gray:
+        out += seg(0xDB,
+                   bytes([0x01]) + qc[ZIGZAG].astype(np.uint8).tobytes())
+    nc = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (plane, q, ch, cv) in enumerate(planes):
+        sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+                                 (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
+        if gray and th == 1:
+            continue
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                   + bytes(vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _dct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted plane → (nby, nbx, 64) quantized ZIGZAG
+    coefficient blocks (two matmuls for the whole plane)."""
+    hh, ww = plane.shape
+    nby, nbx = hh // 8, ww // 8
+    b = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ux,nmxy,vy->nmuv", _C, b, _C, optimize=True)
+    qd = np.round(f / q.reshape(8, 8)).astype(np.int32) \
+        .reshape(nby, nbx, 64)
+    return qd[:, :, ZIGZAG]
+
+
+# unify the exception type with mediacodec's (safe against either
+# import order: this runs after every definition above exists)
+def _use_shared_error():
+    global MediaDecodeError
+    try:
+        from bento_ray.mediacodec import MediaDecodeError as _E
+        MediaDecodeError = _E
+    except Exception:
+        pass
+
+
+_use_shared_error()

@@ -11,13 +11,17 @@ container formats need nothing beyond the stdlib to decode:
 - GIF   — LZW decode, first frame or all frames (animated GIFs give the
           FrameSampler a *real* video-ish decode path).
 - WAV   — RIFF/WAVE PCM 8/16/24/32-bit int and 32/64-bit float.
+- JPEG  — baseline sequential (jpegcodec.py): table-driven Huffman +
+          numpy IDCT, any sampling up to 2x2, restart intervals.
+          Progressive/arithmetic raise → caller falls back.
 
-Encoders (PNG, PPM, BMP, WAV, GIF) exist so tests and the synthetic
-media corpus can round-trip real payloads instead of random bytes.
+Encoders (PNG, PPM, BMP, WAV, GIF, baseline JPEG) exist so tests and
+the synthetic media corpus can round-trip real payloads instead of
+random bytes.
 
-JPEG and real video codecs stay out of scope (a correct baseline-JPEG
-or H.264 decoder is not a few hundred lines); callers keep their
-clearly-marked deterministic fallback for those MIME types.
+Real video codecs (H.264 etc.) stay out of scope; callers keep their
+clearly-marked deterministic fallback for those MIME types (animated
+GIF is the real frame-decode path).
 
 Reference behavior anchor: the reference repo treats media as opaque
 bytes on the message (`/root/reference/internal/message/part.go`) and
@@ -34,9 +38,9 @@ import numpy as np
 
 __all__ = [
     "decode_image", "decode_png", "decode_bmp", "decode_pnm",
-    "decode_gif", "decode_gif_frames", "decode_wav",
+    "decode_gif", "decode_gif_frames", "decode_wav", "decode_jpeg",
     "encode_png", "encode_ppm", "encode_bmp", "encode_wav", "encode_gif",
-    "resize_nearest", "resize_bilinear", "sniff_format",
+    "encode_jpeg", "resize_nearest", "resize_bilinear", "sniff_format",
 ]
 
 
@@ -83,6 +87,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _to_rgb(decode_pnm(payload))
     if fmt == "gif":
         return _to_rgb(decode_gif(payload))
+    if fmt == "jpeg":
+        from bento_ray.jpegcodec import decode_jpeg
+
+        return _to_rgb(decode_jpeg(payload))
     raise MediaDecodeError(f"unsupported image container: {fmt or 'unknown'}")
 
 
@@ -664,3 +672,9 @@ def resize_bilinear(px: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
     out = top * (1 - fy) + bot * fy
     return np.round(out).astype(np.uint8)
+
+
+# baseline JPEG codec lives in its own module; re-export here so the
+# media surface is one import (placed after MediaDecodeError so the
+# codec binds the shared exception class)
+from bento_ray.jpegcodec import decode_jpeg, encode_jpeg  # noqa: E402

@@ -2,11 +2,12 @@
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Decode is REAL for the containers a pure-Python + numpy codec can
-handle (PNG / BMP / PPM / GIF images, animated GIF as the multi-frame
-"video" path, RIFF/WAVE audio — see ``bento_ray.mediacodec``). Formats
-that need a native library this container lacks (JPEG, MP4/H.264,
-MP3/AAC) fall back to a clearly-marked deterministic fake so the
-Ray-side plumbing still runs; the ``decoder`` column records which
+handle (PNG / BMP / PPM / GIF / baseline JPEG images, animated GIF as
+the multi-frame "video" path, RIFF/WAVE audio — see
+``bento_ray.mediacodec`` and ``bento_ray.jpegcodec``). Formats that
+need a native library this container lacks (MP4/H.264, MP3/AAC,
+progressive JPEG) fall back to a clearly-marked deterministic fake so
+the Ray-side plumbing still runs; the ``decoder`` column records which
 path produced each row ("pil" / "pure" / "fake").
 
 Scale notes: binary payloads are wide — size batches by BYTES not rows
@@ -306,7 +307,19 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         w = h = dur = 0
         if kind == "image" and i % 9 == 0:
             # undecodable container: JPEG magic + random tail
+            # (exercises the fake-fallback path)
             payload = b"\xff\xd8\xff\xe0" + rng.bytes(200)
+            mime = "image/jpeg"
+        elif kind == "image" and i % 9 == 6:
+            # REAL baseline JPEG (4:2:0) through the pure codec
+            from bento_ray.jpegcodec import encode_jpeg
+
+            w, h = int(rng.integers(12, 40)), int(rng.integers(12, 40))
+            ramp = np.linspace(0, 255, w, dtype=np.float32)
+            px = np.clip(ramp[None, :, None]
+                         + rng.normal(0, 30, (h, w, 3)), 0, 255) \
+                .astype(np.uint8)
+            payload = encode_jpeg(px, quality=85, subsample=True)
             mime = "image/jpeg"
         elif kind == "image":
             w, h = int(rng.integers(12, 40)), int(rng.integers(12, 40))

@@ -202,6 +202,77 @@ def test_resize_shapes_and_identity():
     assert (mc.resize_nearest(px, (17, 23)) == px).all()
 
 
-def test_decode_image_rejects_jpeg():
+def test_decode_image_rejects_garbage_jpeg():
+    """JPEG magic followed by junk must raise (callers' fallback path),
+    never loop or throw a non-MediaDecodeError."""
     with pytest.raises(mc.MediaDecodeError):
         mc.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 50)
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_image(b"\xff\xd8\xff\xe0" + bytes(range(200)))
+
+
+def _photo(h=80, w=64, seed=3):
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    base = (x[None, :] + y[:, None]) / 2
+    img = np.stack([base, base[::-1], np.full_like(base, 128)], -1)
+    return np.clip(img + rng.randint(-8, 8, img.shape), 0, 255) \
+        .astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("quality", [95, 70])
+def test_jpeg_roundtrip(subsample, quality):
+    img = _photo()
+    b = mc.encode_jpeg(img, quality=quality, subsample=subsample)
+    assert b.startswith(b"\xff\xd8") and b.endswith(b"\xff\xd9")
+    out = mc.decode_jpeg(b)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    # lossy, but bounded: smooth content at q>=70 stays within
+    # quantization error
+    assert err.mean() < 6.0 and err.max() < 40, (err.mean(), err.max())
+    # higher quality must not be worse on the same content
+    if quality == 95 and not subsample:
+        worse = mc.decode_jpeg(mc.encode_jpeg(img, quality=40))
+        assert err.mean() <= np.abs(
+            worse.astype(int) - img.astype(int)).mean() + 0.1
+
+
+def test_jpeg_flat_color_near_exact():
+    img = np.full((24, 24, 3), 100, np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - 100).max() <= 1
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    img = _photo(37, 29)[:, :, 0]
+    out = mc.decode_jpeg(mc.encode_jpeg(img, quality=90))
+    assert out.shape == (37, 29)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 5.0
+    # via the dispatch: grayscale promotes to RGB
+    rgb = mc.decode_image(mc.encode_jpeg(img, quality=90))
+    assert rgb.shape == (37, 29, 3)
+
+
+def test_jpeg_restart_markers():
+    img = _photo(48, 48, seed=9)
+    plain = mc.decode_jpeg(mc.encode_jpeg(img, quality=85))
+    rst = mc.decode_jpeg(mc.encode_jpeg(img, quality=85, restart=3))
+    # restart intervals change the stream layout, not the pixels
+    assert (plain == rst).all()
+
+
+def test_jpeg_progressive_rejected():
+    """A SOF2 frame header must raise cleanly (progressive mode)."""
+    b = bytearray(mc.encode_jpeg(_photo(16, 16), quality=85))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_jpeg(bytes(b))
+
+
+def test_jpeg_deterministic():
+    img = _photo(32, 32, seed=11)
+    assert mc.encode_jpeg(img, 80) == mc.encode_jpeg(img, 80)

@@ -114,3 +114,19 @@ def test_frame_sampler_fallback_for_non_gif():
     out = sample_frames(rd.from_arrow(t), k=3).to_pandas()
     assert len(out) == 3
     assert (out["decoder"] == "fake").all()
+
+
+def test_real_jpeg_rows_decode_pure(media_ds):
+    """The corpus' valid baseline-JPEG rows take the REAL decode path
+    (decoder='pure'); only the garbage-JPEG rows fall back."""
+    import pandas as pd
+
+    imgs = media_ds.filter(lambda r: r["mime"] == "image/jpeg")
+    out = decode_images(imgs, concurrency=2).to_pandas()
+    meta = imgs.to_pandas().set_index("media_id")
+    valid = meta[meta["meta_width"] > 0].index
+    garbage = meta[meta["meta_width"] == 0].index
+    assert len(valid) > 0 and len(garbage) > 0
+    by_id = out.set_index("media_id")["decoder"]
+    assert (by_id.loc[valid] == "pure").all()
+    assert (by_id.loc[garbage] == "fake").all()
