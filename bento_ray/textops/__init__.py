@@ -29,6 +29,12 @@ from bento_ray.textops.terms import (
     dup_ngram_stats,
     hash_sample,
 )
+from bento_ray.textops.urlops import (
+    parse_urls,
+    domain_stats,
+    top_domains,
+    filter_domains,
+)
 
 __all__ = [
     "doc_stats",
@@ -39,6 +45,10 @@ __all__ = [
     "tfidf_top_terms",
     "dup_ngram_stats",
     "hash_sample",
+    "parse_urls",
+    "domain_stats",
+    "top_domains",
+    "filter_domains",
     "quality_stage",
     "repetition_metrics",
     "redact_pii",

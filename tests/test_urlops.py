@@ -1,0 +1,118 @@
+"""URL/domain ops: parsing parity vs DuckDB regexes over the
+north-rule pages corpus, per-domain stats, blocklist filtering."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    import ray
+
+    from bento_ray.testgen import ensure_pages_dataset
+
+    root = str(tmp_path_factory.mktemp("urlpages"))
+    return ensure_pages_dataset(2000, seed=5, cache_root=root, files=4)
+
+
+def test_parse_urls_matches_duckdb(pages_dir):
+    from bento_ray.sources.inputs import read_parquet
+    from bento_ray.textops import parse_urls
+
+    ds = read_parquet(pages_dir, columns=["url"])
+    got = parse_urls(ds).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT url,
+               lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                 AS scheme,
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+                 AS host
+        FROM read_parquet('{pages_dir}/*.parquet')
+        ORDER BY url
+    """).df()
+    assert list(got["scheme"]) == list(want["scheme"])
+    assert list(got["host"]) == list(want["host"])
+    # the synthetic corpus: every host is siteNNNN.example.org
+    assert (got["domain"] == "example.org").all()
+
+
+def test_registrable_domain_rules():
+    from bento_ray.textops.urlops import _registrable
+
+    cases = {
+        "www.bbc.co.uk": "bbc.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "sub.a.example.com": "example.com",
+        "example.com": "example.com",
+        "host.example.org:8080": "example.org",
+        "192.168.0.1": "192.168.0.1",
+        "localhost": "localhost",
+        "WWW.Example.COM": "example.com",
+    }
+    got = _registrable(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+
+
+def test_domain_stats_vs_duckdb(pages_dir):
+    """Host-level stats (the corpus lives under one registrable
+    domain): pages and exact unique-url counts vs DuckDB."""
+    from bento_ray.sources.inputs import read_parquet
+    from bento_ray.textops import domain_stats
+
+    ds = read_parquet(pages_dir, columns=["url"])
+    got = domain_stats(ds, key="host").to_pandas() \
+        .sort_values("domain").reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS domain,
+               COUNT(*) AS pages,
+               COUNT(DISTINCT url) AS unique_urls
+        FROM read_parquet('{pages_dir}/*.parquet')
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    assert len(got) == len(want)
+    assert list(got["domain"]) == list(want["domain"])
+    assert list(got["pages"]) == list(want["pages"])
+    assert list(got["unique_urls"]) == list(want["unique_urls"])
+    # Zipfian skew reaches the exchange pre-aggregated: the hottest
+    # host holds many pages but the stats table is |hosts| rows
+    assert got["pages"].max() > 10 * got["pages"].median()
+
+
+def test_top_and_filter_domains(pages_dir):
+    from bento_ray.sources.inputs import read_parquet
+    from bento_ray.textops import filter_domains, top_domains
+
+    ds = read_parquet(pages_dir, columns=["url"])
+    top = top_domains(ds, k=5, key="host").to_pandas()
+    assert len(top) == 5
+    assert list(top["pages"]) == sorted(top["pages"], reverse=True)
+
+    # deny the whole registrable domain → empty; allow → everything
+    n = ds.count()
+    assert filter_domains(ds, ["example.org"], mode="deny").count() == 0
+    assert filter_domains(ds, ["example.org"], mode="allow").count() == n
+    assert filter_domains(ds, ["other.net"], mode="deny").count() == n
+
+    with pytest.raises(ValueError):
+        filter_domains(ds, [], mode="bogus")
+
+
+def test_parse_urls_unparseable_rows():
+    from bento_ray.textops import parse_urls
+
+    ds = rd.from_items([{"url": "https://a.example.com/x"},
+                        {"url": "not a url"},
+                        {"url": "ftp://files.example.net/pub"}])
+    out = parse_urls(ds).to_pandas().set_index("url")
+    assert out.loc["https://a.example.com/x", "domain"] == "example.com"
+    assert out.loc["ftp://files.example.net/pub", "scheme"] == "ftp"
+    assert pd.isna(out.loc["not a url", "host"])
