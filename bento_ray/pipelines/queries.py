@@ -792,10 +792,53 @@ def q_simhash(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    """Stopword-ratio language ID — the heuristic is pure counting, so
+    the DuckDB oracle replicates it exactly: per-language score =
+    stopword hits / word count, argmax with alphabetical tie-break,
+    'und' when every score is zero."""
     from bento_ray.textops import lang_id_stage
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return lang_id_stage(ds).select_columns(["doc_id", "pred_lang", "lang_conf"])
+
+
+def _lang_id_sql() -> str:
+    from bento_ray.textops.quality import _STOPWORDS
+
+    langs = sorted(lg for lg in _STOPWORDS if _STOPWORDS[lg])
+    cols = []
+    for lg in langs:
+        lits = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lg]))
+        cols.append(
+            f"SUM(CASE WHEN w IN ({lits}) THEN 1 ELSE 0 END)"
+            f" / CAST(COUNT(*) AS DOUBLE) AS {lg}")
+    lang_vals = ", ".join(f"('{lg}')" for lg in langs)
+    case = " ".join(f"WHEN '{lg}' THEN sc.{lg}" for lg in langs)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[^\W\d_]+'))) AS w
+  FROM documents
+), sc AS (
+  SELECT doc_id, {", ".join(cols)} FROM w GROUP BY doc_id
+), scores AS (
+  SELECT sc.doc_id, l.lang, CASE l.lang {case} END AS score
+  FROM sc, (VALUES {lang_vals}) l(lang)
+), best AS (
+  SELECT doc_id,
+         CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+         ROUND(score, 6) AS lang_conf
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang ASC) = 1
+)
+SELECT d.doc_id,
+       COALESCE(b.pred_lang, 'und') AS pred_lang,
+       COALESCE(b.lang_conf, 0.0) AS lang_conf
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -1353,10 +1396,10 @@ QUERIES = {
     "q_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "q_dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAMS),
     "q_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),
     "q_simhash": (q_simhash, None),
-    "q_lang_id": (q_lang_id, None),
     "q_doc_fingerprints": (q_doc_fingerprints, None),
     "q_ann_lsh": (q_ann_lsh, None),
     "q_ann_ivf": (q_ann_ivf, None),

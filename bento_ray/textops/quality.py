@@ -12,6 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 from bento_ray.util import default_concurrency as _dc
+from bento_ray.util import duckdb_round
 
 
 def _conc(c):
@@ -123,7 +124,10 @@ class LangId:
             }
             best = max(sorted(scores), key=lambda lg: scores[lg])
             preds.append(best if scores[best] > 0 else "und")
-            confs.append(round(scores[best], 6))
+            # duckdb_round (half away from zero), the repo convention
+            # for every oracle-compared float
+            confs.append(float(duckdb_round(
+                np.array([scores[best]]), 6)[0]))
         t = t.append_column("pred_lang", pa.array(preds, pa.string()))
         return t.append_column("lang_conf", pa.array(confs, pa.float64()))
 

@@ -25,6 +25,7 @@ SUBSET = [
     "q_tfidf_top_terms",
     "q_hash_sample",
     "q_dup_ngram_stats",
+    "q_lang_id",
 ]
 
 
