@@ -1,18 +1,22 @@
 """Pure-Python + numpy baseline JPEG codec (ITU-T T.81).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit samples, any component
-count/sampling factors up to 2x2, restart intervals (DRI/RSTn), 8-bit
-quantization tables. Everything is table-driven FROM THE FILE — the
-DQT/DHT segments are parsed and used, never assumed — so any
-spec-conformant baseline JPEG decodes, not just this encoder's output.
-Progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
+Decoder: baseline sequential (SOF0/1) AND progressive (SOF2) DCT,
+8-bit samples, any component count/sampling factors up to 2x2, restart
+intervals (DRI/RSTn), 8/16-bit quantization tables, multi-scan
+progressive with spectral selection, successive approximation and
+EOB runs (spec G.2 refinement algorithm). Everything is table-driven
+FROM THE FILE — the DQT/DHT segments are parsed and used, never
+assumed — so any spec-conformant Huffman JPEG decodes, not just this
+encoder's output. Arithmetic coding, 12-bit and hierarchical modes
 raise MediaDecodeError and callers take their documented fallback.
 
-Encoder: baseline sequential with the JPEG Annex-K example quantization
-and Huffman tables (public spec constants), libjpeg-convention quality
-scaling, 4:4:4 or 4:2:0 chroma subsampling, optional restart interval.
-Exists so tests and the synthetic media corpus can round-trip REAL
-JPEG payloads without PIL.
+Encoders: baseline sequential with the JPEG Annex-K example
+quantization and Huffman tables (public spec constants),
+libjpeg-convention quality scaling, 4:4:4 or 4:2:0 chroma subsampling,
+optional restart interval; and a progressive encoder whose scan script
+(DC first/refine, per-component AC first/refine) exercises all four
+progressive scan types. Both exist so tests and the synthetic media
+corpus can round-trip REAL JPEG payloads without PIL.
 
 The 8x8 DCT runs as two numpy matmuls against the orthonormal DCT-II
 matrix over all blocks at once; the per-symbol Huffman loops are plain
@@ -31,7 +35,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 
 class MediaDecodeError(ValueError):
@@ -251,6 +255,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise MediaDecodeError(f"malformed JPEG: {e}") from e
 
 
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker (skips entropy bytes, 0xFF00
+    stuffing and 0xFF fill bytes)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"\xff\xd8"):
         raise MediaDecodeError("not a JPEG (missing SOI)")
@@ -259,7 +281,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     comps: list[dict] = []
     w = h = 0
+    hmax = vmax = 1
+    mcux = mcuy = 0
     restart = 0
+    progressive = False
+    sos_seen = False
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -290,7 +316,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 dq = np.zeros(64, np.int32)
                 dq[ZIGZAG] = tbl
                 qt[tq] = dq.reshape(8, 8)
-        elif m == 0xC4:  # DHT
+        elif m == 0xC4:  # DHT (may be redefined between scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
@@ -299,7 +325,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise MediaDecodeError(f"{prec}-bit JPEG unsupported")
@@ -309,14 +336,31 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
-                              "tq": tq})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                              "tq": tq, "pred": 0})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # MCU-padded quantized-coefficient grid, filled scan by
+                # scan (one scan total for baseline)
+                c["coef"] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                # non-interleaved scan coverage: ceil of the component's
+                # own pixel dims
+                comp_h = -(-(h * c["v"]) // vmax)
+                comp_w = -(-(w * c["h"]) // hmax)
+                c["nby"] = -(-comp_h // 8)
+                c["nbx"] = -(-comp_w // 8)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise MediaDecodeError("non-baseline JPEG (progressive/"
-                                   "arithmetic/hierarchical) unsupported")
+            raise MediaDecodeError("unsupported JPEG mode (arithmetic/"
+                                   "lossless/hierarchical)")
         elif m == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
+            if not comps:
+                raise MediaDecodeError("SOS before SOF")
             ns = seg[0]
             order = []
             for i in range(ns):
@@ -325,71 +369,176 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 c["dc"] = huff.get((0, tt >> 4))
                 c["ac"] = huff.get((1, tt & 15))
                 order.append(c)
-            data_start = pos + seglen
-            return _decode_scan(payload, data_start, w, h, order, qt,
-                                restart)
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if progressive:
+                # spec B.2.3: DC scans are Ss=Se=0; AC scans cover a
+                # band within 1..63 and carry exactly one component
+                if ss == 0 and se != 0:
+                    raise MediaDecodeError(
+                        "invalid progressive scan header (Ss=0, Se>0)")
+                if ss > 0 and (se < ss or se > 63 or ns != 1):
+                    raise MediaDecodeError(
+                        "invalid progressive AC scan header")
+            else:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_one_scan(
+                payload, pos + seglen, order, ss, se, ah, al,
+                restart, mcux, mcuy)
+            sos_seen = True
+            continue
         pos += seglen
-    raise MediaDecodeError("no SOS marker found")
+    if not sos_seen:
+        raise MediaDecodeError("no SOS marker found")
+    return _finish(comps, qt, w, h, hmax, vmax)
 
 
-def _decode_scan(payload: bytes, pos: int, w: int, h: int,
-                 comps: list[dict], qt: dict, restart: int) -> np.ndarray:
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["coef"] = np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        c["pred"] = 0
-        if c["dc"] is None or c["ac"] is None:
-            raise MediaDecodeError("scan references undefined Huffman table")
-        if c["tq"] not in qt:
-            raise MediaDecodeError("scan references undefined quant table")
-    br = _BitReader(payload, pos)
+def _block_first(br: _BitReader, c: dict, blk: np.ndarray, ss: int,
+                 se: int, al: int, state: dict) -> None:
+    """First-pass band decode into one block (baseline = ss0/se63/al0;
+    handles progressive DC-only, AC-only and EOB runs uniformly)."""
     zz = ZIGZAG
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                br.align_to_marker()
-                for c in comps:
+    if ss == 0:
+        s = c["dc"].decode(br)
+        diff = _extend(br.read(s), s) if s else 0
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+        k = 1
+    else:
+        k = ss
+    if k > se:
+        return
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    ac_t = c["ac"]
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1 + (br.read(r) if r else 0)
+            break
+        k += r
+        if k > se:
+            raise MediaDecodeError("AC coefficient index overflow")
+        blk[zz[k]] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _block_refine(br: _BitReader, c: dict, blk: np.ndarray, ss: int,
+                  se: int, al: int, state: dict) -> None:
+    """Successive-approximation refinement pass (Ah > 0) — the spec
+    G.2 correction-bit algorithm (mirrors libjpeg's jdphuff)."""
+    zz = ZIGZAG
+    p1 = 1 << al
+    m1 = -1 << al
+    if ss == 0:
+        # DC refinement: one bit; arithmetic-shift point transform
+        # makes two's-complement OR the correct update
+        if br.read(1):
+            blk[0] |= p1
+        return
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = c["ac"].decode(br)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) + (br.read(r) if r else 0)
+                    break
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                z = zz[k]
+                cur = int(blk[z])
+                if cur != 0:
+                    if br.read(1) and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[zz[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = zz[k]
+            cur = int(blk[z])
+            if cur != 0:
+                if br.read(1) and (cur & p1) == 0:
+                    blk[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_one_scan(payload: bytes, pos: int, order: list[dict],
+                     ss: int, se: int, ah: int, al: int, restart: int,
+                     mcux: int, mcuy: int) -> int:
+    """Decode one SOS's entropy data into the components' coefficient
+    grids; returns the payload position of the next marker."""
+    for c in order:
+        if ss == 0 and ah == 0 and c["dc"] is None:
+            raise MediaDecodeError("scan references undefined DC table")
+        if se > 0 and c["ac"] is None:
+            raise MediaDecodeError("scan references undefined AC table")
+        c["pred"] = 0
+    br = _BitReader(payload, pos)
+    state = {"eobrun": 0}
+    decode_block = _block_refine if ah else _block_first
+    unit = 0
+    if len(order) > 1:
+        # interleaved MCU order (multi-component scans: baseline frames
+        # and progressive DC scans). Single-component scans are always
+        # non-interleaved per the spec — one block per MCU over the
+        # component's own ceil-grid, even in baseline mode.
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and unit and unit % restart == 0:
+                    br.align_to_marker()
+                    state["eobrun"] = 0
+                    for c in order:
+                        c["pred"] = 0
+                unit += 1
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coef"][my * c["v"] + by,
+                                            mx * c["h"] + bx]
+                            decode_block(br, c, blk, ss, se, al, state)
+    else:
+        # non-interleaved: raster over the component's own block grid
+        c = order[0]
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                if restart and unit and unit % restart == 0:
+                    br.align_to_marker()
+                    state["eobrun"] = 0
                     c["pred"] = 0
-            mcu_count += 1
-            for c in comps:
-                dc_t, ac_t = c["dc"], c["ac"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.float64)
-                        s = dc_t.decode(br)
-                        diff = _extend(br.read(s), s) if s else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(br)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise MediaDecodeError(
-                                    "AC coefficient index overflow")
-                            blk[zz[k]] = _extend(br.read(s), s)
-                            k += 1
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        q = qt[c["tq"]]
-                        f = blk.reshape(8, 8) * q
-                        c["coef"][y0:y0 + 8, x0:x0 + 8] = \
-                            _C.T @ f @ _C
+                unit += 1
+                decode_block(br, c, c["coef"][by, bx], ss, se, al, state)
+    return _next_marker(payload, br.pos)
+
+
+def _finish(comps: list[dict], qt: dict, w: int, h: int,
+            hmax: int, vmax: int) -> np.ndarray:
+    """Dequantize + IDCT every block (batched matmuls per component),
+    upsample chroma, convert to RGB."""
     planes = []
     for c in comps:
-        p = c["coef"] + 128.0
-        # upsample to full resolution by pixel replication
+        if c["tq"] not in qt:
+            raise MediaDecodeError("undefined quantization table")
+        q = qt[c["tq"]].astype(np.float64)
+        nby, nbx, _ = c["coef"].shape
+        f = c["coef"].reshape(nby, nbx, 8, 8) * q
+        pix = np.einsum("xu,nmuv,vy->nmxy", _C.T, f, _C, optimize=True)
+        p = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1:
             p = np.repeat(p, ry, axis=0)
@@ -480,12 +629,11 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85,
-                subsample: bool = False, restart: int = 0) -> bytes:
-    """(H, W, 3) uint8 RGB (or (H, W) gray) → baseline JFIF bytes.
-
-    ``subsample=True`` writes 4:2:0 chroma (2x2 MCUs); ``restart`` > 0
-    writes a DRI segment and RSTn markers every that-many MCUs."""
+def _prep_blocks(px: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color convert, subsample, pad, DCT,
+    quantize. Returns (gray, h, w, samp[(ch, cv)], ql, qc,
+    comp_blocks, hmax, vmax, mcux, mcuy) — comp_blocks[i] is the
+    MCU-padded (nby, nbx, 64) zigzag quantized coefficient grid."""
     px = np.asarray(px)
     gray = px.ndim == 2
     if gray:
@@ -530,8 +678,43 @@ def encode_jpeg(px: np.ndarray, quality: int = 85,
         padded[:sh, :sw] = plane
         padded[sh:, :sw] = plane[-1:, :]
         padded[:, sw:] = padded[:, sw - 1:sw]
-        blocks = _dct_quant(padded - 128.0, q)
-        comp_blocks.append(blocks)
+        comp_blocks.append(_dct_quant(padded - 128.0, q))
+    samp = [(ch, cv) for _, _, ch, cv in planes]
+    return (gray, h, w, samp, ql, qc, comp_blocks,
+            hmax, vmax, mcux, mcuy)
+
+
+def _jfif_header(gray: bool, h: int, w: int, samp, ql, qc,
+                 sof_marker: int, restart: int = 0) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOF + (optional DRI) common prologue."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + ql[ZIGZAG].astype(np.uint8).tobytes())
+    if not gray:
+        out += _seg(0xDB,
+                    bytes([0x01]) + qc[ZIGZAG].astype(np.uint8).tobytes())
+    nc = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (ch, cv) in enumerate(samp):
+        sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    out += _seg(sof_marker, sof)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    return out
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85,
+                subsample: bool = False, restart: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) → baseline JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 chroma (2x2 MCUs); ``restart`` > 0
+    writes a DRI segment and RSTn markers every that-many MCUs."""
+    (gray, h, w, samp, ql, qc, comp_blocks,
+     hmax, vmax, mcux, mcuy) = _prep_blocks(px, quality, subsample)
 
     # symbol → (length, code)
     dc_l = dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0])))
@@ -540,7 +723,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 85,
     ac_c = dict(zip(_AC_CHROMA[1], _canonical_codes(_AC_CHROMA[0])))
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(samp)
     mcu_count = 0
     rst_i = 0
     for my in range(mcuy):
@@ -549,9 +732,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 85,
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (rst_i & 7)])
                 rst_i += 1
-                preds = [0] * len(planes)
+                preds = [0] * len(samp)
             mcu_count += 1
-            for ci, (plane, q, ch, cv) in enumerate(planes):
+            for ci, (ch, cv) in enumerate(samp):
                 dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
                 for by in range(cv):
                     for bx in range(ch):
@@ -560,33 +743,19 @@ def encode_jpeg(px: np.ndarray, quality: int = 85,
                                                   dct, act)
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + ql[ZIGZAG].astype(np.uint8).tobytes())
-    if not gray:
-        out += seg(0xDB,
-                   bytes([0x01]) + qc[ZIGZAG].astype(np.uint8).tobytes())
-    nc = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for i, (plane, q, ch, cv) in enumerate(planes):
-        sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
-    out += seg(0xC0, sof)
+    out = _jfif_header(gray, h, w, samp, ql, qc, 0xC0, restart)
     for tc, th, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
                                  (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
         if gray and th == 1:
             continue
-        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
-                   + bytes(vals))
-    if restart:
-        out += seg(0xDD, struct.pack(">H", restart))
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                    + bytes(vals))
+    nc = 1 if gray else 3
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
@@ -616,3 +785,203 @@ def _use_shared_error():
 
 
 _use_shared_error()
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder
+
+def _progressive_ac_table() -> tuple[list[int], list[int]]:
+    """Fixed all-8-bit AC Huffman table for progressive scans: the
+    Annex-K example tables lack the EOBn (r<<4, r=1..14) symbols that
+    end-of-band runs need, so progressive scans carry this uniform
+    table instead (valid canonical code, suboptimal compression)."""
+    vals = [r << 4 for r in range(15)]          # EOB0..EOB14
+    vals.append(0xF0)                           # ZRL
+    vals += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(vals)                         # every code 8 bits
+    return bits, vals
+
+
+def _flush_eobrun(bw: _BitWriter, ac: dict, eobrun: int,
+                  bebuf: list[int] | None = None) -> int:
+    """Emit a pending EOBn symbol (plus its extra bits), then any
+    buffered refinement correction bits. Returns 0 (the new run)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        ln, code = ac[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        if bebuf:
+            for b in bebuf:
+                bw.write(b, 1)
+            bebuf.clear()
+    return 0
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) → progressive (SOF2) JFIF
+    bytes. Scan script exercises every progressive scan type: DC first
+    (Al=1, interleaved), DC refine, then per component AC first
+    (Ss=1..63, Al=1) and AC refine — so a conforming decoder's four
+    code paths all run. Pixel output is identical to the baseline
+    stream of the same image: the quantized coefficients are the same,
+    only the entropy coding differs."""
+    (gray, h, w, samp, ql, qc, comp_blocks,
+     hmax, vmax, mcux, mcuy) = _prep_blocks(px, quality, subsample)
+    nc = 1 if gray else 3
+    AL = 1
+
+    grids = []
+    for ch, cv in samp:
+        comp_h = -(-(h * cv) // vmax)
+        comp_w = -(-(w * ch) // hmax)
+        grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    dc_l = dict(zip(_DC_LUMA[1], _canonical_codes(_DC_LUMA[0])))
+    dc_c = dict(zip(_DC_CHROMA[1], _canonical_codes(_DC_CHROMA[0])))
+    pbits, pvals = _progressive_ac_table()
+    ac_p = dict(zip(pvals, _canonical_codes(pbits)))
+
+    out = _jfif_header(gray, h, w, samp, ql, qc, 0xC2)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0])
+                + bytes(_DC_LUMA[1]))
+    if not gray:
+        out += _seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0])
+                    + bytes(_DC_CHROMA[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(pbits) + bytes(pvals))
+
+    def sos_hdr(specs, ss, se, ah, al):
+        body = bytes([len(specs)])
+        for cid, tt in specs:
+            body += bytes([cid, tt])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    all_specs = [(i + 1, 0x00 if i == 0 else 0x11) for i in range(nc)]
+
+    def dc_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (ch, cv) in enumerate(samp):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            yield ci, comp_blocks[ci][my * cv + by,
+                                                      mx * ch + bx]
+
+    # scan 1: DC first (point transform = arithmetic shift)
+    out += sos_hdr(all_specs, 0, 0, 0, AL)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for ci, blk in dc_blocks():
+        dc = int(blk[0]) >> AL
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = _size_cat(diff)
+        ln, code = (dc_l if ci == 0 else dc_c)[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refine — one raw bit per block, no entropy coding
+    out += sos_hdr(all_specs, 0, 0, AL, 0)
+    bw = _BitWriter()
+    for ci, blk in dc_blocks():
+        bw.write(int(blk[0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # per-component AC scans (single-component, non-interleaved)
+    for ci in range(nc):
+        nby, nbx = grids[ci]
+
+        # AC first: band 1..63 of sign*(abs>>AL), with EOB runs
+        out += sos_hdr([(ci + 1, 0x00)], 1, 63, 0, AL)
+        bw = _BitWriter()
+        eobrun = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                vals = comp_blocks[ci][by, bx][1:64].astype(np.int64)
+                t = np.sign(vals) * (np.abs(vals) >> AL)
+                nz = np.flatnonzero(t)
+                if len(nz) == 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        eobrun = _flush_eobrun(bw, ac_p, eobrun)
+                    continue
+                eobrun = _flush_eobrun(bw, ac_p, eobrun)
+                run = 0
+                last = int(nz[-1])
+                for k in range(last + 1):
+                    v = int(t[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_p[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _size_cat(v)
+                    ln, code = ac_p[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 62:
+                    eobrun += 1
+        _flush_eobrun(bw, ac_p, eobrun)
+        bw.flush()
+        out += bw.out
+
+        # AC refine: correction bits (spec G.1.2.3 / libjpeg jcphuff)
+        out += sos_hdr([(ci + 1, 0x00)], 1, 63, AL, 0)
+        bw = _BitWriter()
+        eobrun = 0
+        bebuf: list[int] = []
+        for by in range(nby):
+            for bx in range(nbx):
+                vals = comp_blocks[ci][by, bx][1:64].astype(np.int64)
+                absv = np.abs(vals)
+                new_nz = np.flatnonzero(absv == 1)
+                eob_k = int(new_nz[-1]) if len(new_nz) else -1
+                r = 0
+                pending: list[int] = []
+                for k in range(63):
+                    t = int(absv[k])
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        eobrun = _flush_eobrun(bw, ac_p, eobrun, bebuf)
+                        ln, code = ac_p[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending.clear()
+                    if t > 1:
+                        # history coefficient: buffered correction bit
+                        pending.append(t & 1)
+                        continue
+                    # newly nonzero at this pass
+                    eobrun = _flush_eobrun(bw, ac_p, eobrun, bebuf)
+                    ln, code = ac_p[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if vals[k] > 0 else 0, 1)
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending.clear()
+                    r = 0
+                if r > 0 or pending:
+                    eobrun += 1
+                    bebuf.extend(pending)
+                    if eobrun == 32767 or len(bebuf) > 900:
+                        eobrun = _flush_eobrun(bw, ac_p, eobrun, bebuf)
+        _flush_eobrun(bw, ac_p, eobrun, bebuf)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

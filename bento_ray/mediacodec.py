@@ -11,9 +11,10 @@ container formats need nothing beyond the stdlib to decode:
 - GIF   — LZW decode, first frame or all frames (animated GIFs give the
           FrameSampler a *real* video-ish decode path).
 - WAV   — RIFF/WAVE PCM 8/16/24/32-bit int and 32/64-bit float.
-- JPEG  — baseline sequential (jpegcodec.py): table-driven Huffman +
-          numpy IDCT, any sampling up to 2x2, restart intervals.
-          Progressive/arithmetic raise → caller falls back.
+- JPEG  — baseline AND progressive (jpegcodec.py): table-driven
+          Huffman + numpy IDCT, any sampling up to 2x2, restart
+          intervals, multi-scan spectral selection + successive
+          approximation. Arithmetic/12-bit raise → caller falls back.
 
 Encoders (PNG, PPM, BMP, WAV, GIF, baseline JPEG) exist so tests and
 the synthetic media corpus can round-trip real payloads instead of
@@ -40,7 +41,7 @@ __all__ = [
     "decode_image", "decode_png", "decode_bmp", "decode_pnm",
     "decode_gif", "decode_gif_frames", "decode_wav", "decode_jpeg",
     "encode_png", "encode_ppm", "encode_bmp", "encode_wav", "encode_gif",
-    "encode_jpeg", "resize_nearest", "resize_bilinear", "sniff_format",
+    "encode_jpeg", "encode_jpeg_progressive", "resize_nearest", "resize_bilinear", "sniff_format",
 ]
 
 
@@ -677,4 +678,8 @@ def resize_bilinear(px: np.ndarray, size: tuple[int, int]) -> np.ndarray:
 # baseline JPEG codec lives in its own module; re-export here so the
 # media surface is one import (placed after MediaDecodeError so the
 # codec binds the shared exception class)
-from bento_ray.jpegcodec import decode_jpeg, encode_jpeg  # noqa: E402
+from bento_ray.jpegcodec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)

@@ -264,8 +264,41 @@ def test_jpeg_restart_markers():
     assert (plain == rst).all()
 
 
-def test_jpeg_progressive_rejected():
-    """A SOF2 frame header must raise cleanly (progressive mode)."""
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_progressive_pixel_identical(subsample):
+    """Progressive and baseline streams of the same image hold the
+    same quantized coefficients — decode must be BYTE-IDENTICAL. This
+    exercises all four progressive scan paths (DC/AC x first/refine),
+    EOB runs and the correction-bit algorithm."""
+    for img in (_photo(80, 64), _photo(37, 29, seed=5)):
+        for q in (90, 50):
+            d0 = mc.decode_jpeg(mc.encode_jpeg(img, quality=q,
+                                               subsample=subsample))
+            dp = mc.decode_jpeg(mc.encode_jpeg_progressive(
+                img, quality=q, subsample=subsample))
+            assert (d0 == dp).all()
+
+
+def test_jpeg_progressive_eobrun_and_refine_stress():
+    """Flat regions produce long EOB runs; dense noise produces heavy
+    refinement correction-bit traffic; both must round-trip."""
+    rng = np.random.RandomState(99)
+    flat = np.full((128, 128, 3), 77, np.uint8)
+    noise = rng.randint(0, 256, (96, 96, 3)).astype(np.uint8)
+    mixed = np.concatenate([flat[:64, :96], noise[:64]], axis=0)
+    for img in (flat, noise, mixed):
+        d0 = mc.decode_jpeg(mc.encode_jpeg(img, quality=75))
+        dp = mc.decode_jpeg(mc.encode_jpeg_progressive(img, quality=75))
+        assert (d0 == dp).all()
+    # grayscale progressive via the dispatch
+    g = noise[:21, :13, 0]
+    assert (mc.decode_image(mc.encode_jpeg_progressive(g, quality=85))
+            == mc.decode_image(mc.encode_jpeg(g, quality=85))).all()
+
+
+def test_jpeg_bad_progressive_scan_header_rejected():
+    """A baseline stream mislabeled SOF2 has an illegal progressive
+    scan header (Ss=0, Se=63) and must raise cleanly."""
     b = bytearray(mc.encode_jpeg(_photo(16, 16), quality=85))
     i = bytes(b).find(b"\xff\xc0")
     b[i + 1] = 0xC2
