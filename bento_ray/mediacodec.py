@@ -71,6 +71,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if len(payload) > 11 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 

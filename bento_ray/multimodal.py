@@ -263,6 +263,73 @@ class FrameSampler:
         })
 
 
+class VideoMetadata:
+    """Container-level video metadata: REAL for animated GIF (frames
+    decoded, ``decoder='pure'``) and MP4 (ISO-BMFF box tree parsed,
+    ``decoder='container'`` — metadata real, frames not decoded); the
+    deterministic fake fallback covers everything else."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from bento_ray.mp4box import Mp4ParseError, parse_mp4
+
+        cols = {k: [] for k in ("media_id", "container", "n_frames",
+                                "duration_ms", "width", "height",
+                                "codec", "fps", "decoder")}
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            payload = payload or b""
+            fmt = mc.sniff_format(payload)
+            row = {"media_id": mid, "container": fmt or "unknown",
+                   "n_frames": 0, "duration_ms": 0, "width": 0,
+                   "height": 0, "codec": "", "fps": 0.0,
+                   "decoder": "fake"}
+            try:
+                if fmt == "gif":
+                    frames = list(mc.decode_gif_frames(payload))
+                    row.update(n_frames=len(frames),
+                               duration_ms=len(frames) * 100,
+                               height=frames[0].shape[0],
+                               width=frames[0].shape[1],
+                               codec="gif", fps=10.0, decoder="pure")
+                elif fmt == "mp4":
+                    meta = parse_mp4(payload)
+                    vid = next((tr for tr in meta["tracks"]
+                                if tr["kind"] == "video"), None)
+                    if vid is not None:
+                        row.update(n_frames=vid["n_samples"],
+                                   duration_ms=vid["duration_ms"],
+                                   width=vid["width"],
+                                   height=vid["height"],
+                                   codec=vid["codec"], fps=vid["fps"],
+                                   decoder="container")
+            except (mc.MediaDecodeError, Mp4ParseError, ValueError,
+                    struct_error):
+                pass
+            for k, v in row.items():
+                cols[k].append(v)
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.int64()),
+            "container": pa.array(cols["container"], pa.string()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+            "width": pa.array(cols["width"], pa.int64()),
+            "height": pa.array(cols["height"], pa.int64()),
+            "codec": pa.array(cols["codec"], pa.string()),
+            "fps": pa.array(cols["fps"], pa.float64()),
+            "decoder": pa.array(cols["decoder"], pa.string()),
+        })
+
+
+def video_metadata(ds, concurrency: int | None = None,
+                   batch_size: int = 32):
+    return ds.map_batches(VideoMetadata, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=_conc(concurrency))
+
+
 def decode_images(ds, concurrency: int | None = None, batch_size: int = 64):
     """Byte-capped batches: payloads are wide, so batch small."""
     return ds.map_batches(ImageDecoder, batch_format="pyarrow",
@@ -334,6 +401,16 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             t = np.arange(int(rate * dur / 1000), dtype=np.float32) / rate
             freq = float(rng.integers(100, 2000))
             payload = mc.encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+        elif kind == "video" and i % 6 == 5:
+            # MP4: real ISO-BMFF container structure (frames are
+            # deterministic dummies — codec decode stays stubbed)
+            from bento_ray.mp4box import encode_mp4_stub
+
+            w, h, nf = 32, 24, 12
+            payload = encode_mp4_stub(width=w, height=h, n_frames=nf,
+                                      fps=12, seed=i)
+            mime = "video/mp4"
+            dur = nf * 1000 // 12
         else:  # video: animated GIF with real frames
             w, h, nf = 16, 12, 6
             base = levels[rng.integers(0, 6, (h, w, 3))]

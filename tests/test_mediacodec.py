@@ -309,3 +309,22 @@ def test_jpeg_bad_progressive_scan_header_rejected():
 def test_jpeg_deterministic():
     img = _photo(32, 32, seed=11)
     assert mc.encode_jpeg(img, 80) == mc.encode_jpeg(img, 80)
+
+
+def test_mp4_container_parse_and_errors():
+    from bento_ray.mp4box import Mp4ParseError, encode_mp4_stub, parse_mp4
+
+    b = encode_mp4_stub(width=320, height=240, n_frames=48, fps=24, seed=3)
+    assert mc.sniff_format(b) == "mp4"
+    m = parse_mp4(b)
+    t = m["tracks"][0]
+    assert (m["brand"], t["codec"], t["width"], t["height"],
+            t["n_samples"], t["fps"]) == ("isom", "avc1", 320, 240, 48, 24.0)
+    assert m["duration_ms"] == 2000 and t["duration_ms"] == 2000
+    # deterministic
+    assert b == encode_mp4_stub(width=320, height=240, n_frames=48,
+                                fps=24, seed=3)
+    with pytest.raises(Mp4ParseError):
+        parse_mp4(b"\x00\x00\x00\x08free" + b"\x00" * 64)  # no ftyp
+    with pytest.raises(Mp4ParseError):
+        parse_mp4(b[:40])  # moov truncated away

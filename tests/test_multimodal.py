@@ -92,7 +92,12 @@ def test_frame_sampler_real_gif_frames(media_ds):
     vid = media_ds.filter(lambda r: r["kind"] == "video")
     out = sample_frames(vid, k=4, concurrency=2).to_pandas()
     assert len(out) == 10 * 4
-    assert (out["decoder"] == "pure").all()  # real GIF frame decode
+    # GIF rows decode real frames; MP4 rows (codec undecodable) take
+    # the deterministic fallback
+    mimes = vid.to_pandas().set_index("media_id")["mime"]
+    dec = out.set_index("media_id")["decoder"]
+    assert (dec.loc[mimes[mimes == "image/gif"].index] == "pure").all()
+    assert (dec.loc[mimes[mimes == "video/mp4"].index] == "fake").all()
     per = out.groupby("media_id")["frame_idx"].apply(list)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per)
     # rolled frames differ → fingerprints should vary within a video
@@ -130,3 +135,29 @@ def test_real_jpeg_rows_decode_pure(media_ds):
     by_id = out.set_index("media_id")["decoder"]
     assert (by_id.loc[valid] == "pure").all()
     assert (by_id.loc[garbage] == "fake").all()
+
+
+def test_video_metadata_stage(media_ds):
+    """GIF rows decode real frame metadata ('pure'); MP4 rows parse
+    the ISO-BMFF box tree ('container': real metadata, frames not
+    decoded)."""
+    from bento_ray.multimodal import video_metadata
+
+    vids = media_ds.filter(lambda r: r["kind"] == "video")
+    out = video_metadata(vids, concurrency=2).to_pandas()
+    meta = vids.to_pandas().set_index("media_id")
+    assert len(out) == len(meta)
+    by_dec = out.groupby("decoder").size().to_dict()
+    assert by_dec.get("pure", 0) > 0 and by_dec.get("container", 0) > 0
+    for _, row in out.iterrows():
+        m = meta.loc[row["media_id"]]
+        if row["decoder"] == "container":
+            assert m["mime"] == "video/mp4"
+            assert row["codec"] == "avc1"
+            assert row["width"] == m["meta_width"]
+            assert row["n_frames"] == 12 and row["fps"] == 12.0
+            assert row["duration_ms"] == m["meta_duration_ms"]
+        elif row["decoder"] == "pure":
+            assert row["codec"] == "gif"
+            assert row["n_frames"] == 6
+            assert row["width"] == m["meta_width"]
