@@ -1357,6 +1357,26 @@ WHERE (doc_id * 2654435761) % 4294967296 % 10 = 3
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language quota sampling (30 docs/lang, the training-mix
+    step): the 30 smallest Knuth-hashes per language, ties by doc_id —
+    the same arithmetic runs in the SQL oracle's window function.
+    Combiner-shaped: each batch pre-prunes to a local per-lang top-30
+    so the groupby shuffle input is bounded per block."""
+    from bento_ray.textops import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return stratified_sample(ds, "lang", 30)
+
+
+SQL_STRATIFIED = """
+SELECT doc_id, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 30
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_bloblang_revenue": (q_bloblang_revenue, SQL_BLOBLANG_REVENUE),
@@ -1396,6 +1416,7 @@ QUERIES = {
     "q_tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "q_dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAMS),
     "q_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, None),

@@ -28,6 +28,7 @@ from bento_ray.textops.terms import (
     tfidf_top_terms,
     dup_ngram_stats,
     hash_sample,
+    stratified_sample,
 )
 from bento_ray.textops.urlops import (
     parse_urls,
@@ -45,6 +46,7 @@ __all__ = [
     "tfidf_top_terms",
     "dup_ngram_stats",
     "hash_sample",
+    "stratified_sample",
     "parse_urls",
     "domain_stats",
     "top_domains",

@@ -44,6 +44,7 @@ __all__ = [
     "tfidf_top_terms",
     "dup_ngram_stats",
     "hash_sample",
+    "stratified_sample",
 ]
 
 # Knuth multiplicative hash constant (2^32 / phi) — public domain.
@@ -380,6 +381,41 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
         })
 
     return out.map_batches(_final, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, n_per_group: int,
+                      key: str = "doc_id"):
+    """Deterministic per-group quota sample: the n_per_group rows with
+    the SMALLEST Knuth-hash of ``key`` within each group (ties broken
+    by key) — reproducible across runs/engines/cluster sizes, and the
+    standard per-language quota step of a training-data mix.
+
+    Combiner-shaped: each batch pre-prunes to its local per-group
+    top-n (one vectorized lexsort), so the groupby shuffle moves at
+    most n_per_group rows per group per block — never the corpus."""
+
+    def _rank_hash(t: pa.Table) -> np.ndarray:
+        ids = t.column(key).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return (ids * _KNUTH) % _M32
+
+    def _local_topn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        h = _rank_hash(t)
+        g = t.column(group_col).to_pandas().astype(str).to_numpy()
+        ids = t.column(key).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, g))
+        gs = g[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(gs[1:] != gs[:-1]) + 1])
+        rank = np.arange(len(gs)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(gs)]])))
+        return t.take(pa.array(order[rank < n_per_group]))
+
+    pruned = ds.map_batches(_local_topn, batch_format="pyarrow")
+    return (pruned.groupby(group_col)
+            .map_groups(_local_topn, batch_format="pyarrow"))
 
 
 def hash_sample(ds, denom: int = 10, residue: int = 3,

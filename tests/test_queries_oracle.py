@@ -26,6 +26,7 @@ SUBSET = [
     "q_hash_sample",
     "q_dup_ngram_stats",
     "q_lang_id",
+    "q_stratified_sample",
 ]
 
 

@@ -564,3 +564,21 @@ def test_dup_ngram_stats_semantics():
     assert out.loc[2, "n_dup_ngrams"] == 0
     assert out.loc[3, "n_ngrams"] == 0 and out.loc[3, "dup_ngram_frac"] == 0.0
     assert out.loc[0, "dup_ngram_frac"] == 0.4
+
+
+def test_stratified_sample_quota_and_determinism():
+    import ray.data as rd
+
+    from bento_ray.textops import stratified_sample
+
+    ds = rd.from_items([
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+        for i in range(300)])
+    out = stratified_sample(ds, "lang", 5).to_pandas()
+    assert out.groupby("lang").size().to_dict() == \
+        {"en": 5, "de": 5, "fr": 5}
+    again = stratified_sample(ds, "lang", 5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    # a group smaller than the quota returns all its rows
+    small = rd.from_items([{"doc_id": i, "lang": "xx"} for i in range(3)])
+    assert stratified_sample(small, "lang", 5).count() == 3
