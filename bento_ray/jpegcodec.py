@@ -38,10 +38,10 @@ import numpy as np
 __all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 
-class MediaDecodeError(ValueError):
-    """Placeholder; rebound to mediacodec's shared exception class at
-    the bottom of this module (lookups are dynamic, so every raise in
-    this file uses the shared class once rebound)."""
+# Shared with mediacodec via the mediaerrors leaf module — one class
+# under either import order (a bottom-of-module rebinding previously
+# failed silently when jpegcodec was imported first).
+from bento_ray.mediaerrors import MediaDecodeError  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # shared constants
@@ -771,20 +771,6 @@ def _dct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     qd = np.round(f / q.reshape(8, 8)).astype(np.int32) \
         .reshape(nby, nbx, 64)
     return qd[:, :, ZIGZAG]
-
-
-# unify the exception type with mediacodec's (safe against either
-# import order: this runs after every definition above exists)
-def _use_shared_error():
-    global MediaDecodeError
-    try:
-        from bento_ray.mediacodec import MediaDecodeError as _E
-        MediaDecodeError = _E
-    except Exception:
-        pass
-
-
-_use_shared_error()
 
 
 # ---------------------------------------------------------------------------

@@ -45,9 +45,12 @@ __all__ = [
 ]
 
 
-class MediaDecodeError(ValueError):
-    """Payload is not decodable by the pure codecs (unsupported
-    sub-format or corrupt) — callers fall back to their stub path."""
+# Payload is not decodable by the pure codecs (unsupported sub-format
+# or corrupt) — callers fall back to their stub path. Defined in a
+# leaf module so jpegcodec raises the SAME class under either import
+# order; re-exported here for existing `mediacodec.MediaDecodeError`
+# call sites.
+from bento_ray.mediaerrors import MediaDecodeError  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

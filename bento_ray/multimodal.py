@@ -2,13 +2,15 @@
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Decode is REAL for the containers a pure-Python + numpy codec can
-handle (PNG / BMP / PPM / GIF / baseline JPEG images, animated GIF as
-the multi-frame "video" path, RIFF/WAVE audio — see
-``bento_ray.mediacodec`` and ``bento_ray.jpegcodec``). Formats that
-need a native library this container lacks (MP4/H.264, MP3/AAC,
-progressive JPEG) fall back to a clearly-marked deterministic fake so
-the Ray-side plumbing still runs; the ``decoder`` column records which
-path produced each row ("pil" / "pure" / "fake").
+handle (PNG / BMP / PPM / GIF / baseline AND progressive JPEG images,
+animated GIF as the multi-frame "video" path, RIFF/WAVE audio — see
+``bento_ray.mediacodec`` and ``bento_ray.jpegcodec``; MP4 container
+metadata is parsed for real by ``bento_ray.mp4box``). Only formats
+whose SAMPLE decode needs a native library this container lacks
+(H.264/H.265 frames, MP3/AAC audio samples) fall back to a
+clearly-marked deterministic fake so the Ray-side plumbing still runs;
+the ``decoder`` column records which path produced each row
+("pil" / "pure" / "fake").
 
 Scale notes: binary payloads are wide — size batches by BYTES not rows
 (``batch_size`` here is deliberately small; at 1 MB payloads,

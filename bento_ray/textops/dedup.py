@@ -341,9 +341,10 @@ def _unique_pairs_partition(t: pa.Table) -> pa.Table:
 
 # Bloom filter over candidate-pair doc ids. 2^23 bits = 1 MiB per
 # block-partial and for the merged broadcast array; with k=2 probes the
-# false-positive rate stays < 1% up to ~1.5M distinct pair-member ids
-# (shard the corpus or raise _BLOOM_BITS beyond that — false positives
-# only cost extra inner-join input, never wrong output).
+# false-positive rate is < 1% up to ~0.4M distinct pair-member ids and
+# ~9% at 1.5M (fp ≈ (1 - e^(-kn/m))^k). Resize _BLOOM_BITS beyond
+# ~0.4M ids to keep pruning effective — false positives only cost
+# extra inner-join input, never wrong output.
 _BLOOM_BITS = 1 << 23
 
 

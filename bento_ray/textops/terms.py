@@ -67,16 +67,13 @@ def _split_words(col) -> tuple[pa.Array, np.ndarray]:
     keep_np = keep.to_numpy(zero_copy_only=False)
     if keep_np.all():
         return flat, lens
-    # rebuild per-doc counts after dropping empties; reduceat indices
-    # are clipped (trailing zero-length docs would index past the end)
-    # and zero-length docs overwritten after — reduceat returns a
-    # spurious single element for repeated indices.
-    bounds = np.concatenate([[0], np.cumsum(lens)])
-    kept_per_doc = np.add.reduceat(
-        keep_np.astype(np.int64),
-        np.minimum(bounds[:-1], len(flat) - 1)) if len(flat) else \
-        np.zeros(len(lens), np.int64)
-    kept_per_doc[lens == 0] = 0
+    # rebuild per-doc counts after dropping empties: doc-id per flat
+    # word, mask to kept words, bincount. Handles null docs (lens=0)
+    # and empty tokens in the last doc correctly — unlike a reduceat
+    # over clipped segment starts, which merges the final segments.
+    doc_ids = np.repeat(np.arange(len(lens)), lens)
+    kept_per_doc = np.bincount(doc_ids[keep_np], minlength=len(lens)) \
+        .astype(np.int64)
     return flat.filter(keep), kept_per_doc
 
 

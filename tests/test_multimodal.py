@@ -137,6 +137,30 @@ def test_real_jpeg_rows_decode_pure(media_ds):
     assert (by_id.loc[garbage] == "fake").all()
 
 
+def test_progressive_jpeg_decodes_pure():
+    """Progressive JPEG is a REAL decode path (jpegcodec handles SOF2),
+    not a fake fallback — the decoder tag must say 'pure'."""
+    import numpy as np
+
+    from bento_ray.mediacodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    payload = encode_jpeg_progressive(img, quality=85)
+    t = pa.Table.from_pydict({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "mime": pa.array(["image/jpeg"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+        "meta_width": pa.array([48], pa.int32()),
+        "meta_height": pa.array([32], pa.int32()),
+        "meta_duration_ms": pa.array([0], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = decode_images(rd.from_arrow(t)).to_pandas()
+    assert out["decoder"].tolist() == ["pure"]
+    assert out["width"].tolist() == [48] and out["height"].tolist() == [32]
+
+
 def test_video_metadata_stage(media_ds):
     """GIF rows decode real frame metadata ('pure'); MP4 rows parse
     the ISO-BMFF box tree ('container': real metadata, frames not

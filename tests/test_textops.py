@@ -495,6 +495,26 @@ def test_term_and_bigram_counts_edge_cases():
     assert bc == {"a b": 1, "b a": 2}
 
 
+def test_split_words_null_doc_plus_empty_token():
+    """Regression: a batch with a null text AND an empty token used to
+    miscount the last non-null doc (reduceat clipping merged its
+    segment) and crash _doc_term_counts with unequal column lengths."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bento_ray.textops.terms import _split_words
+
+    flat, lens = _split_words(pa.array(["a  b", None]))
+    assert flat.to_pylist() == ["a", "b"]
+    assert lens.tolist() == [2, 0]
+    assert int(np.sum(lens)) == len(flat)
+
+    # null doc in the middle, empty tokens across several docs
+    flat, lens = _split_words(pa.array(["x ", None, " y  z", "", None]))
+    assert flat.to_pylist() == ["x", "y", "z"]
+    assert lens.tolist() == [1, 0, 2, 0, 0]
+
+
 def test_tfidf_top_terms_small():
     import ray.data as rd
 
