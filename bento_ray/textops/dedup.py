@@ -296,23 +296,37 @@ def _pair_partition_scan(t: pa.Table, num_pair_parts: int) -> pa.Table:
     bid = t.column("band_id").to_numpy()
     bh = t.column("band_hash").to_numpy()
     docs = t.column("doc_id").to_numpy()
-    brk = np.flatnonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1
-    bounds = np.concatenate([[0], brk, [n]])
-    pa_list, pb_list = [], []
-    for start, end in zip(bounds[:-1], bounds[1:]):
-        if end - start > 1:
-            bucket = np.unique(docs[start:end])
-            m = len(bucket)
-            if m > 1:
-                ia, ib = np.triu_indices(m, k=1)
-                pa_list.append(bucket[ia])
-                pb_list.append(bucket[ib])
-    if not pa_list:
+    # Fully vectorized pair expansion — no Python iteration over
+    # buckets (a coarse partition at CC scale holds millions of
+    # buckets, nearly all singletons; a per-bucket loop is O(buckets)
+    # interpreter work for O(pairs) useful output).
+    bucket_id = np.zeros(n, np.int64)
+    bucket_id[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+    bucket_id = np.cumsum(bucket_id)
+    # duplicate (bucket, doc) rows are adjacent after the sort
+    dup = np.zeros(n, bool)
+    dup[1:] = (docs[1:] == docs[:-1]) & (bucket_id[1:] == bucket_id[:-1])
+    if dup.any():
+        keep = ~dup
+        docs, bucket_id = docs[keep], bucket_id[keep]
+        n = len(docs)
+    sizes = np.bincount(bucket_id)
+    group_start = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    # within-bucket position p: each row is the 'b' of exactly p pairs
+    # whose 'a's are the p earlier rows of its bucket (docs ascending
+    # within a bucket ⇒ doc_a < doc_b by construction)
+    pos = np.arange(n) - group_start[bucket_id]
+    total = int(pos.sum())
+    if total == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "pair_part": pa.array([], pa.int64())})
-    A = np.concatenate(pa_list).astype(np.int64)
-    B = np.concatenate(pb_list).astype(np.int64)
+    seg_start = np.concatenate([[0], np.cumsum(pos)[:-1]])
+    b_idx = np.repeat(np.arange(n), pos)
+    a_idx = (np.arange(total) - np.repeat(seg_start, pos)
+             + np.repeat(group_start[bucket_id], pos))
+    A = docs[a_idx].astype(np.int64)
+    B = docs[b_idx].astype(np.int64)
     # local dedup (same pair from several buckets in this partition)
     packed = np.unique(A.astype(np.uint64) << np.uint64(32) |
                        B.astype(np.uint64))

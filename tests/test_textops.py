@@ -163,6 +163,51 @@ def test_minhash_vs_brute_force_golden(doc_ds):
     assert got_pairs == truth, truth - got_pairs
 
 
+def test_pair_partition_scan_vectorized_matches_bruteforce():
+    """The vectorized (loop-free) candidate-pair expansion emits
+    exactly the per-bucket unordered doc pairs, including duplicate
+    (bucket, doc) rows and singleton buckets, with the right
+    pair-hash partition tag."""
+    import itertools
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+
+    from bento_ray.textops.dedup import _pair_partition_scan
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    t = pa.table({
+        "band_id": pa.array(rng.integers(0, 8, n), pa.int64()),
+        "band_hash": pa.array(
+            rng.integers(0, 300, n).astype(np.uint64), pa.uint64()),
+        "doc_id": pa.array(rng.integers(0, 120, n), pa.int64()),
+    })
+    out = _pair_partition_scan(t, 7)
+    got = list(zip(out.column("doc_a").to_pylist(),
+                   out.column("doc_b").to_pylist()))
+    buckets = defaultdict(set)
+    for b, h, d in zip(t.column("band_id").to_pylist(),
+                       t.column("band_hash").to_pylist(),
+                       t.column("doc_id").to_pylist()):
+        buckets[(b, h)].add(d)
+    want = set()
+    for docs in buckets.values():
+        want.update(itertools.combinations(sorted(docs), 2))
+    assert set(got) == want and len(got) == len(want)  # deduped
+    for (a, b), p in zip(got, out.column("pair_part").to_pylist()):
+        assert p == ((a << 32) | b) % 7
+
+    # empty and all-singleton inputs
+    empty = t.slice(0, 0)
+    assert len(_pair_partition_scan(empty, 7)) == 0
+    single = pa.table({"band_id": pa.array([0, 1], pa.int64()),
+                       "band_hash": pa.array([1, 2], pa.uint64()),
+                       "doc_id": pa.array([5, 6], pa.int64())})
+    assert len(_pair_partition_scan(single, 7)) == 0
+
+
 def test_minhash_no_driver_materialization():
     """No DRIVER-side materialization: the result is a Dataset and the
     only eager step is the shingle table pinned in the OBJECT STORE
