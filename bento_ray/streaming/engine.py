@@ -45,6 +45,17 @@ from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
 from bento_ray.util import rfc3339nano, stable_hash
 
 
+# Sentinel: derive a bounded dedupe TTL from the window arithmetic.
+DEDUPE_TTL_AUTO = -1
+
+# Auto TTL = this factor × (window + lateness). At the default 10s
+# window + 2s lateness that is ~3.4h of event time — far beyond any
+# re-crawl horizon a windowed aggregate cares about, while bounding
+# per-partition seen-set memory to arrival-rate × TTL × 16 B instead
+# of the full distinct-key set (~16 TB fleet-wide at 10^12 urls).
+DEDUPE_TTL_FACTOR = 1024
+
+
 @dataclass
 class StreamConfig:
     window_size_us: int = 10_000_000
@@ -54,7 +65,12 @@ class StreamConfig:
     partitions: int = 8
     out_partitions: int = 8
     files_per_epoch: int = 2
-    dedupe_ttl_us: int | None = None        # None = dedupe for the whole run
+    # Dedupe state horizon. Default AUTO = bounded
+    # (DEDUPE_TTL_FACTOR × (window + lateness)); pass an explicit
+    # microsecond TTL to tune, or an explicit None to opt IN to
+    # whole-run dedupe (unbounded state — at CC scale budget
+    # ~16 B × distinct urls per partition fleet-wide).
+    dedupe_ttl_us: int | None = DEDUPE_TTL_AUTO
     feeder_batch_size: int = 8192
     extra: dict = field(default_factory=dict)
 
@@ -63,6 +79,9 @@ class StreamConfig:
             raise ValueError(
                 "sliding window size must be a multiple of slide "
                 f"({self.window_size_us} % {self.slide_us} != 0)")
+        if self.dedupe_ttl_us == DEDUPE_TTL_AUTO:
+            self.dedupe_ttl_us = DEDUPE_TTL_FACTOR * (
+                self.window_size_us + self.allowed_lateness_us)
 
 
 class Feeder:

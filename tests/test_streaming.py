@@ -177,6 +177,55 @@ def test_ttl_bounded_dedupe_matches_unbounded(pages_small, stream_out,
     pd.testing.assert_frame_equal(_read_sink(out_ttl), unbounded)
 
 
+def test_default_dedupe_ttl_is_bounded():
+    """No unbounded-state default: StreamConfig derives a finite TTL
+    from the window arithmetic unless the caller explicitly opts in
+    with None."""
+    from bento_ray.streaming.engine import DEDUPE_TTL_FACTOR
+
+    cfg = StreamConfig()
+    assert cfg.dedupe_ttl_us == DEDUPE_TTL_FACTOR * (10_000_000 + 2_000_000)
+    cfg = StreamConfig(window_size_us=60_000_000, allowed_lateness_us=0)
+    assert cfg.dedupe_ttl_us == DEDUPE_TTL_FACTOR * 60_000_000
+    # explicit opt-ins still respected
+    assert StreamConfig(dedupe_ttl_us=None).dedupe_ttl_us is None
+    assert StreamConfig(dedupe_ttl_us=5).dedupe_ttl_us == 5
+
+
+def test_ttl_eviction_readmits_recrawl(tmp_path):
+    """A url recurring BEYOND the TTL is re-admitted (counted again):
+    the seen-set is a horizon, not a forever-set."""
+    from bento_ray.testgen.pages import generate_pages_table
+
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    base = generate_pages_table(4, seed=7, dup_frac=0.0)
+    # file 0: rows 0..3 at ~t0; file 1: row 0 recrawled 100s later
+    pq.write_table(base, os.path.join(pages_dir, "part-00000.parquet"))
+    recrawl = base.slice(0, 1).set_column(
+        1, "warc_ts",
+        pa.array([base.column("warc_ts")[0].value + 100_000_000],
+                 pa.timestamp("us", tz="UTC")))
+    pq.write_table(recrawl, os.path.join(pages_dir, "part-00001.parquet"))
+
+    def run(ttl, name):
+        out = str(tmp_path / name)
+        cfg = StreamConfig(window_size_us=10_000_000, partitions=2,
+                           out_partitions=2, files_per_epoch=1,
+                           allowed_lateness_us=0, dedupe_ttl_us=ttl)
+        m = run_stream(pages_dir, cfg, out,
+                       dim_versions=dim_versions_table())
+        return m, _read_sink(out)
+
+    m_un, df_un = run(None, "unbounded")
+    assert m_un["worker_metrics"]["dedupe_dropped"] == 1
+    assert int(df_un["pages"].sum()) == 4
+
+    m_ttl, df_ttl = run(30_000_000, "ttl30s")  # 30s TTL < 100s gap
+    assert m_ttl["worker_metrics"]["dedupe_dropped"] == 0
+    assert int(df_ttl["pages"].sum()) == 5  # recrawl re-admitted
+
+
 def test_seen_set_semantics():
     """_SeenSet vs a dict reference: contains/add/gc/rebuild across
     merges of the unsorted tail into the sorted main run."""
