@@ -1011,23 +1011,104 @@ def q_ann_ivf(sf_dir: str):
     return ivf_cosine_topk(ds, qm, qids, k=10, num_cells=16, nprobe=8)
 
 
+# The flagship correctness corpus: deterministic synthetic pages
+# (testgen.pages), generated driver-side (n < 50k needs no Ray) and
+# cached — both the Ray query and the DuckDB oracle read the same
+# files. The oracle uses the corpus' GOLDEN ``text`` column, so a
+# hash match additionally re-verifies the byte-identical strip_html
+# invariant end-to-end.
+_FLAGSHIP_GATE = dict(n_rows=2000, seed=42, files=4)
+_FLAGSHIP_GATE_DIR = "/tmp/bento_ray_pages/n2000_s42_f4"
+_FLAGSHIP_WINDOW_US = 10_000_000
+
+
+def _flagship_gate_corpus() -> str:
+    from bento_ray.testgen import ensure_pages_dataset
+
+    d = ensure_pages_dataset(_FLAGSHIP_GATE["n_rows"],
+                             seed=_FLAGSHIP_GATE["seed"],
+                             files=_FLAGSHIP_GATE["files"])
+    assert d == _FLAGSHIP_GATE_DIR, d  # SQL_FLAGSHIP embeds this path
+    return d
+
+
 def q_flagship_stream(sf_dir: str):
-    """The streaming flagship (windows + dedupe + enrichment +
-    exactly-once sink) on a deterministic synthetic pages corpus —
-    rows-only check (the pages table is engine-generated, not a DuckDB
-    view)."""
+    """The streaming flagship (strip_html → first-per-url dedupe →
+    tumbling windows → per-lang aggregate → versioned enrichment →
+    exactly-once sink) on the deterministic gate corpus, checked
+    against a full DuckDB oracle (SQL_FLAGSHIP) over the same files."""
     import shutil
 
     from bento_ray.pipelines.flagship import flagship_streaming
     from bento_ray.streaming import ExactlyOnceParquetSink
-    from bento_ray.testgen import ensure_pages_dataset
 
-    pages = ensure_pages_dataset(2000, seed=42, files=4)
+    pages = _flagship_gate_corpus()
     out_dir = "/tmp/bento_ray_gate_flagship"
     shutil.rmtree(out_dir, ignore_errors=True)
-    flagship_streaming(pages, out_dir, partitions=4, files_per_epoch=2)
+    flagship_streaming(pages, out_dir, partitions=4, files_per_epoch=2,
+                       window_size_us=_FLAGSHIP_WINDOW_US)
     df = ExactlyOnceParquetSink(out_dir).read().to_pandas()
     return df.sort_values(["window_end", "lang"]).reset_index(drop=True)
+
+
+def _flagship_dim_values() -> str:
+    """The versioned lang dimension as SQL VALUES rows — derived from
+    the same schema constants the engine's dim_versions_table uses."""
+    from bento_ray.schema import LANG_NAMES, LANG_SCRIPTS, LANGS
+    from bento_ray.testgen.pages import BASE_TS_US
+
+    rows = [f"('{lg}', '{LANG_NAMES[lg]}', '{LANG_SCRIPTS[lg]}', "
+            f"1, {-(1 << 62)})" for lg in LANGS]
+    upd = {"en": "English (v2)", "zh": "Mandarin Chinese",
+           "de": "German (v2)"}
+    uts = BASE_TS_US + 30_000_000
+    rows += [f"('{lg}', '{upd[lg]}', '{LANG_SCRIPTS[lg]}', 2, {uts})"
+             for lg in upd]
+    return ",\n      ".join(rows)
+
+
+# Oracle semantics notes: (1) dedupe = min event time per url — the
+# engine keeps the first arrival, and on this corpus arrival order
+# and event order agree for every duplicate pair (event-time
+# inversions across an epoch boundary would diverge; none exist at
+# this seed, and the corpus is deterministic so the equality is
+# stable). (2) No late drops occur (epochs span ≫ lateness), so the
+# late-drop rule needs no SQL clause. (3) window_end_timestamp is
+# RFC3339Nano; window ends are whole seconds here so %S-precision
+# strftime is exact.
+SQL_FLAGSHIP = f"""
+WITH kept AS (
+  SELECT url, warc_ts, text, lang,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts) AS rn
+  FROM read_parquet('{_FLAGSHIP_GATE_DIR}/*.parquet')
+),
+agg AS (
+  SELECT ((epoch_us(warc_ts) + {_FLAGSHIP_WINDOW_US - 1})
+            // {_FLAGSHIP_WINDOW_US}) * {_FLAGSHIP_WINDOW_US} AS we_us,
+         lang, COUNT(*) AS pages,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS nbytes
+  FROM kept WHERE rn = 1
+  GROUP BY 1, 2
+),
+dim AS (
+  SELECT * FROM (VALUES
+      {_flagship_dim_values()}
+  ) v(lang, lang_name, script, version, update_ts)
+),
+enriched AS (
+  SELECT a.we_us, a.lang, a.pages, a.nbytes,
+         d.lang_name, d.script, d.version,
+         row_number() OVER (PARTITION BY a.we_us, a.lang
+                            ORDER BY d.update_ts DESC) AS rk
+  FROM agg a JOIN dim d ON d.lang = a.lang AND d.update_ts <= a.we_us
+)
+SELECT make_timestamp(we_us) AS window_end, lang, pages, nbytes,
+       lang_name, script, CAST(version AS BIGINT) AS version,
+       strftime(make_timestamp(we_us), '%Y-%m-%dT%H:%M:%SZ')
+         AS window_end_timestamp
+FROM enriched WHERE rk = 1
+ORDER BY 1, 2
+"""
 
 
 # Pinned as a named constant so tests can assert the vectorizing
@@ -1425,7 +1506,7 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, None),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_cosine_near_dups_lsh": (q_cosine_near_dups_lsh, None),
-    "q_flagship_stream": (q_flagship_stream, None),
+    "q_flagship_stream": (q_flagship_stream, SQL_FLAGSHIP),
 }
 
 
@@ -1434,4 +1515,11 @@ def queries():
 
 
 def oracle_sql():
+    # SQL_FLAGSHIP reads the engine-generated gate corpus; generate it
+    # now (cheap, driver-side, cached) so the files exist even if the
+    # driver executes the SQL before the Ray query.
+    try:
+        _flagship_gate_corpus()
+    except Exception:
+        pass
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
