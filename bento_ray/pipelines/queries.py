@@ -775,20 +775,124 @@ FROM (
 """
 
 
-# -- rows-only (not SQL-expressible) ---------------------------------------
+# -- hash-arithmetic text ops: oracled via FNV-1a replicated in SQL --------
+
+# The engine's 61-bit word hash (textops/quality.py word_hashes:
+# FNV-1a over utf-8 bytes with uint64 wraparound, folded % (2^61-1))
+# replicated in DuckDB: bytes via hex(encode(w)) digit pairs, the
+# xor-multiply chain as a list_reduce fold in HUGEINT (the 2^64 wrap
+# is an explicit mod; products stay < 2^104 so int128 never
+# overflows). Bit-identical to hash_word() — pinned in tests.
+def _fnv_sql(expr: str) -> str:
+    return f"""CAST(list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(generate_series(1, octet_length(encode({expr}))),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(lower(hex(encode({expr}))), 2*i-1, 1)) * 16
+           + strpos('0123456789abcdef',
+                    substr(lower(hex(encode({expr}))), 2*i, 1)) - 17
+             AS HUGEINT))),
+    (h, x) -> (((h - (h % 256))
+                + CAST(xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT))
+                       AS HUGEINT)) * 1099511628211)
+              % 18446744073709551616
+  ) % 2305843009213693951 AS BIGINT)"""
+
 
 def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH candidate pairs with exact-Jaccard verification.
+    Oracle: the exact-Jaccard 3-shingle self-join (SQL_MINHASH) — the
+    verify step's ground truth. Equality holds because every true
+    pair on this corpus sits at J ≥ 0.9, where the 16-band/64-perm
+    LSH recall is 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 3e-8 and the run is
+    deterministic (recall measured separately in pytest at lower
+    thresholds)."""
     from bento_ray.textops import near_dup_pairs_minhash
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return near_dup_pairs_minhash(ds, threshold=0.15)
 
 
+# Exact-Jaccard ground truth over the engine's own shingle space:
+# distinct polynomial 3-gram shingles of FNV word hashes per doc
+# (1-2-word docs hash the joined words as one shingle), self-join on
+# shingle, |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. The polynomial here
+# needs no 2^64-wrap emulation for SET semantics (any injective image
+# preserves intersection sizes), but uses the same fold as the
+# fingerprint SQL for uniformity.
+SQL_MINHASH = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+         {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 3
+),
+sh3 AS (
+  SELECT DISTINCT a.doc_id,
+    CAST((((CAST(a.h AS HUGEINT) * 1000003 + b.h) % 18446744073709551616)
+           % 2305843009213693951 * 1000003 + c.h)
+          % 18446744073709551616 % 2305843009213693951 AS BIGINT) AS shingle
+  FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN wh c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+shj AS (
+  SELECT doc_id, {_fnv_sql("array_to_string(words, ' ')")} AS shingle
+  FROM d WHERE len(words) BETWEEN 1 AND 2
+),
+sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM shj),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.15
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash(sf_dir: str):
+    """64-bit SimHash per doc; oracle SQL_SIMHASH replicates the FNV
+    word hashes and the per-bit ±1 vote exactly (bits 61-63 of a
+    61-bit hash are always 0, so their votes are all −1 and never
+    set)."""
     from bento_ray.textops import simhash64
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return simhash64(ds).select_columns(["doc_id", "simhash"])
+
+
+SQL_SIMHASH = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 1
+),
+hc AS (SELECT doc_id, h, COUNT(*) AS c FROM wh GROUP BY doc_id, h),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM hc, (SELECT unnest(generate_series(0, 60)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+sfp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d2.doc_id AS doc_id, CAST(COALESCE(sfp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d2 LEFT JOIN sfp ON sfp.doc_id = d2.doc_id
+"""
 
 
 def q_lang_id(sf_dir: str):
@@ -842,11 +946,45 @@ SQL_LANG_ID = _lang_id_sql()
 
 
 def q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style doc fingerprints (min + count of distinct
+    8-word rolling window hashes); oracle SQL_FINGERPRINTS replicates
+    the polynomial INCLUDING numpy's uint64 wraparound (the engine's
+    `out * BASE + h` wraps mod 2^64 before the mod-Mersenne fold, so
+    the SQL fold applies both mods)."""
     from bento_ray.textops import fingerprint_stage
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return fingerprint_stage(ds).select_columns(
         ["doc_id", "fingerprint", "n_windows"])
+
+
+SQL_FINGERPRINTS = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+         {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 1
+),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM wh GROUP BY doc_id),
+win AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(hs) - LEAST(8, len(hs)) + 1),
+      i -> CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(hs[i : i + LEAST(8, len(hs)) - 1],
+                              x -> CAST(x AS HUGEINT))),
+             (acc, x) -> ((acc * 1000003 + x) % 18446744073709551616)
+                         % 2305843009213693951) AS BIGINT)) AS outs
+  FROM hl
+)
+SELECT d2.doc_id AS doc_id,
+  CAST(COALESCE(list_aggregate(list_distinct(w.outs), 'min'), 0) AS BIGINT)
+    AS fingerprint,
+  CAST(COALESCE(list_unique(w.outs), 0) AS BIGINT) AS n_windows
+FROM documents d2 LEFT JOIN win w ON w.doc_id = d2.doc_id
+"""
 
 
 def q_quality_scores(sf_dir: str):
@@ -1500,9 +1638,9 @@ QUERIES = {
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     # rows-only (non-SQL-expressible)
-    "q_minhash_near_dups": (q_minhash_near_dups, None),
-    "q_simhash": (q_simhash, None),
-    "q_doc_fingerprints": (q_doc_fingerprints, None),
+    "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
+    "q_simhash": (q_simhash, SQL_SIMHASH),
+    "q_doc_fingerprints": (q_doc_fingerprints, SQL_FINGERPRINTS),
     "q_ann_lsh": (q_ann_lsh, None),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_cosine_near_dups_lsh": (q_cosine_near_dups_lsh, None),

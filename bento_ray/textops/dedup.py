@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray
 
 from bento_ray.util import default_concurrency as _dc
+from bento_ray.util import duckdb_round
 
 
 def _conc(c):
@@ -539,7 +540,9 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
                                        assume_unique=True))
             jac = inter / (len(sa_arr) + len(sb_arr) - inter)
             if jac >= threshold:
-                out.append((int(a), int(b), round(jac, 6)))
+                # duckdb_round (half away from zero), not python round:
+                # jaccard is oracle-compared against DuckDB ROUND()
+                out.append((int(a), int(b), float(duckdb_round(jac, 6))))
         out.sort()
         return pa.table({
             "doc_a": pa.array([o[0] for o in out], pa.int64()),
