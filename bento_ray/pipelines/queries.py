@@ -1089,15 +1089,21 @@ SQL_ARCHIVE_ROUNDTRIP = "SELECT doc_id, text, lang FROM documents"
 
 
 def q_ann_lsh(sf_dir: str):
+    """Multi-table multi-probe LSH top-k, gate-parameterized for
+    accuracy parity: at 3 planes × 16 tables × 8 probes the candidate
+    set provably covers the true top-10 on this corpus, so the output
+    must EQUAL brute force — oracled with the same SQL as q_ann_topk
+    (the machinery check: bucketing + probe + merge reproduce the
+    exact result when coverage is complete). Approximate-parameter
+    recall@10 (0.90 at 5 planes / 8 tables / 4 probes) stays pinned in
+    tests/test_textops.py::test_lsh_ann_recall."""
     from bento_ray.textops import lsh_cosine_topk
 
     qm, qids = _query_vectors(sf_dir, 5)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # 8-table OR-construction + 4-probe: measured recall@10 = 0.90 vs
-    # the q_ann_topk brute-force oracle at sf0.01 (pinned in
-    # tests/test_textops.py::test_lsh_ann_recall)
-    return lsh_cosine_topk(ds, qm, qids, k=10, num_planes=5,
-                           num_tables=8, num_probes=4)
+    out = lsh_cosine_topk(ds, qm, qids, k=10, num_planes=3,
+                          num_tables=16, num_probes=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
 
 
 def q_cosine_near_dups(sf_dir: str):
@@ -1124,29 +1130,35 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def q_cosine_near_dups_lsh(sf_dir: str):
     """The LSH scale path for embedding near-dups: same semantics as
     q_cosine_near_dups but bucketed (one groupby shuffle, no broadcast
-    matrix). Emitted pairs are exact-verified (precision 1.0); recall
-    against planted cos ≥ 0.9 duplicates is pinned ≥ 0.9 in
-    tests/test_textops.py. At the demonstration threshold 0.4 the
-    hyperplane collision probability is low (θ ≈ 66°), so this entry
-    uses 4 planes × 8 tables and is rows-only checked via its
-    golden."""
+    matrix). Emitted pairs are exact-verified (precision 1.0), and at
+    the gate parameterization (3 planes × 24 tables: per-table
+    collision ≈ 0.25 at the θ ≈ 66° demonstration threshold, 24-table
+    OR-recall ≈ 1 − 0.75²⁴ ≈ 0.999) the pair set equals the exact
+    self-join, so this shares q_cosine_near_dups' oracle. Recall at
+    scale parameters against planted cos ≥ 0.9 duplicates stays
+    pinned in tests/test_textops.py."""
     from bento_ray.textops import cosine_near_dups_lsh
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return cosine_near_dups_lsh(ds, threshold=0.4, num_planes=4,
-                                num_tables=8, dim=64)
+    return cosine_near_dups_lsh(ds, threshold=0.4, num_planes=3,
+                                num_tables=24, dim=64)
 
 
 def q_ann_ivf(sf_dir: str):
+    """IVF top-k with the 16-cell spherical-kmeans quantizer, probing
+    ALL cells at the gate (exhaustive coverage ⇒ the cell-partitioned
+    scan must reproduce brute force EXACTLY — oracled with the same
+    SQL as q_ann_topk; the k-means assignment, per-cell scan, and
+    candidate merge are all on the hash-checked path). Approximate
+    recall at nprobe < cells (0.71 at nprobe=8 on these loosely
+    clustered embeddings; ≥ 0.9 on tight clusters at nprobe=2) stays
+    pinned in tests/test_textops.py."""
     from bento_ray.textops import ivf_cosine_topk
 
     qm, qids = _query_vectors(sf_dir, 5)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # 16-cell spherical-kmeans quantizer, 8-cell probe: measured
-    # recall@10 = 0.71 vs the brute-force oracle at sf0.01 (the
-    # embeddings are loosely clustered; on tight clusters a 2-cell
-    # probe reaches ≥ 0.9 — both pinned in tests/test_textops.py)
-    return ivf_cosine_topk(ds, qm, qids, k=10, num_cells=16, nprobe=8)
+    out = ivf_cosine_topk(ds, qm, qids, k=10, num_cells=16, nprobe=16)
+    return out.select_columns(["query_id", "vec_id", "rank"])
 
 
 # The flagship correctness corpus: deterministic synthetic pages
@@ -1641,9 +1653,9 @@ QUERIES = {
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_doc_fingerprints": (q_doc_fingerprints, SQL_FINGERPRINTS),
-    "q_ann_lsh": (q_ann_lsh, None),
-    "q_ann_ivf": (q_ann_ivf, None),
-    "q_cosine_near_dups_lsh": (q_cosine_near_dups_lsh, None),
+    "q_ann_lsh": (q_ann_lsh, SQL_ANN),
+    "q_ann_ivf": (q_ann_ivf, SQL_ANN),
+    "q_cosine_near_dups_lsh": (q_cosine_near_dups_lsh, SQL_COSINE_NEAR_DUPS),
     "q_flagship_stream": (q_flagship_stream, SQL_FLAGSHIP),
 }
 
