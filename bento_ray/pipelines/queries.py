@@ -654,12 +654,19 @@ def q_salted_hot_key_agg(sf_dir: str):
     SALTS = 16
 
     def _partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["__salt"] = (stable_hash(df["event_id"]) % SALTS).astype("int64")
-        agg = (df.groupby(["event_type", "__salt"])
-                 .agg(n=("value", "size"), s=("value", "sum"))
-                 .reset_index())
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        # Arrow-native combiner: ONE hash-aggregate per batch, no
+        # pandas round-trip in the hot path
+        salt = pa.array((stable_hash(t.column("event_id")) % SALTS)
+                        .astype(np.int64), pa.int64())
+        agg = (t.append_column("__salt", salt)
+                .group_by(["event_type", "__salt"])
+                .aggregate([("value", "count"), ("value", "sum")]))
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "__salt": agg.column("__salt"),
+            "n": agg.column("value_count").cast(pa.int64()),
+            "s": agg.column("value_sum"),
+        })
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     out = partials.groupby("event_type").aggregate(
