@@ -7,10 +7,20 @@ a deterministic synthetic Common-Crawl-style pages corpus sized to the
 scale factor. Also times a representative set of queries() over
 $GRAFT_SF_DIR.
 
+Sampling protocol (VERDICT r3 item 1): this box shows 1.4-4×
+adjacent-run swings from host-level co-tenant interference
+(BASELINE.md), so every measurement is an ISOLATED best-of-k —
+sequential repeats with the warm-read protocol, best reported as the
+capability number and the full sample list alongside so the spread is
+visible in the recorded artifact. Repeats stop when the
+$BENTO_BENCH_BUDGET_SEC budget (default 900s) runs out; the first
+sample of each measurement always runs.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "num_cpus": N, "pages": N,
-   "pages_per_sec": ...}
+  {"metric": ..., "value": <best headline sec>, "unit": "sec",
+   "samples": [...], "queries": {name: best sec},
+   "query_samples": {name: [...]}, "sf": ..., "num_cpus": N,
+   "pages": N, "pages_per_sec": <best>}
 
 --scaling: runs the headline twice in fresh processes (num_cpus=8 then
 32) on the same input and reports both throughputs + efficiency.
@@ -31,6 +41,8 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENTO_BENCH_PAGES", "8000000"))
+BUDGET_SEC = float(os.environ.get("BENTO_BENCH_BUDGET_SEC", "900"))
+REPEATS = int(os.environ.get("BENTO_BENCH_REPEATS", "3"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -58,6 +70,21 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+class _Budget:
+    """Global wall-clock budget for repeat samples: the FIRST sample
+    of every measurement always runs (coverage beats precision); a
+    repeat runs only if its predicted cost (the measurement's last
+    sample) still fits."""
+
+    def __init__(self, total_sec: float):
+        self.t0 = time.perf_counter()
+        self.total = total_sec
+
+    def allows_repeat(self, predicted_sec: float) -> bool:
+        used = time.perf_counter() - self.t0
+        return used + predicted_sec <= self.total
+
+
 def run_bench() -> dict:
     import ray
 
@@ -71,6 +98,8 @@ def run_bench() -> dict:
     from bento_ray.pipelines.flagship import flagship_streaming
     from bento_ray.testgen import ensure_pages_dataset
 
+    budget = _Budget(BUDGET_SEC)
+
     # corpus generation is cached and untimed; one untimed read warms
     # the page cache so the timed run measures compute + shuffle
     # file grain ≈ 4k pages (~0.35s of extraction work per feed task —
@@ -79,23 +108,26 @@ def run_bench() -> dict:
     # parallelism and barrier costs amortize over few epochs
     n_files = max(8, min(1024, N_PAGES // 4000))
     pages = ensure_pages_dataset(N_PAGES, seed=42, files=n_files)
-    # Warm the OS page cache by READING THE BYTES: a parquet count()
-    # only touches footers, and each fresh Ray session's object-store
-    # allocation evicts the corpus from the page cache — a timed run
-    # against cold files is disk-bound (measured: three consecutive
-    # 32-CPU runs pinned at ~178k pages/sec ≈ 16 GB / 45 s of disk,
-    # vs 342-421k warm).
     import glob as _glob
 
-    for f in sorted(_glob.glob(os.path.join(pages, "*.parquet"))):
-        with open(f, "rb") as fh:
-            while fh.read(1 << 24):
-                pass
+    def _warm_read():
+        # Warm the OS page cache by READING THE BYTES: a parquet
+        # count() only touches footers, and each fresh Ray session's
+        # object-store allocation evicts the corpus from the page
+        # cache — a timed run against cold files is disk-bound
+        # (measured: three consecutive 32-CPU runs pinned at ~178k
+        # pages/sec ≈ 16 GB / 45 s of disk, vs 342-421k warm).
+        for f in sorted(_glob.glob(os.path.join(pages, "*.parquet"))):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
-    # small untimed warm-up run: spins up the task worker pool (imports)
-    # and OS caches so the timed run measures the engine at steady
-    # state, matching the north metric (a long-running streaming job,
-    # not process cold-start)
+    _warm_read()
+
+    # small untimed warm-up run: spins up the task worker pool
+    # (imports) and OS caches so the timed runs measure the engine at
+    # steady state, matching the north metric (a long-running
+    # streaming job, not process cold-start)
     warm_pages = ensure_pages_dataset(100_000, seed=42, files=32)
     warm_out = f"/tmp/bento_bench_warm_{NUM_CPUS}"
     shutil.rmtree(warm_out, ignore_errors=True)
@@ -103,59 +135,68 @@ def run_bench() -> dict:
                        partitions=max(2, NUM_CPUS // 4),
                        files_per_epoch=16, window_size_us=60_000_000)
 
-    out_dir = f"/tmp/bento_bench_out_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    # 60s windows at bench scale: panes stay aggregate-sized (the 10s
-    # fixture windows hold ~100 rows; at 2M pages they'd make the pane
-    # partials bigger than the useful compute)
-    import glob as _glob
-
     actual_files = len(_glob.glob(os.path.join(pages, "*.parquet")))
-    # partitions ∝ CPUs (the cluster-analog policy: 4× the nodes run 4×
-    # the state partitions); CPU/4 keeps the actor pool lean so feed
-    # tasks own the cores
-    metrics = flagship_streaming(
-        pages, out_dir,
-        partitions=max(2, NUM_CPUS // 4),
-        files_per_epoch=max(8, -(-actual_files // 4)),  # exactly 4 epochs
-        window_size_us=60_000_000,
-    )
-    headline = time.perf_counter() - t0
-    pages_per_sec = metrics["rows_fed"] / headline
 
-    qtimes = {}
-    if os.environ.get("BENTO_BENCH_SKIP_QUERIES"):
-        ray.shutdown()
-        return {
-            "metric": "flagship streaming pipeline wall time",
-            "value": round(headline, 3),
-            "unit": "sec",
-            "queries": qtimes,
-            "sf": _sf_from_dir(SF_DIR),
-            "num_cpus": NUM_CPUS,
-            "pages": N_PAGES,
-            "pages_per_sec": round(pages_per_sec, 1),
-        }
-
-    from bento_ray.pipelines.queries import QUERIES
-
-    for name in BENCH_QUERIES:
-        fn, _ = QUERIES[name]
+    def _one_flagship() -> tuple[float, dict]:
+        out_dir = f"/tmp/bento_bench_out_{NUM_CPUS}"
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        # consume the result (small outputs — aggregates / top-k)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        # 60s windows at bench scale: panes stay aggregate-sized (the
+        # 10s fixture windows hold ~100 rows; at 2M pages they'd make
+        # the pane partials bigger than the useful compute).
+        # partitions ∝ CPUs (the cluster-analog policy: 4× the nodes
+        # run 4× the state partitions); CPU/4 keeps the actor pool
+        # lean so feed tasks own the cores
+        m = flagship_streaming(
+            pages, out_dir,
+            partitions=max(2, NUM_CPUS // 4),
+            files_per_epoch=max(8, -(-actual_files // 4)),  # 4 epochs
+            window_size_us=60_000_000,
+        )
+        return time.perf_counter() - t0, m
+
+    samples: list[float] = []
+    rows_fed = 0
+    for i in range(REPEATS):
+        if i > 0 and not budget.allows_repeat(samples[-1]):
+            break
+        if i > 0:
+            _warm_read()  # the repeat must not pay another run's evictions
+        sec, metrics = _one_flagship()
+        samples.append(round(sec, 3))
+        rows_fed = metrics["rows_fed"]
+    headline = min(samples)
+    pages_per_sec = rows_fed / headline
+
+    qtimes: dict[str, float] = {}
+    qsamples: dict[str, list[float]] = {}
+    if not os.environ.get("BENTO_BENCH_SKIP_QUERIES"):
+        from bento_ray.pipelines.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            fn, _ = QUERIES[name]
+            runs: list[float] = []
+            for i in range(REPEATS):
+                if i > 0 and not budget.allows_repeat(runs[-1]):
+                    break
+                t0 = time.perf_counter()
+                res = fn(SF_DIR)
+                # consume the result (small outputs — aggregates/top-k)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+                runs.append(round(time.perf_counter() - t0, 3))
+            qsamples[name] = runs
+            qtimes[name] = min(runs)
 
     ray.shutdown()
     return {
         "metric": "flagship streaming pipeline (windowed group_by+dedupe+join, "
                   "exactly-once sink) wall time",
-        "value": round(headline, 3),
+        "value": headline,
         "unit": "sec",
+        "samples": samples,
         "queries": qtimes,
+        "query_samples": qsamples,
         "sf": _sf_from_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
         "pages": N_PAGES,
@@ -166,7 +207,9 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENTO_BENCH_SKIP_QUERIES="1")
+                   BENTO_BENCH_SKIP_QUERIES="1",
+                   BENTO_BENCH_BUDGET_SEC=os.environ.get(
+                       "BENTO_BENCH_BUDGET_SEC", "300"))
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -182,6 +225,7 @@ def run_scaling() -> dict:
         "pages": lo["pages"],
         "cpus_lo": 8, "sec_lo": lo["value"], "pages_per_sec_lo": tput_lo,
         "cpus_hi": 32, "sec_hi": hi["value"], "pages_per_sec_hi": tput_hi,
+        "samples_lo": lo.get("samples"), "samples_hi": hi.get("samples"),
         "scaling_efficiency": round(eff, 3),
     }
 
