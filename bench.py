@@ -205,6 +205,12 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # BENTO_SCALING_CPUS="4,16" overrides the widths — used for the
+    # width-contention control experiment (BASELINE.md): the same 4×
+    # ratio placed below a co-tenant-capped top width
+    lo_cpu, hi_cpu = (int(x) for x in os.environ.get(
+        "BENTO_SCALING_CPUS", "8,32").split(","))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENTO_BENCH_SKIP_QUERIES="1",
@@ -217,14 +223,16 @@ def run_scaling() -> dict:
         time.sleep(8)  # let the previous Ray instance's teardown settle
         return result
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(lo_cpu), run(hi_cpu)
     tput_lo = lo["pages_per_sec"]
     tput_hi = hi["pages_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
     return {
         "pages": lo["pages"],
-        "cpus_lo": 8, "sec_lo": lo["value"], "pages_per_sec_lo": tput_lo,
-        "cpus_hi": 32, "sec_hi": hi["value"], "pages_per_sec_hi": tput_hi,
+        "cpus_lo": lo_cpu, "sec_lo": lo["value"],
+        "pages_per_sec_lo": tput_lo,
+        "cpus_hi": hi_cpu, "sec_hi": hi["value"],
+        "pages_per_sec_hi": tput_hi,
         "samples_lo": lo.get("samples"), "samples_hi": hi.get("samples"),
         "scaling_efficiency": round(eff, 3),
     }

@@ -22,7 +22,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["parse_mp4", "encode_mp4_stub", "Mp4ParseError"]
+__all__ = ["parse_mp4", "encode_mp4_stub", "encode_mp4_avc",
+           "extract_video_samples", "Mp4ParseError"]
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
                b"mvex", b"udta"}
@@ -149,24 +150,108 @@ def _parse_trak(data: bytes, s: int, e: int) -> dict:
     return tr
 
 
+def extract_video_samples(payload: bytes) -> tuple[bytes, list[bytes]]:
+    """→ (avcC record, raw sample bytes) for the first AVC video track.
+
+    Walks stsd (for the avcC child of the visual sample entry), stsz
+    (sample sizes) and stsc+stco (sample→chunk→offset mapping). Raises
+    Mp4ParseError when the track carries no avcC (e.g. the stub's
+    config-less samples) — callers take their fallback path."""
+    n = len(payload)
+    moov = _find(payload, 0, n, b"moov")
+    if moov is None:
+        raise Mp4ParseError("missing moov")
+    for t, s, e in _boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(payload, s, e, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _find(payload, mdia[0], mdia[1], b"hdlr")
+        if not hdlr or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(payload, mdia[0], mdia[1], b"minf")
+        stbl = _find(payload, minf[0], minf[1], b"stbl") if minf else None
+        if not stbl:
+            continue
+        stsd = _find(payload, stbl[0], stbl[1], b"stsd")
+        if not stsd:
+            continue
+        _, p = _full_box(payload, stsd[0])
+        if struct.unpack_from(">I", payload, p)[0] < 1:
+            continue
+        vse_size = struct.unpack_from(">I", payload, p + 4)[0]
+        # avcC is a child box after the 78-byte VisualSampleEntry body
+        avcc_span = _find(payload, p + 4 + 8 + 78, p + 4 + vse_size,
+                          b"avcC")
+        if avcc_span is None:
+            raise Mp4ParseError("video track has no avcC config")
+        avcc = payload[avcc_span[0]:avcc_span[1]]
+        stsz = _find(payload, stbl[0], stbl[1], b"stsz")
+        stco = _find(payload, stbl[0], stbl[1], b"stco")
+        stsc = _find(payload, stbl[0], stbl[1], b"stsc")
+        if not (stsz and stco and stsc):
+            raise Mp4ParseError("missing sample tables")
+        _, p = _full_box(payload, stsz[0])
+        uniform, count = struct.unpack_from(">II", payload, p)
+        sizes = [uniform] * count if uniform else [
+            struct.unpack_from(">I", payload, p + 8 + 4 * i)[0]
+            for i in range(count)]
+        _, p = _full_box(payload, stco[0])
+        n_chunks = struct.unpack_from(">I", payload, p)[0]
+        offsets = [struct.unpack_from(">I", payload, p + 4 + 4 * i)[0]
+                   for i in range(n_chunks)]
+        _, p = _full_box(payload, stsc[0])
+        n_ent = struct.unpack_from(">I", payload, p)[0]
+        ents = [struct.unpack_from(">III", payload, p + 4 + 12 * i)
+                for i in range(n_ent)]  # (first_chunk, per_chunk, desc)
+        # samples per chunk from the stsc run-length table
+        per_chunk = []
+        for i, (first, cnt, _desc) in enumerate(ents):
+            last = ents[i + 1][0] - 1 if i + 1 < n_ent else n_chunks
+            per_chunk.extend([cnt] * (last - first + 1))
+        samples = []
+        si = 0
+        for ci, off in enumerate(offsets):
+            pos = off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= count:
+                    break
+                sz = sizes[si]
+                if pos + sz > n:
+                    raise Mp4ParseError("sample extends past payload")
+                samples.append(payload[pos:pos + sz])
+                pos += sz
+                si += 1
+        if si != count:
+            raise Mp4ParseError("sample table inconsistent")
+        return avcc, samples
+    raise Mp4ParseError("no video track")
+
+
 def encode_mp4_stub(width: int = 64, height: int = 48, n_frames: int = 24,
                     fps: int = 12, codec: bytes = b"avc1",
-                    seed: int = 0) -> bytes:
-    """Minimal valid single-video-track MP4: real box structure,
-    deterministic dummy sample bytes (NOT decodable video)."""
+                    seed: int = 0, samples=None, avcc: bytes = b"") -> bytes:
+    """Minimal valid single-video-track MP4: real box structure. By
+    default sample bytes are deterministic dummies (NOT decodable
+    video); pass ``samples`` + ``avcc`` (e.g. from
+    h264codec.encode_avc_iframes) to embed REAL decodable H.264."""
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I4s", len(body) + 8, btype) + body
+
+    if samples is None:
+        rng = np.random.RandomState(seed)
+        samples = [rng.bytes(32 + int(rng.randint(0, 32)))
+                   for _ in range(n_frames)]
+    else:
+        n_frames = len(samples)
+    mdat_body = b"".join(samples)
 
     timescale = 1000
     mdts = fps * 1000
     dur = n_frames * 1000 // fps
     mdur = n_frames * 1000
-
-    rng = np.random.RandomState(seed)
-    samples = [rng.bytes(32 + int(rng.randint(0, 32)))
-               for _ in range(n_frames)]
-    mdat_body = b"".join(samples)
 
     matrix = struct.pack(">9I", 0x00010000, 0, 0,
                          0, 0x00010000, 0,
@@ -199,6 +284,8 @@ def encode_mp4_stub(width: int = 64, height: int = 48, n_frames: int = 24,
            + b"\x00" * 4 + struct.pack(">H", 1)
            + b"\x00" * 32
            + struct.pack(">Hh", 0x0018, -1))
+    if avcc:
+        vse += box(b"avcC", avcc)
     stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + box(codec, vse))
     stts = box(b"stts", struct.pack(">B3xIII", 0, 1, n_frames, 1000))
     stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_frames, 1))
@@ -225,3 +312,17 @@ def encode_mp4_stub(width: int = 64, height: int = 48, n_frames: int = 24,
     prefix = build(mdat_off)
     assert len(prefix) + 8 == mdat_off + 0 or True
     return prefix + box(b"mdat", mdat_body)
+
+
+def encode_mp4_avc(frames, fps: int = 12) -> bytes:
+    """MP4 with REAL decodable video: RGB frames → all-IDR baseline
+    H.264 (I_PCM macroblocks, h264codec.py) packed into the full box
+    structure with the avcC decoder config. extract_video_samples +
+    decode_avc_sample round-trip it losslessly (YCbCr domain)."""
+    from bento_ray.h264codec import encode_avc_iframes
+
+    frames = [np.asarray(f) for f in frames]
+    avcc, samples = encode_avc_iframes(frames)
+    h, w = frames[0].shape[:2]
+    return encode_mp4_stub(width=w, height=h, fps=fps,
+                           samples=samples, avcc=avcc)

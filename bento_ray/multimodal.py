@@ -5,11 +5,13 @@ Decode is REAL for the containers a pure-Python + numpy codec can
 handle (PNG / BMP / PPM / GIF / baseline AND progressive JPEG images,
 animated GIF as the multi-frame "video" path, RIFF/WAVE audio — see
 ``bento_ray.mediacodec`` and ``bento_ray.jpegcodec``; MP4 container
-metadata is parsed for real by ``bento_ray.mp4box``). Only formats
-whose SAMPLE decode needs a native library this container lacks
-(H.264/H.265 frames, MP3/AAC audio samples) fall back to a
-clearly-marked deterministic fake so the Ray-side plumbing still runs;
-the ``decoder`` column records which path produced each row
+metadata is parsed for real by ``bento_ray.mp4box``, and MP4 video
+samples carrying baseline H.264 I_PCM macroblocks decode to real
+pixels via ``bento_ray.h264codec``). Only payloads whose decode needs
+a native library this container lacks (predicted-macroblock H.264,
+H.265, MP3/AAC audio samples) fall back to a clearly-marked
+deterministic fake so the Ray-side plumbing still runs; the
+``decoder`` column records which path produced each row
 ("pil" / "pure" / "fake").
 
 Scale notes: binary payloads are wide — size batches by BYTES not rows
@@ -215,15 +217,19 @@ class FrameSampler:
     frame (1→N), each with a 64-bit frame fingerprint — the layout a
     downstream image-embedding stage consumes.
 
-    Real path: animated GIF (the only video-ish container decodable
-    without ffmpeg) — decodes the actual frames and fingerprints their
-    luma. Other containers (mp4/webm) take the deterministic
-    byte-range fallback, recorded in ``decoder``."""
+    Real paths: animated GIF (full frame decode) and MP4 carrying
+    baseline H.264 I_PCM samples (h264codec.py — only the selected K
+    samples are decoded, never the whole track; all-IDR layout means
+    any sample decodes standalone). Everything else (predicted H.264,
+    webm, missing avcC) takes the deterministic byte-range fallback,
+    recorded in ``decoder``."""
 
     def __init__(self, k: int = 4):
         self.k = k
 
     def _sample_real(self, payload: bytes):
+        if payload[4:8] == b"ftyp":
+            return self._sample_mp4(payload)
         frames = list(mc.decode_gif_frames(payload))
         if not frames:
             raise mc.MediaDecodeError("empty GIF")
@@ -231,6 +237,22 @@ class FrameSampler:
         pos = np.linspace(0, len(frames) - 1, self.k).round().astype(int)
         return [_ahash64(_luma(mc.resize_bilinear(frames[p], (8, 8))))
                 for p in pos]
+
+    def _sample_mp4(self, payload: bytes):
+        from bento_ray.h264codec import decode_avc_sample
+        from bento_ray.mp4box import Mp4ParseError, extract_video_samples
+
+        try:
+            avcc, samples = extract_video_samples(payload)
+            if not samples:
+                raise mc.MediaDecodeError("empty sample table")
+            pos = np.linspace(0, len(samples) - 1, self.k) \
+                .round().astype(int)
+            return [_ahash64(_luma(mc.resize_bilinear(
+                decode_avc_sample(avcc, samples[p]), (8, 8))))
+                for p in pos]
+        except Mp4ParseError as e:
+            raise mc.MediaDecodeError(str(e)) from e
 
     def _sample_fake(self, payload: bytes):
         fps = []
@@ -403,9 +425,20 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             t = np.arange(int(rate * dur / 1000), dtype=np.float32) / rate
             freq = float(rng.integers(100, 2000))
             payload = mc.encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
-        elif kind == "video" and i % 6 == 5:
-            # MP4: real ISO-BMFF container structure (frames are
-            # deterministic dummies — codec decode stays stubbed)
+        elif kind == "video" and i % 12 == 5:
+            # MP4 with REAL decodable H.264 (all-IDR I_PCM baseline,
+            # h264codec.py): FrameSampler decodes actual pixels
+            from bento_ray.mp4box import encode_mp4_avc
+
+            w, h, nf = 32, 24, 12
+            base = levels[rng.integers(0, 6, (h, w, 3))]
+            vid_frames = [np.roll(base, j * 3, axis=1) for j in range(nf)]
+            payload = encode_mp4_avc(vid_frames, fps=12)
+            mime = "video/mp4"
+            dur = nf * 1000 // 12
+        elif kind == "video" and i % 12 == 11:
+            # MP4 stub: real ISO-BMFF container structure, dummy
+            # sample bytes (exercises the sampler's fake fallback)
             from bento_ray.mp4box import encode_mp4_stub
 
             w, h, nf = 32, 24, 12

@@ -92,12 +92,19 @@ def test_frame_sampler_real_gif_frames(media_ds):
     vid = media_ds.filter(lambda r: r["kind"] == "video")
     out = sample_frames(vid, k=4, concurrency=2).to_pandas()
     assert len(out) == 10 * 4
-    # GIF rows decode real frames; MP4 rows (codec undecodable) take
-    # the deterministic fallback
-    mimes = vid.to_pandas().set_index("media_id")["mime"]
+    # GIF rows decode real frames; MP4 rows with real H.264 (I_PCM
+    # baseline, media_id % 12 == 5) decode real pixels too; the
+    # dummy-sample MP4 stub (media_id % 12 == 11) takes the fallback
+    meta = vid.to_pandas().set_index("media_id")
     dec = out.set_index("media_id")["decoder"]
+    mimes = meta["mime"]
     assert (dec.loc[mimes[mimes == "image/gif"].index] == "pure").all()
-    assert (dec.loc[mimes[mimes == "video/mp4"].index] == "fake").all()
+    mp4_ids = mimes[mimes == "video/mp4"].index
+    real_mp4 = [i for i in mp4_ids if i % 12 == 5]
+    stub_mp4 = [i for i in mp4_ids if i % 12 == 11]
+    assert real_mp4 and stub_mp4
+    assert (dec.loc[real_mp4] == "pure").all()
+    assert (dec.loc[stub_mp4] == "fake").all()
     per = out.groupby("media_id")["frame_idx"].apply(list)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per)
     # rolled frames differ → fingerprints should vary within a video
