@@ -701,32 +701,26 @@ def m_hash(v, algorithm, *extra, **kw):
 
 
 def m_compress(v, algorithm="gzip", level=-1):
-    b = get_bytes(v)
-    algorithm = get_string(algorithm)
-    level = get_int(level)
-    if algorithm == "gzip":
-        import gzip
+    # full algorithm census incl. snappy/lz4/zstd via compression.py
+    # (bloblang_encoding.go compress -> algorithms.go CompressFunc)
+    from bento_ray import compression
 
-        return gzip.compress(b, compresslevel=9 if level < 0 else level)
-    if algorithm in ("zlib", "flate"):
-        co = zlib.compressobj(level,
-                              wbits=-15 if algorithm == "flate" else 15)
-        return co.compress(b) + co.flush()
-    raise BloblangError(f"unsupported compression {algorithm}")
+    b = get_bytes(v)
+    try:
+        return compression.compress(b, get_string(algorithm),
+                                    get_int(level))
+    except compression.CompressionError as e:
+        raise BloblangError(str(e)) from e
 
 
 def m_decompress(v, algorithm="gzip"):
-    b = get_bytes(v)
-    algorithm = get_string(algorithm)
-    if algorithm == "gzip":
-        import gzip
+    from bento_ray import compression
 
-        return gzip.decompress(b)
-    if algorithm == "zlib":
-        return zlib.decompress(b)
-    if algorithm == "flate":
-        return zlib.decompress(b, wbits=-15)
-    raise BloblangError(f"unsupported compression {algorithm}")
+    b = get_bytes(v)
+    try:
+        return compression.decompress(b, get_string(algorithm))
+    except compression.CompressionError as e:
+        raise BloblangError(str(e)) from e
 
 
 def m_parse_csv(v, parse_header_row=True, delimiter=",", lazy_quotes=False):

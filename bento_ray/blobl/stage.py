@@ -43,7 +43,7 @@ class MappingStage:
         # simple column mappings compile to Arrow kernels — zero
         # per-row Python (blobl/vectorize.py); the rest interpret
         self.vectorized = None
-        if mode == "structured":
+        if mode in ("structured", "auto"):
             from bento_ray.blobl.vectorize import (
                 NotVectorizable, compile_vectorized,
             )
@@ -53,15 +53,31 @@ class MappingStage:
             except NotVectorizable:
                 self.vectorized = None
 
+    def _resolve_mode(self, t: pa.Table) -> str:
+        # "auto": a string/binary content column means the batch came
+        # from a content-bearing input (file scanner, raw payloads) —
+        # the reference's message model where content() IS the segment
+        # bytes; anything else is one structured document per row
+        if self.mode != "auto":
+            return self.mode
+        if self.content_col in t.column_names:
+            typ = t.schema.field(self.content_col).type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+                    or pa.types.is_binary(typ) \
+                    or pa.types.is_large_binary(typ):
+                return "content"
+        return "structured"
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.vectorized is not None:
+        mode = self._resolve_mode(t)
+        if self.vectorized is not None and mode == "structured":
             from bento_ray.blobl.vectorize import NotVectorizable
 
             try:
                 return self.vectorized(t)
             except NotVectorizable:
                 pass  # e.g. referenced column absent — interpret
-        if self.mode == "content":
+        if mode == "content":
             return self._content_batch(t)
         return self._structured_batch(t)
 

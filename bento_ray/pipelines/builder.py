@@ -224,9 +224,13 @@ class Pipeline:
             step.pop("label", None)
             (name, cfg), = step.items()
             if name in ("mapping", "bloblang"):
-                spec["pipeline"].append({"bloblang": {"src": cfg}})
+                # auto: content-bearing inputs (file scanner rows) get
+                # reference message semantics (content() = segment)
+                spec["pipeline"].append(
+                    {"bloblang": {"src": cfg, "mode": "auto"}})
             elif name == "mutation":
-                spec["pipeline"].append({"mutation": {"src": cfg}})
+                spec["pipeline"].append(
+                    {"mutation": {"src": cfg, "mode": "auto"}})
             else:
                 spec["pipeline"].append({name: cfg or {}})
         return cls.from_spec(spec)

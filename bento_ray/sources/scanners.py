@@ -65,28 +65,15 @@ def decompress(codec: str, inner: Scanner | None = None) -> Scanner:
     scanner (default: whole payload as one message)."""
 
     def scan(data: bytes):
-        if codec == "gzip":
-            import gzip
+        # scanner_decompress.go goes through the registry's streaming
+        # DecompressReader — notably snappy here is the FRAMED format
+        from bento_ray import compression
 
-            raw = gzip.decompress(data)
-        elif codec == "zlib":
-            import zlib
-
-            raw = zlib.decompress(data)
-        elif codec in ("flate", "deflate"):
-            import zlib
-
-            raw = zlib.decompress(data, wbits=-15)
-        elif codec == "bzip2":
-            import bz2
-
-            raw = bz2.decompress(data)
-        elif codec in ("lzma", "xz"):
-            import lzma
-
-            raw = lzma.decompress(data)
-        else:
-            raise ValueError(f"unsupported decompress codec {codec}")
+        alias = {"deflate": "flate"}.get(codec, codec)
+        try:
+            raw = compression.stream_decompress(data, alias)
+        except compression.CompressionError as e:
+            raise ValueError(str(e)) from e
         if inner is None:
             yield raw
         else:
@@ -276,7 +263,29 @@ def scan_paths(paths, scanner: Scanner, include_path: bool = True):
 
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths, include_paths=include_path)
+    # Ray's read_binary_files auto-decompresses by file extension
+    # (.gz/.zst/.lz4/...) with no opt-out ("compression": None just
+    # re-enables detection), which double-decompresses under an
+    # explicit decompress scanner. The reference file input always
+    # reads raw bytes and leaves codecs to the scanner, so open the
+    # stream with compression explicitly off.
+    try:
+        from ray.data._internal.datasource.binary_datasource import (
+            BinaryDatasource)
+
+        class _RawBinaryDatasource(BinaryDatasource):
+            def _open_input_source(self, filesystem, path, **open_args):
+                buffer_size = open_args.pop("buffer_size", None)
+                if buffer_size is None:
+                    buffer_size = (
+                        self._data_context.streaming_read_buffer_size)
+                return filesystem.open_input_stream(
+                    path, buffer_size=buffer_size, compression=None)
+
+        ds = rd.read_datasource(
+            _RawBinaryDatasource(paths, include_paths=include_path))
+    except ImportError:  # internal module moved — accept auto-detect
+        ds = rd.read_binary_files(paths, include_paths=include_path)
 
     def _f(t: pa.Table) -> pa.Table:
         out_bytes, out_path = [], []

@@ -155,3 +155,36 @@ pipeline:
     df = p.to_pandas()
     assert len(df) == 2          # two distinct k values survive
     assert sorted(df["k"].tolist()) == [0, 1]
+
+
+def test_file_scanner_decompress_content_semantics(tmp_path):
+    """Two regressions pinned: (1) the file input must NOT let Ray
+    auto-decompress by extension (.zst) — the decompress scanner owns
+    the codec; (2) a mapping after a scanner input runs in content
+    mode: content() is the scanner segment, not the row envelope."""
+    from bento_ray import compression as cz
+    from bento_ray.pipelines.builder import Pipeline
+
+    payload = b"\n".join(f"rec {i}".encode() for i in range(10))
+    f = tmp_path / "data.zst"
+    f.write_bytes(cz.compress(payload, "zstd"))
+    p = Pipeline.from_yaml(f"""
+input:
+  file:
+    paths: ["{f}"]
+    scanner:
+      decompress:
+        algorithm: zstd
+        into:
+          lines: {{}}
+pipeline:
+  processors:
+    - mapping: 'root.body = content().string().uppercase()'
+""")
+    df = p.to_pandas()
+    assert len(df) == 10
+    import json
+
+    docs = [json.loads(c) for c in df["content"]]
+    assert docs[0] == {"body": "REC 0"}
+    assert docs[9] == {"body": "REC 9"}
