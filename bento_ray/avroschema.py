@@ -17,7 +17,7 @@ this sandbox, so the wire formats are implemented from the public Avro
 - single-object: ``C3 01`` magic + 8-byte little-endian CRC-64-AVRO
   fingerprint of the Parsing Canonical Form + binary payload;
 - OCF: ``Obj\\x01`` magic, metadata map, 16-byte sync, blocks with
-  ``null`` / ``deflate`` codecs (``snappy`` gated on lib presence).
+  ``null`` / ``deflate`` / ``snappy`` codecs (snappy block + CRC32 via compression.py).
 
 Native value convention matches goavro: decoded unions are wrapped
 ``{branch: value}`` maps so round-trips are lossless; ``raw_json``
@@ -646,13 +646,16 @@ def read_ocf(data: bytes):
             elif codec == "deflate":
                 block = zlib.decompress(block, wbits=-15)
             elif codec == "snappy":
-                try:
-                    import snappy  # noqa: F401
-                except ImportError:
-                    raise AvroError(
-                        "snappy OCF codec requires python-snappy "
-                        "(absent in this environment)") from None
-                block = snappy.uncompress(block[:-4])
+                # Avro spec: snappy BLOCK format + 4-byte big-endian
+                # CRC32 (IEEE, zlib.crc32) of the uncompressed data
+                from bento_ray import compression as _cz
+
+                if len(block) < 4:
+                    raise AvroError("snappy OCF block too short")
+                want = int.from_bytes(block[-4:], "big")
+                block = _cz.snappy_block_decompress(block[:-4])
+                if zlib.crc32(block) & 0xFFFFFFFF != want:
+                    raise AvroError("snappy OCF block CRC mismatch")
             else:
                 raise AvroError(f"unsupported OCF codec: {codec}")
             bbuf = io.BytesIO(block)
@@ -692,6 +695,11 @@ def write_ocf(schema: Schema, schema_json: str, values,
     if codec == "deflate":
         co = zlib.compressobj(wbits=-15)
         payload = co.compress(payload) + co.flush()
+    elif codec == "snappy":
+        from bento_ray import compression as _cz
+
+        crc = (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        payload = _cz.snappy_block_compress(payload) + crc
     elif codec != "null":
         raise AvroError(f"unsupported OCF write codec: {codec}")
     _write_long(out, n)

@@ -294,3 +294,31 @@ def test_build_scanner_nested_decompress():
     assert list(sc(data)) == [b"one", b"two", b"three"]
     with pytest.raises(ValueError, match="unknown scanner"):
         build_scanner({"nope": {}})
+
+
+def test_ocf_snappy_roundtrip():
+    """Avro spec: snappy OCF blocks are the raw snappy block format
+    followed by a 4-byte big-endian CRC32 of the uncompressed bytes."""
+    from bento_ray.avroschema import parse_schema, read_ocf, write_ocf
+
+    sj = '{"type":"record","name":"R","fields":[{"name":"a","type":"long"},{"name":"s","type":"string"}]}'
+    schema = parse_schema(sj)
+    vals = [{"a": i, "s": f"row {i}"} for i in range(50)]
+    blob = write_ocf(schema, sj, vals, codec="snappy")
+    it = read_ocf(blob)
+    assert it.codec == "snappy"
+    assert list(it.values()) == vals
+
+
+def test_ocf_snappy_crc_mismatch_detected():
+    import pytest
+
+    from bento_ray.avroschema import (AvroError, parse_schema, read_ocf,
+                                      write_ocf)
+
+    sj = '{"type":"record","name":"R","fields":[{"name":"a","type":"long"}]}'
+    schema = parse_schema(sj)
+    blob = bytearray(write_ocf(schema, sj, [{"a": 1}], codec="snappy"))
+    blob[-18] ^= 0xFF  # flip a CRC byte (4-byte CRC sits before 16-byte sync, first byte of CRC may align differently; flip inside CRC region)
+    with pytest.raises(AvroError):
+        list(read_ocf(bytes(blob)).values())
