@@ -827,7 +827,7 @@ def q_minhash_near_dups(sf_dir: str):
 # needs no 2^64-wrap emulation for SET semantics (any injective image
 # preserves intersection sizes), but uses the same fold as the
 # fingerprint SQL for uniformity.
-SQL_MINHASH = rf"""
+_SQL_MINHASH_BODY = rf"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
 ),
@@ -861,7 +861,43 @@ FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.15
-ORDER BY doc_a, doc_b
+"""
+
+SQL_MINHASH = _SQL_MINHASH_BODY + "ORDER BY doc_a, doc_b\n"
+
+
+def q_dup_groups(sf_dir: str):
+    """Duplicate groups: connected components over the verified
+    MinHash near-dup pairs — each doc labeled with the smallest doc_id
+    in its component (the canonical keeper for dedup). Distributed via
+    alternating large-star/small-star (Kiveris et al. SOCC'14); the
+    oracle computes the same components with a recursive reachability
+    CTE over the exact-Jaccard pair set (equal to the engine's pairs —
+    q_minhash_near_dups' green oracle)."""
+    from bento_ray.textops import (connected_components,
+                                   near_dup_pairs_minhash)
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = near_dup_pairs_minhash(ds, threshold=0.15)
+    return connected_components(pairs)
+
+
+SQL_DUP_GROUPS = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_SQL_MINHASH_BODY}) mh
+),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+ORDER BY doc_id
 """
 
 
@@ -1658,6 +1694,7 @@ QUERIES = {
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
+    "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_doc_fingerprints": (q_doc_fingerprints, SQL_FINGERPRINTS),
     "q_ann_lsh": (q_ann_lsh, SQL_ANN),

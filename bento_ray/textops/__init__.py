@@ -1,4 +1,5 @@
 from bento_ray.textops.dedup import (
+    connected_components,
     minhash_signatures,
     near_dup_pairs_minhash,
     simhash64,
@@ -58,6 +59,7 @@ __all__ = [
     "lang_id_stage",
     "fingerprint_stage",
     "minhash_signatures",
+    "connected_components",
     "near_dup_pairs_minhash",
     "simhash64",
     "cosine_topk",

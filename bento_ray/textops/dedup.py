@@ -597,3 +597,187 @@ class SimHasher:
 def simhash64(ds, concurrency: int | None = None):
     return ds.map_batches(SimHasher, batch_format="pyarrow",
                           concurrency=_conc(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs → duplicate groups
+# ---------------------------------------------------------------------------
+
+def _star_scan(t: pa.Table, phase: str, num_parts: int) -> pa.Table:
+    """One vectorized large-star / small-star pass over ONE coarse
+    node partition (edges grouped by their scan endpoint ``u``).
+    Emits canonically-oriented edges (big, small) tagged with the next
+    round's partition id. No Python iteration over groups."""
+    if len(t) == 0:
+        return pa.table({"big": pa.array([], pa.int64()),
+                         "small": pa.array([], pa.int64()),
+                         "part": pa.array([], pa.int64())})
+    idx = pa.compute.sort_indices(t, sort_keys=[("u", "ascending"),
+                                                ("v", "ascending")])
+    t = t.take(idx)
+    u = t.column("u").to_numpy()
+    v = t.column("v").to_numpy()
+    n = len(u)
+    gid = np.zeros(n, np.int64)
+    gid[1:] = u[1:] != u[:-1]
+    gid = np.cumsum(gid)
+    starts = np.concatenate([[0], 1 + np.flatnonzero(u[1:] != u[:-1])])
+    # v ascending within each u-group ⇒ the group's min neighbor is
+    # its first row
+    min_v = v[starts]
+    if phase == "large":
+        # m = min(Γ(u) ∪ {u}); emit (x, m) for every neighbor x > u
+        m = np.minimum(min_v, u[starts])[gid]
+        keep = v > u
+        big, small = v[keep], m[keep]
+    else:
+        # small-star: edges arrive oriented u > v (u is the larger
+        # endpoint), so Γ(u) here is exactly the smaller neighbors.
+        # m = min(Γ); emit (x, m) for x ∈ Γ ∪ {u}, x ≠ m
+        m = min_v[gid]
+        keep = v != m
+        big = np.concatenate([v[keep], u[starts]])
+        small = np.concatenate([m[keep], min_v])
+        keep2 = big != small
+        big, small = big[keep2], small[keep2]
+    if len(big) == 0:
+        return pa.table({"big": pa.array([], pa.int64()),
+                         "small": pa.array([], pa.int64()),
+                         "part": pa.array([], pa.int64())})
+    # partition-local dedup (packed uint64) + next-round partition tag
+    packed = np.unique(big.astype(np.uint64) << np.uint64(32)
+                       | small.astype(np.uint64))
+    big = (packed >> np.uint64(32)).astype(np.int64)
+    small = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    nxt = "small" if phase == "large" else "large"
+    part = _star_part(big, small, nxt, num_parts)
+    return pa.table({"big": pa.array(big, pa.int64()),
+                     "small": pa.array(small, pa.int64()),
+                     "part": pa.array(part, pa.int64())})
+
+
+def _star_part(big: np.ndarray, small: np.ndarray, phase: str,
+               num_parts: int) -> np.ndarray:
+    """Coarse partition id for the NEXT phase's scan endpoint: the
+    large-star scan groups by BOTH endpoints (each edge explodes into
+    two directed rows — partition by each row's own u), the small-star
+    scan groups by the larger endpoint only."""
+    mixed = _mix64(big.astype(np.uint64))
+    return (mixed % np.uint64(num_parts)).astype(np.int64)
+
+
+def connected_components(pairs, *, num_parts: int | None = None,
+                         max_rounds: int = 32):
+    """Duplicate-group labels from a near-dup pair Dataset: each doc
+    in a pair gets ``group_id`` = the smallest doc_id in its connected
+    component (the canonical representative — "keep group_id, drop the
+    rest" is the dedup policy downstream).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC 2014 — public
+    paper), the shuffle-native CC formulation: each half-round is ONE
+    groupby-shaped exchange of the edge set (coarse hash partitions,
+    vectorized numpy scans per partition — no per-group Python, same
+    pattern as the LSH bucket scan), and the edge set contracts toward
+    star graphs in O(log n) rounds (near-dup clusters: 2-3 rounds).
+    Per-round materialization is required by the fixpoint test and
+    bounds re-execution; the materialized set shrinks monotonically
+    in round count and holds 2 int64s + a tag per edge.
+
+    doc_ids must fit in uint32 (packed-pair dedup), like
+    near_dup_pairs_minhash. Returns a Dataset (doc_id, group_id)
+    covering every doc that appears in ≥1 pair, group roots included
+    (root rows have doc_id == group_id)."""
+    if num_parts is None:
+        from bento_ray.util import cluster_cpus
+
+        num_parts = max(4, cluster_cpus())
+    P = num_parts
+
+    def _seed(t: pa.Table) -> pa.Table:
+        # canonical orientation: doc_a < doc_b → (big, small) =
+        # (doc_b, doc_a); seed phase is large-star
+        a = t.column("doc_a").to_numpy().astype(np.int64)
+        b = t.column("doc_b").to_numpy().astype(np.int64)
+        big, small = np.maximum(a, b), np.minimum(a, b)
+        part = _star_part(big, small, "large", P)
+        return pa.table({"big": pa.array(big, pa.int64()),
+                         "small": pa.array(small, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _explode_large(t: pa.Table) -> pa.Table:
+        # large-star scans both directions of every edge
+        big = t.column("big").to_numpy()
+        small = t.column("small").to_numpy()
+        u = np.concatenate([big, small])
+        v = np.concatenate([small, big])
+        mixed = _mix64(u.astype(np.uint64))
+        part = (mixed % np.uint64(P)).astype(np.int64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _orient_small(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t.column("big"), "v": t.column("small"),
+                         "part": t.column("part")})
+
+    edges = pairs.map_batches(_seed, batch_format="pyarrow").materialize()
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star half-round
+        exploded = edges.map_batches(_explode_large,
+                                     batch_format="pyarrow")
+        edges = exploded.groupby("part").map_groups(
+            lambda g: _star_scan(g, "large", P), batch_format="pyarrow")
+        # small-star half-round (edges already oriented big > small)
+        edges = edges.map_batches(_orient_small, batch_format="pyarrow") \
+            .groupby("part").map_groups(
+                lambda g: _star_scan(g, "small", P),
+                batch_format="pyarrow").materialize()
+        # fixpoint signature: edge count + two independent hash sums
+        # (collision-safe enough; the algorithm's fixpoint is a star
+        # forest, at which point both phases are identities). Partial
+        # per-batch sums mod 2^64 combine on the driver — one tiny row
+        # per block, never a column-wide int64 Sum (which overflows
+        # Arrow's int64 on >2^2 large hash values).
+        def _sig_partial(t: pa.Table) -> pa.Table:
+            big = t.column("big").to_numpy().astype(np.uint64)
+            small = t.column("small").to_numpy().astype(np.uint64)
+            packed = (big << np.uint64(32)) | small
+            h1 = _mix64(packed)
+            h2 = _mix64(packed ^ np.uint64(0x9E3779B97F4A7C15))
+            with np.errstate(over="ignore"):
+                s1, s2 = np.sum(h1, dtype=np.uint64), np.sum(
+                    h2, dtype=np.uint64)
+            return pa.table({"n": pa.array([len(t)], pa.int64()),
+                             "h1": pa.array([int(s1)], pa.uint64()),
+                             "h2": pa.array([int(s2)], pa.uint64())})
+
+        parts = edges.map_batches(_sig_partial,
+                                  batch_format="pyarrow").take_all()
+        M = 1 << 64
+        sig = (sum(p["n"] for p in parts),
+               sum(p["h1"] for p in parts) % M,
+               sum(p["h2"] for p in parts) % M)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("connected_components did not converge "
+                           f"in {max_rounds} rounds")
+
+    def _labels(t: pa.Table) -> pa.Table:
+        big = t.column("big").to_numpy()
+        small = t.column("small").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([big, small]), pa.int64()),
+            "group_id": pa.array(np.concatenate([small, small]),
+                                 pa.int64())})
+
+    # one final exchange dedups the (root, root) self-labels and any
+    # doc reached from several stars (labels agree at fixpoint; min is
+    # a no-op safety)
+    return edges.map_batches(_labels, batch_format="pyarrow") \
+        .groupby("doc_id").min("group_id").map_batches(
+            lambda t: t.rename_columns(["doc_id", "group_id"]),
+            batch_format="pyarrow")

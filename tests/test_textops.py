@@ -647,3 +647,59 @@ def test_stratified_sample_quota_and_determinism():
     # a group smaller than the quota returns all its rows
     small = rd.from_items([{"doc_id": i, "lang": "xx"} for i in range(3)])
     assert stratified_sample(small, "lang", 5).count() == 3
+
+
+# ---------------------------------------------------------------- CC
+
+def test_connected_components_vs_union_find(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bento_ray.textops import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 600, 400)
+    b = rng.integers(0, 600, 400)
+    keep = a != b
+    lo = np.minimum(a, b)[keep]
+    hi = np.maximum(a, b)[keep]
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array(lo, pa.int64()),
+        "doc_b": pa.array(hi, pa.int64())}))
+    out = connected_components(pairs, num_parts=5).to_pandas()
+
+    parent = list(range(600))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(lo, hi):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = set(map(int, lo)) | set(map(int, hi))
+    roots: dict = {}
+    for v in nodes:
+        roots.setdefault(find(v), []).append(v)
+    truth = {v: min(vs) for vs in roots.values() for v in vs}
+    got = dict(zip(out["doc_id"], out["group_id"]))
+    assert got == truth
+
+
+def test_connected_components_long_chain(ray_session):
+    """Worst-case diameter: a 200-node path must still converge to a
+    single group labeled by its minimum."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bento_ray.textops import connected_components
+
+    t = pa.table({"doc_a": pa.array(list(range(199)), pa.int64()),
+                  "doc_b": pa.array(list(range(1, 200)), pa.int64())})
+    out = connected_components(rd.from_arrow(t), num_parts=4).to_pandas()
+    assert len(out) == 200
+    assert (out["group_id"] == 0).all()
