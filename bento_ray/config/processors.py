@@ -1099,6 +1099,225 @@ class LogProcessor(Processor):
         return [batch]
 
 
+class CommandProcessor(Processor):
+    """``command`` (internal/impl/io/processor_command.go:24): execute
+    a command per message — stdin is the raw message bytes, stdout
+    replaces the content. Non-zero exit sets the whole stderr (or a
+    generic message) as the message error and leaves the content
+    unchanged; stderr alongside a zero exit lands in the
+    ``command_stderr`` metadata field. ``name`` is interpolated;
+    ``args_mapping`` is a Bloblang expression resolving to an argv
+    array. One process per message — high-throughput streams should
+    use ``subprocess`` instead, exactly like the reference advises."""
+
+    name = "command"
+
+    def __init__(self, name: str = "", args_mapping: str | None = None,
+                 timeout: float = 60.0):
+        self.cmd_name = InterpolatedField(name)
+        self.args_mapping = None
+        if args_mapping:
+            src = args_mapping
+            try:
+                self.args_mapping = Mapping(src)
+            except Exception:
+                # FieldBloblang accepts bare query expressions
+                # ('this.args', '[ "-c", this.path ]') — wrap them
+                self.args_mapping = Mapping(f"root = ({src})")
+        self.timeout = timeout
+
+    def _argv(self, i: int, batch, rt) -> list[str]:
+        name = self.cmd_name.resolve_message(i, batch, rt.env,
+                                             rt.counters)
+        args: list[str] = []
+        if self.args_mapping is not None:
+            res = self.args_mapping.run_batch(
+                [batch[i]], env=rt.env, on_error="raise")
+            val = res[0].structured() if res else None
+            if not isinstance(val, list):
+                raise BloblangError(
+                    f"args mapping result error: expected array, got "
+                    f"{type(val).__name__}")
+            from bento_ray.blobl.methods import _ito_string
+
+            args = [_ito_string(v) for v in val]
+        return [name, *args]
+
+    def process_batch(self, batch, rt):
+        import subprocess as _sp
+
+        for i, m in enumerate(batch):
+            try:
+                argv = self._argv(i, batch, rt)
+            except BloblangError as e:
+                m.error = f"args mapping error: {e}"
+                continue
+            try:
+                res = _sp.run(argv, input=m.content_bytes(),
+                              capture_output=True, timeout=self.timeout)
+            except (OSError, _sp.TimeoutExpired) as e:
+                m.error = f"execution error: {e}"
+                continue
+            if res.returncode != 0:
+                err = res.stderr.decode("utf-8", "replace") or \
+                    f"exit status {res.returncode}"
+                m.error = f"execution error: {err}"
+                continue
+            m.raw = res.stdout
+            m._structured = None
+            m._parsed = False
+            if res.stderr:
+                m.meta["command_stderr"] = res.stderr.decode(
+                    "utf-8", "replace")
+        return [batch]
+
+
+def _netstring_encode(b: bytes) -> bytes:
+    return str(len(b)).encode() + b":" + b + b","
+
+
+class _SubprocHandle:
+    """One persistent child process with framed stdin/stdout codecs
+    (processor_subprocess.go:227 subprocWrapper): restarted on exit,
+    stderr drained to a bounded buffer."""
+
+    def __init__(self, argv: list[str]):
+        self.argv = argv
+        self.proc = None
+
+    def start(self):
+        import subprocess as _sp
+
+        self.proc = _sp.Popen(self.argv, stdin=_sp.PIPE, stdout=_sp.PIPE,
+                              stderr=_sp.DEVNULL, bufsize=0)
+
+    def ensure(self):
+        if self.proc is None or self.proc.poll() is not None:
+            self.start()
+
+    def stop(self):
+        if self.proc is not None and self.proc.poll() is None:
+            self.proc.kill()
+            self.proc.wait()
+        self.proc = None
+
+    # -- framed request/response ------------------------------------
+    def roundtrip(self, payload: bytes, codec_send: str,
+                  codec_recv: str) -> bytes:
+        self.ensure()
+        p = self.proc
+        if codec_send == "lines":
+            p.stdin.write(payload + b"\n")
+        elif codec_send == "length_prefixed_uint32_be":
+            import struct as _st
+
+            p.stdin.write(_st.pack(">I", len(payload)) + payload)
+        elif codec_send == "netstring":
+            p.stdin.write(_netstring_encode(payload))
+        else:
+            raise ValueError(f"unrecognized codec_send value: "
+                             f"{codec_send}")
+        p.stdin.flush()
+        return self._read_one(codec_recv)
+
+    def _read_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self.proc.stdout.read(n - len(out))
+            if not chunk:
+                raise OSError("subprocess exited mid-response")
+            out += chunk
+        return out
+
+    def _read_one(self, codec_recv: str) -> bytes:
+        p = self.proc
+        if codec_recv == "lines":
+            line = p.stdout.readline()
+            if not line:
+                raise OSError("subprocess exited mid-response")
+            return line.rstrip(b"\r\n")
+        if codec_recv == "length_prefixed_uint32_be":
+            import struct as _st
+
+            ln = _st.unpack(">I", self._read_exact(4))[0]
+            return self._read_exact(ln)
+        if codec_recv == "netstring":
+            digits = b""
+            while True:
+                c = self._read_exact(1)
+                if c == b":":
+                    break
+                if not c.isdigit() or len(digits) > 18:
+                    raise OSError("encountered invalid netstring")
+                digits += c
+            if not digits:
+                raise OSError("encountered invalid netstring: empty "
+                              "length")
+            body = self._read_exact(int(digits))
+            if self._read_exact(1) != b",":
+                raise OSError("encountered invalid netstring: trailing "
+                              "comma-character is missing")
+            return body
+        raise ValueError(f"invalid codec_recv option: {codec_recv}")
+
+
+class SubprocessProcessor(Processor):
+    """``subprocess`` (internal/impl/io/processor_subprocess.go:48):
+    keep one child process alive and pipe each message through it via
+    framed stdin/stdout codecs. With the default ``lines`` codecs a
+    multi-line message is fed line-by-line and the per-line responses
+    re-join with newlines (getSendSubprocessorFunc, :184-202); the
+    child is restarted if it exits. Errors set the message error. Per
+    actor this is ONE long-lived child — the Ray actor pool supplies
+    the parallelism."""
+
+    name = "subprocess"
+
+    def __init__(self, name: str = "", args: list | None = None,
+                 max_buffer: int = 65536, codec_send: str = "lines",
+                 codec_recv: str = "lines"):
+        if codec_send not in ("lines", "length_prefixed_uint32_be",
+                              "netstring"):
+            raise ValueError(f"unrecognized codec_send value: "
+                             f"{codec_send}")
+        if codec_recv not in ("lines", "length_prefixed_uint32_be",
+                              "netstring"):
+            raise ValueError(f"invalid codec_recv option: {codec_recv}")
+        self.handle = _SubprocHandle([name, *[str(a) for a in
+                                              (args or [])]])
+        self.codec_send = codec_send
+        self.codec_recv = codec_recv
+        self.max_buffer = max_buffer
+
+    def process_batch(self, batch, rt):
+        for m in batch:
+            content = m.content_bytes()
+            try:
+                if self.codec_send == "lines":
+                    parts = content.split(b"\n")
+                    res = [self.handle.roundtrip(seg, "lines",
+                                                 self.codec_recv)
+                           for seg in parts]
+                    out = b"\n".join(res)
+                else:
+                    out = self.handle.roundtrip(content, self.codec_send,
+                                                self.codec_recv)
+            except (OSError, ValueError) as e:
+                self.handle.stop()
+                m.error = str(e)
+                continue
+            m.raw = out
+            m._structured = None
+            m._parsed = False
+        return [batch]
+
+    def __del__(self):  # actor teardown
+        try:
+            self.handle.stop()
+        except Exception:
+            pass
+
+
 class SelectPartsProcessor(Processor):
     name = "select_parts"
 
@@ -1402,7 +1621,8 @@ CONFIG_PROCESSOR_KINDS = frozenset({
     "branch", "try", "catch", "retry", "for_each", "while", "cache",
     "sleep", "metric", "group_by_value", "bounds_check", "parse_log",
     "grok", "compress", "decompress", "insert_part", "jq", "jmespath",
-    "noop", "log", "select_parts", "http", "javascript",
+    "noop", "log", "select_parts", "http", "javascript", "command",
+    "subprocess",
 })
 
 
@@ -1521,6 +1741,10 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return JMESPathProcessor(query=cfg["query"])
     if kind == "noop":
         return NoopProcessor()
+    if kind == "command":
+        return CommandProcessor(**(cfg or {}))
+    if kind == "subprocess":
+        return SubprocessProcessor(**(cfg or {}))
     if kind == "log":
         return LogProcessor(**(cfg or {}))
     if kind == "select_parts":
