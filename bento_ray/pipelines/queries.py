@@ -938,6 +938,39 @@ FROM documents d2 LEFT JOIN sfp ON sfp.doc_id = d2.doc_id
 """
 
 
+def q_length_quantiles(sf_dir: str):
+    """Per-language word-count quantiles via the bounded histogram
+    combiner (textops.length_quantiles) — exact integer quantiles
+    (smallest w with cumulative count ≥ ceil(q·n)), mirrored 1:1 in
+    the SQL's cumulative-window formulation."""
+    from bento_ray.textops.quality import length_quantiles
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    return length_quantiles(ds)
+
+
+SQL_LENGTH_QUANTILES = r"""
+WITH wc AS (
+  SELECT lang, LEN(regexp_extract_all(COALESCE(text, ''), '\S+')) AS w
+  FROM documents
+),
+n AS (SELECT lang, COUNT(*) AS n FROM wc GROUP BY lang),
+cum AS (
+  SELECT lang, w,
+         SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY w) AS c
+  FROM wc GROUP BY lang, w
+)
+SELECT cum.lang,
+  MIN(CASE WHEN c >= CAST(CEIL(0.50 * n.n) AS BIGINT) THEN w END) AS p50,
+  MIN(CASE WHEN c >= CAST(CEIL(0.90 * n.n) AS BIGINT) THEN w END) AS p90,
+  MIN(CASE WHEN c >= CAST(CEIL(0.99 * n.n) AS BIGINT) THEN w END) AS p99,
+  CAST(MAX(n.n) AS BIGINT) AS n_docs
+FROM cum JOIN n ON n.lang = cum.lang
+GROUP BY cum.lang
+ORDER BY cum.lang
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-ratio language ID — the heuristic is pure counting, so
     the DuckDB oracle replicates it exactly: per-language score =
@@ -1692,6 +1725,7 @@ QUERIES = {
     "q_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

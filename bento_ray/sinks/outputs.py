@@ -146,3 +146,43 @@ def reject_errored(ds, sink: Callable, quarantine: Callable,
         if err_col in t.column_names else t.slice(0, 0),
         batch_format="pyarrow")
     return sink(ok), quarantine(bad)
+
+
+def subprocess_output(ds, name: str, args: list[str] | None = None,
+                      codec: str = "lines",
+                      content_col: str = "content") -> int:
+    """``subprocess`` output (output_subprocess.go:15): write each
+    message to a child process's stdin with the ``lines`` codec; the
+    process is expected to terminate gracefully when stdin closes.
+    Single consumer by contract (one child), so batches are drained
+    driver-side in order; returns the number of messages written."""
+    import subprocess as _sp
+
+    if codec != "lines":
+        raise ValueError(f"unsupported subprocess output codec: {codec}")
+    proc = _sp.Popen([name, *[str(a) for a in (args or [])]],
+                     stdin=_sp.PIPE, stdout=_sp.DEVNULL,
+                     stderr=_sp.DEVNULL)
+    n = 0
+    try:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            col = batch.column(content_col) \
+                if content_col in batch.column_names else None
+            if col is None:
+                import json as _json
+
+                payloads = [_json.dumps(r, separators=(",", ":"),
+                                        sort_keys=True).encode()
+                            for r in batch.to_pylist()]
+            else:
+                payloads = [v if isinstance(v, bytes)
+                            else str(v).encode()
+                            for v in col.to_pylist()]
+            for p in payloads:
+                proc.stdin.write(p + b"\n")
+                n += 1
+            proc.stdin.flush()
+    finally:
+        proc.stdin.close()
+        proc.wait()
+    return n

@@ -138,3 +138,37 @@ def register_stream(name: str, ds) -> None:
 
 def resource(name: str):
     return _REGISTRY[name]
+
+
+def subprocess_input(name: str, args: list[str] | None = None,
+                     codec: str = "lines", restart_on_exit: bool = False,
+                     max_messages: int = 1_000_000,
+                     max_restarts: int = 3):
+    """``subprocess`` input (input_subprocess.go:17): execute a command
+    and consume its stdout as messages via the ``lines`` codec; when
+    the process exits the input closes gracefully, or re-executes it
+    when ``restart_on_exit`` (bounded here — a batch DAG needs a finite
+    input). Single-process by nature (like the reference), so the read
+    happens on the driver and fans out as a Dataset; ``max_messages``
+    bounds runaway children."""
+    import subprocess as _sp
+
+    if codec != "lines":
+        raise ValueError(f"unsupported subprocess input codec: {codec}")
+    rows: list[bytes] = []
+    runs = 1 + (max_restarts if restart_on_exit else 0)
+    for _ in range(runs):
+        proc = _sp.Popen([name, *[str(a) for a in (args or [])]],
+                         stdout=_sp.PIPE, stderr=_sp.DEVNULL)
+        try:
+            for line in proc.stdout:
+                rows.append(line.rstrip(b"\r\n"))
+                if len(rows) >= max_messages:
+                    proc.kill()
+                    break
+        finally:
+            proc.wait()
+        if len(rows) >= max_messages:
+            break
+    return rd.from_arrow(pa.table({
+        "content": pa.array(rows, pa.binary())}))

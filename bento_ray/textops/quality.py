@@ -284,3 +284,64 @@ def repetition_metrics(ds, text_col: str = "text"):
                                pa.array(duckdb_round(dup, 6)))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def length_quantiles(ds, text_col: str = "text",
+                     group_col: str = "lang"):
+    """Per-group word-count quantiles (p50/p90/p99) + doc count via a
+    bounded histogram combiner — the 100 TB shape for distribution
+    stats: each batch collapses to (group, n_words, cnt) partials with
+    one Arrow hash-aggregate (shuffle volume ∝ groups × distinct
+    lengths, NOT docs), the global groupby sums them, and only the
+    tiny histogram reaches the driver for CDF inversion (langs ×
+    distinct doc lengths — bounded by the length cap of real corpora;
+    never the documents themselves).
+
+    Quantile definition (mirrored exactly in the DuckDB oracle):
+    q-quantile = smallest w with cumulative count ≥ ceil(q·n) —
+    word counts are integers so this is exact, no interpolation."""
+    import numpy as np
+
+    import ray.data as rd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # null text counts as 0 words (COALESCE(text,'') in the oracle)
+        w = pc.count_substring_regex(
+            t.column(text_col), r"\S+").cast(pa.int64()).fill_null(0)
+        small = pa.table({group_col: t.column(group_col), "w": w})
+        return pa.TableGroupBy(small, [group_col, "w"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                [group_col, "w", "cnt"])
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby([group_col, "w"]).sum("cnt")
+    rows = hist.take_all()  # bounded: the HISTOGRAM, not the docs
+    if not rows:
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            "p50": pa.array([], pa.int64()),
+            "p90": pa.array([], pa.int64()),
+            "p99": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64())}))
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], []).append(
+            (r["w"], r["sum(cnt)"]))
+    out = {group_col: [], "p50": [], "p90": [], "p99": [],
+           "n_docs": []}
+    for g in sorted(by_group):
+        pairs = sorted(by_group[g])
+        ws = np.array([p[0] for p in pairs], np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        out[group_col].append(g)
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = int(np.ceil(q * n))
+            out[name].append(int(ws[np.searchsorted(cum, rank)]))
+        out["n_docs"].append(n)
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(out[group_col], pa.string()),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p90": pa.array(out["p90"], pa.int64()),
+        "p99": pa.array(out["p99"], pa.int64()),
+        "n_docs": pa.array(out["n_docs"], pa.int64())}))

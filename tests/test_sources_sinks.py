@@ -219,3 +219,55 @@ def test_drop_on_error_policies(ray_session):
         drop_on(ds, failing, error_patterns=["quota exceeded"])
     # healthy sink passes through
     assert drop_on(ds, lambda d: d.count(), error=True) == 10
+
+
+# ------------------------------------------------- subprocess input/output
+
+def test_subprocess_input_lines(ray_session):
+    from bento_ray.sources.inputs import subprocess_input
+
+    ds = subprocess_input("sh", ["-c", "printf 'a\\nb\\nc\\n'"])
+    rows = [r["content"] for r in ds.take_all()]
+    assert rows == [b"a", b"b", b"c"]
+
+
+def test_subprocess_input_restart_on_exit(ray_session):
+    from bento_ray.sources.inputs import subprocess_input
+
+    ds = subprocess_input("sh", ["-c", "echo once"],
+                          restart_on_exit=True, max_restarts=2)
+    rows = [r["content"] for r in ds.take_all()]
+    assert rows == [b"once", b"once", b"once"]  # initial run + 2 restarts
+
+
+def test_subprocess_input_bad_codec():
+    import pytest
+
+    from bento_ray.sources.inputs import subprocess_input
+
+    with pytest.raises(ValueError, match="codec"):
+        subprocess_input("cat", codec="netstring")
+
+
+def test_subprocess_output_lines(ray_session, tmp_path):
+    import ray.data as rd
+
+    from bento_ray.sinks.outputs import subprocess_output
+
+    out_f = tmp_path / "sink.txt"
+    ds = rd.from_items([{"content": b"one"}, {"content": b"two"}])
+    n = subprocess_output(ds, "sh", ["-c", f"cat > {out_f}"])
+    assert n == 2
+    assert out_f.read_bytes() == b"one\ntwo\n"
+
+
+def test_subprocess_output_structured_rows_as_json(ray_session, tmp_path):
+    import ray.data as rd
+
+    from bento_ray.sinks.outputs import subprocess_output
+
+    out_f = tmp_path / "sink.jsonl"
+    ds = rd.from_items([{"a": 1}, {"a": 2}])
+    n = subprocess_output(ds, "sh", ["-c", f"cat > {out_f}"])
+    assert n == 2
+    assert out_f.read_bytes() == b'{"a":1}\n{"a":2}\n'

@@ -703,3 +703,33 @@ def test_connected_components_long_chain(ray_session):
     out = connected_components(rd.from_arrow(t), num_parts=4).to_pandas()
     assert len(out) == 200
     assert (out["group_id"] == 0).all()
+
+
+def test_length_quantiles_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bento_ray.textops.quality import length_quantiles
+
+    rng = np.random.default_rng(3)
+    langs = ["en", "de", "fr"]
+    rows = []
+    for i in range(500):
+        lg = langs[int(rng.integers(0, 3))]
+        n = int(rng.integers(0, 40))
+        rows.append({"lang": lg, "text": " ".join(["w"] * n)})
+    rows.append({"lang": "en", "text": None})  # null text → 0 words
+    out = length_quantiles(
+        rd.from_items(rows).repartition(4)).to_pandas()
+    assert list(out["lang"]) == sorted(out["lang"])
+    for lg in langs:
+        counts = sorted(
+            len((r["text"] or "").split()) for r in rows
+            if r["lang"] == lg)
+        n = len(counts)
+        row = out[out["lang"] == lg].iloc[0]
+        assert row["n_docs"] == n
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = int(np.ceil(q * n))
+            assert row[name] == counts[rank - 1], (lg, name)
