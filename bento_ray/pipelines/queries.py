@@ -971,6 +971,36 @@ ORDER BY cum.lang
 """
 
 
+def q_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer token counts per doc plus the whitespace
+    word count — both sides of the oracle run the SAME RE2 pattern
+    (Arrow's count_substring_regex here, DuckDB's regexp_extract_all
+    there), so parity is by construction."""
+    from bento_ray.textops.quality import token_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return token_counts(ds).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "n_words": pc.count_substring_regex(
+                t.column("text"), r"\S+").cast(pa.int64()).fill_null(0),
+        }), batch_format="pyarrow")
+
+
+def _token_counts_sql() -> str:
+    from bento_ray.textops.quality import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return rf"""
+SELECT doc_id,
+       LEN(regexp_extract_all(COALESCE(text, ''), '{pat}')) AS n_tokens,
+       LEN(regexp_extract_all(COALESCE(text, ''), '\S+')) AS n_words
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-ratio language ID — the heuristic is pure counting, so
     the DuckDB oracle replicates it exactly: per-language score =
@@ -1726,6 +1756,7 @@ QUERIES = {
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "q_token_counts": (q_token_counts, _token_counts_sql()),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -345,3 +345,36 @@ def length_quantiles(ds, text_col: str = "text",
         "p90": pa.array(out["p90"], pa.int64()),
         "p99": pa.array(out["p99"], pa.int64()),
         "n_docs": pa.array(out["n_docs"], pa.int64())}))
+
+
+# GPT-2-style pre-tokenizer shape, restricted to explicit ASCII
+# classes so the pattern means the same thing in every RE2 host
+# (Arrow's count_substring_regex here, DuckDB's regexp_extract_all in
+# the oracle): contraction suffixes, space-prefixed letter / digit /
+# punctuation runs, residual whitespace runs. Non-ASCII letters land
+# in the punctuation class — a documented simplification of the
+# byte-level BPE behaviour.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def token_counts(ds, text_col: str = "text"):
+    """Append ``n_tokens``: BPE-ish pre-tokenizer token count per doc
+    (the training-data budget metric — whitespace words undercount
+    code/punctuation-heavy text). One RE2 kernel pass per batch,
+    zero-copy; null text counts 0."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if pa.types.is_null(col.type):  # all-null block
+            col = col.cast(pa.string())
+        n = pc.count_substring_regex(
+            col, BPE_TOKEN_PATTERN).cast(pa.int64()).fill_null(0)
+        return t.append_column("n_tokens", n)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

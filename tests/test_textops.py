@@ -733,3 +733,20 @@ def test_length_quantiles_vs_bruteforce(ray_session):
         for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             rank = int(np.ceil(q * n))
             assert row[name] == counts[rank - 1], (lg, name)
+
+
+def test_token_counts_bpe_ish(ray_session):
+    import ray.data as rd
+
+    from bento_ray.textops.quality import token_counts
+
+    rows = [{"doc_id": 1, "text": "Hello, world! It's 2024..."},
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "don't we'll df['x']+=1;"}]
+    out = token_counts(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id")["n_tokens"]
+    # Hello|,| world|!| It|'s| 2024|... = 8
+    assert out[1] == 8
+    assert out[2] == 0
+    # don|'t| we|'ll| df|['|x|']+=|1|; = 10
+    assert out[3] == 10
