@@ -971,6 +971,32 @@ ORDER BY cum.lang
 """
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/std over the embeddings table via the
+    moment combiner (sum/sumsq/n partials per block). Both sides round
+    half-away-from-zero to 4 decimals; float64 accumulation over ≤1e5
+    unit-range float32 values keeps the association error ~1e-12,
+    far inside the rounding grain."""
+    from bento_ray.textops.similarity import embedding_dim_stats
+
+    ds = _t(sf_dir, "embeddings", ["embedding"])
+    return embedding_dim_stats(ds)
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       ROUND(AVG(v), 4) AS mean,
+       ROUND(SQRT(GREATEST(AVG(v * v) - AVG(v) * AVG(v), 0)), 4) AS std,
+       COUNT(*) AS n
+FROM d GROUP BY dim ORDER BY dim
+"""
+
+
 def q_token_counts(sf_dir: str):
     """BPE-ish pre-tokenizer token counts per doc plus the whitespace
     word count — both sides of the oracle run the SAME RE2 pattern
@@ -1757,6 +1783,8 @@ QUERIES = {
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "q_token_counts": (q_token_counts, _token_counts_sql()),
+    "q_embedding_dim_stats": (q_embedding_dim_stats,
+                              SQL_EMBEDDING_DIM_STATS),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

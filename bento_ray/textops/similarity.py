@@ -466,3 +466,39 @@ def ivf_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
 
     return cands.groupby("query_id").map_groups(_final,
                                                 batch_format="pandas")
+
+
+def embedding_dim_stats(ds, vec_col: str = "embedding"):
+    """Per-dimension mean / population-std over an embedding column —
+    the moment-combiner shape: each batch collapses to one (dim, sum,
+    sumsq, n) partial row per dimension (float64 accumulation), the
+    global groupby sums D-row partials (shuffle ∝ dims × blocks, never
+    vectors), and the final map computes the moments. The 100 TB
+    normalization-prep pass (whitening / standardization inputs)."""
+    from bento_ray.util import duckdb_round
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = _stack(t.column(vec_col)).astype(np.float64)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "s": pa.array(m.sum(axis=0)),
+            "ss": pa.array((m * m).sum(axis=0)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], np.int64)),
+        })
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t.column("sum(s)").to_numpy()
+        ss = t.column("sum(ss)").to_numpy()
+        n = t.column("sum(n)").to_numpy().astype(np.float64)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        return pa.table({
+            "dim": t.column("dim"),
+            "mean": pa.array(duckdb_round(mean, 4)),
+            "std": pa.array(duckdb_round(np.sqrt(var), 4)),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("dim").sum(["s", "ss", "n"]) \
+        .map_batches(_final, batch_format="pyarrow")
