@@ -252,6 +252,24 @@ class Pipeline:
 
             cfg = dict(inp["csv"])
             p = cls(read_csv(cfg.pop("paths", cfg.pop("path", None)), **cfg))
+        elif "stdin" in inp:
+            # input_stdin.go: consume piped stdin, chopped into
+            # messages by the configured scanner (default: lines).
+            # Single-process by nature — the read happens on the
+            # driver, processing fans out as a Dataset.
+            import sys
+
+            import pyarrow as _pa
+
+            import ray.data as _rd
+
+            from bento_ray.sources.scanners import build_scanner
+
+            cfg = dict(inp["stdin"] or {})
+            scan = build_scanner(cfg.get("scanner") or {"lines": {}})
+            data = sys.stdin.buffer.read()
+            p = cls(_rd.from_arrow(_pa.table({
+                "content": _pa.array(list(scan(data)), _pa.binary())})))
         elif "file" in inp:
             cfg = dict(inp["file"])
             paths = cfg.pop("paths", cfg.pop("path", None))

@@ -188,3 +188,28 @@ pipeline:
     docs = [json.loads(c) for c in df["content"]]
     assert docs[0] == {"body": "REC 0"}
     assert docs[9] == {"body": "REC 9"}
+
+
+def test_stdin_input_with_scanner(monkeypatch):
+    """input_stdin.go: piped stdin chopped into messages by the
+    configured scanner (default lines)."""
+    import io
+    import json
+    import sys
+    import types
+
+    from bento_ray.pipelines.builder import Pipeline
+
+    monkeypatch.setattr(
+        sys, "stdin",
+        types.SimpleNamespace(buffer=io.BytesIO(b"aa\nbb\ncc")))
+    p = Pipeline.from_yaml("""
+input:
+  stdin: {}
+pipeline:
+  processors:
+    - mapping: 'root.up = content().string().uppercase()'
+""")
+    df = p.to_pandas()
+    docs = [json.loads(c) for c in df["content"]]
+    assert docs == [{"up": "AA"}, {"up": "BB"}, {"up": "CC"}]
