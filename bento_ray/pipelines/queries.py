@@ -901,6 +901,46 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_keep(sf_dir: str):
+    """End-to-end near-dup group dedup: MinHash pairs → connected
+    components → drop every non-representative member
+    (textops.dedup_by_groups) — the full "keep one per duplicate
+    cluster" pipeline a training-data run executes. Oracle: documents
+    whose doc_id is not a non-root member of a component over the
+    exact-Jaccard pair set."""
+    from bento_ray.textops import (connected_components,
+                                   near_dup_pairs_minhash)
+    from bento_ray.textops.dedup import dedup_by_groups
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = near_dup_pairs_minhash(ds, threshold=0.15)
+    labels = connected_components(pairs)
+    return dedup_by_groups(ds, labels).select_columns(["doc_id"])
+
+
+SQL_DEDUP_KEEP = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_SQL_MINHASH_BODY}) mh
+),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.dst
+),
+grp AS (
+  SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id != group_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per doc; oracle SQL_SIMHASH replicates the FNV
     word hashes and the per-bit ±1 vote exactly (bits 61-63 of a
@@ -1788,6 +1828,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
+    "q_dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_doc_fingerprints": (q_doc_fingerprints, SQL_FINGERPRINTS),
     "q_ann_lsh": (q_ann_lsh, SQL_ANN),

@@ -781,3 +781,37 @@ def connected_components(pairs, *, num_parts: int | None = None,
         .groupby("doc_id").min("group_id").map_batches(
             lambda t: t.rename_columns(["doc_id", "group_id"]),
             batch_format="pyarrow")
+
+
+def dedup_by_groups(docs, labels, *, id_col: str = "doc_id"):
+    """Apply duplicate-group labels to the corpus: keep every doc that
+    is NOT a non-representative group member (i.e. drop rows whose
+    label says doc_id != group_id). The labels side is pair-member
+    docs only — orders of magnitude smaller than the corpus on real
+    near-dup rates — so it broadcasts once via ray.put and each batch
+    filters with one vectorized isin; swap in shuffle_join for corpora
+    whose duplicate set itself exceeds worker RAM."""
+    import ray
+
+    def _drop_set(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        grp = t.column("group_id").to_numpy()
+        return pa.table({"drop_id": pa.array(ids[ids != grp],
+                                             pa.int64())})
+
+    drop_tbl = labels.map_batches(_drop_set, batch_format="pyarrow")
+    drops = np.sort(np.concatenate(
+        [b.column("drop_id").to_numpy() for b in
+         drop_tbl.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    drops_ref = ray.put(drops)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        d = ray.get(drops_ref)
+        if len(d) == 0:
+            return t
+        ids = t.column(id_col).to_numpy()
+        keep = d[np.clip(np.searchsorted(d, ids), 0, len(d) - 1)] != ids
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(_filter, batch_format="pyarrow")

@@ -750,3 +750,36 @@ def test_token_counts_bpe_ish(ray_session):
     assert out[2] == 0
     # don|'t| we|'ll| df|['|x|']+=|1|; = 10
     assert out[3] == 10
+
+
+def test_dedup_by_groups_drops_non_representatives(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bento_ray.textops.dedup import dedup_by_groups
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"d{i}" for i in range(10)])}))
+    # groups: {1,4,7} root 1; {2,9} root 2; rest singletons
+    labels = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 4, 7, 2, 9], pa.int64()),
+        "group_id": pa.array([1, 1, 1, 2, 2], pa.int64())}))
+    kept = sorted(r["doc_id"]
+                  for r in dedup_by_groups(docs, labels).take_all())
+    assert kept == [0, 1, 2, 3, 5, 6, 8]
+
+
+def test_dedup_by_groups_no_labels_keeps_all(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bento_ray.textops.dedup import dedup_by_groups
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6], pa.int64()),
+        "text": pa.array(["a", "b"])}))
+    labels = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "group_id": pa.array([], pa.int64())}))
+    assert dedup_by_groups(docs, labels).count() == 2
