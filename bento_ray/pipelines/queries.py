@@ -941,6 +941,94 @@ ORDER BY d.doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per-doc 8-gram instance overlap
+    against an eval set (here the deterministic doc_id % 29 == 0
+    slice of the corpus, so eval docs self-report overlap 1.0 and
+    their near-dups report high fractions). Oracle replicates the
+    engine's FNV-word-hash 8-gram polynomial (the fingerprint fold)
+    and the instance-join counting in SQL."""
+    from bento_ray.textops import decontaminate
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _eval_slice(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 29 == 0))
+
+    eval_ds = ds.map_batches(_eval_slice, batch_format="pyarrow")
+    return decontaminate(ds, eval_ds, n=8)
+
+
+SQL_DECONTAMINATE = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+         {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 1
+),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM wh GROUP BY doc_id),
+ng AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(hs) - 7),
+           i -> CAST(list_reduce(
+                  list_prepend(CAST(0 AS HUGEINT),
+                    list_transform(hs[i : i + 7],
+                                   x -> CAST(x AS HUGEINT))),
+                  (acc, x) -> ((acc * 1000003 + x)
+                               % 18446744073709551616)
+                              % 2305843009213693951) AS BIGINT)))
+           AS ngh
+  FROM hl WHERE len(hs) >= 8
+),
+ev AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 29 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n_overlap
+         FROM ng g JOIN ev USING (ngh) GROUP BY g.doc_id),
+tot AS (SELECT doc_id,
+               GREATEST(COALESCE(len(words), 0) - 7, 0) AS n_ngrams
+        FROM d)
+SELECT t.doc_id, t.n_ngrams,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(h.n_overlap, 0)
+             / GREATEST(t.n_ngrams, 1), 6) AS overlap_frac
+FROM tot t LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Self-trained unigram-LM quality signal (CCNet-style perplexity
+    proxy): mean negative log-prob per doc in nats. Float parity with
+    the oracle holds bit-exactly because per-token costs are quantized
+    to integer micro-nats before the per-doc sum (order-independent
+    integer reduction on both engines)."""
+    from bento_ray.textops import unigram_logprob
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+tok AS (SELECT doc_id, unnest(words) AS w FROM d),
+vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+q AS (SELECT w, CAST(ROUND(ln(c / n) * 1000000) AS BIGINT) AS micro
+      FROM vocab, tot),
+s AS (SELECT doc_id, SUM(micro) AS sm, count(*) AS cnt
+      FROM tok JOIN q USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s.cnt, 0) AS n_words,
+       COALESCE(ROUND(-s.sm / 1000000.0 / s.cnt, 6), 0.0) AS neg_logprob
+FROM d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per doc; oracle SQL_SIMHASH replicates the FNV
     word hashes and the per-bit ±1 vote exactly (bits 61-63 of a
@@ -1825,6 +1913,8 @@ QUERIES = {
     "q_token_counts": (q_token_counts, _token_counts_sql()),
     "q_embedding_dim_stats": (q_embedding_dim_stats,
                               SQL_EMBEDDING_DIM_STATS),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -30,6 +30,8 @@ from bento_ray.textops.terms import (
     dup_ngram_stats,
     hash_sample,
     stratified_sample,
+    decontaminate,
+    unigram_logprob,
 )
 from bento_ray.textops.urlops import (
     parse_urls,
@@ -67,4 +69,6 @@ __all__ = [
     "ivf_cosine_topk",
     "cosine_near_dups",
     "cosine_near_dups_lsh",
+    "decontaminate",
+    "unigram_logprob",
 ]

@@ -45,6 +45,8 @@ __all__ = [
     "dup_ngram_stats",
     "hash_sample",
     "stratified_sample",
+    "decontaminate",
+    "unigram_logprob",
 ]
 
 # Knuth multiplicative hash constant (2^32 / phi) — public domain.
@@ -431,3 +433,169 @@ def hash_sample(ds, denom: int = 10, residue: int = 3,
         return t.filter(pa.array(h == r))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+def _ngram_hash_explode(t: pa.Table, col: str, n: int):
+    """Shared n-gram hash explode (the dup_ngram_stats polynomial):
+    per-batch (ngram-hash instances, owning doc row index, doc ids,
+    per-doc n-gram totals). Hashes are 61-bit polynomial folds of the
+    FNV word hashes — n-grams move as integers, never strings."""
+    from bento_ray.textops.quality import word_hashes
+
+    M = np.uint64((1 << 61) - 1)
+    flat, lens = _split_words(t.column(col))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    hs = word_hashes(flat) if len(flat) else np.empty(0, np.uint64)
+    total = len(hs)
+    if total >= n:
+        out = np.zeros(total - n + 1, np.uint64)
+        for j in range(n):
+            out = (out * np.uint64(1_000_003)
+                   + hs[j:total - n + 1 + j]) % M
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        valid = doc_of[:total - n + 1] == doc_of[n - 1:]
+        ngh = out[valid].astype(np.int64)
+        inst_row = doc_of[:total - n + 1][valid]
+    else:
+        ngh = np.empty(0, np.int64)
+        inst_row = np.empty(0, np.int64)
+    return ngh, inst_row, ids, np.maximum(lens - n + 1, 0)
+
+
+class _ContaminationScorer:
+    """Score each doc's n-gram instances against the broadcast eval
+    n-gram hash set (sorted int64). Set fetched once per actor from
+    the object store; per batch it's one searchsorted + bincount."""
+
+    def __init__(self, eval_ref, n: int, col: str):
+        self.ev = ray.get(eval_ref) if isinstance(
+            eval_ref, ray.ObjectRef) else eval_ref
+        self.n = n
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ngh, inst_row, ids, totals = _ngram_hash_explode(
+            t, self.col, self.n)
+        if len(ngh) and len(self.ev):
+            pos = np.searchsorted(self.ev, ngh)
+            hit = self.ev[np.clip(pos, 0, len(self.ev) - 1)] == ngh
+            n_overlap = np.bincount(inst_row[hit], minlength=len(ids)) \
+                .astype(np.int64)
+        else:
+            n_overlap = np.zeros(len(ids), np.int64)
+        from bento_ray.util import duckdb_round
+        frac = duckdb_round(n_overlap / np.maximum(totals, 1), 6)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_ngrams": pa.array(totals.astype(np.int64), pa.int64()),
+            "n_overlap": pa.array(n_overlap, pa.int64()),
+            "overlap_frac": pa.array(frac, pa.float64()),
+        })
+
+
+def decontaminate(ds, eval_ds, n: int = 8, col: str = "text"):
+    """Benchmark decontamination (the GPT-3 appendix-C / C4 step):
+    per-doc overlap of n-gram instances against an evaluation corpus,
+    as (doc_id, n_ngrams, n_overlap, overlap_frac). A training run
+    drops docs whose overlap_frac exceeds its threshold; emitting the
+    scores keeps the policy choice out of the operator.
+
+    Plan: the eval side (benchmark suites — orders of magnitude
+    smaller than the corpus) explodes to DISTINCT n-gram hashes per
+    batch, driver-uniques to one sorted int64 array and broadcasts
+    via ray.put; the corpus side is a single stateless actor-pool
+    pass (searchsorted membership + bincount per batch) — no shuffle
+    at all. Swap the broadcast for ``shuffle_join`` on ``ngh`` only
+    if the eval n-gram set itself outgrows worker RAM (it does not
+    for any real benchmark suite)."""
+
+    def _eval_partial(t: pa.Table) -> pa.Table:
+        ngh, _, _, _ = _ngram_hash_explode(t, col, n)
+        return pa.table({"ngh": pa.array(np.unique(ngh), pa.int64())})
+
+    parts = [b.column("ngh").to_numpy(zero_copy_only=False)
+             for b in eval_ds.map_batches(
+                 _eval_partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    ev = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, np.int64)
+    ev_ref = ray.put(ev)
+
+    return ds.map_batches(
+        _ContaminationScorer, fn_constructor_args=(ev_ref, n, col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+class _UnigramScorer:
+    """Per-doc mean negative log-probability under the broadcast
+    unigram LM. The LM ships as (vocab Arrow array, micro-nat int64
+    costs): token lookup is one zero-copy ``pc.index_in`` hash pass
+    per batch, and the per-doc sum is an INTEGER bincount — exact in
+    float64 below 2^53, hence order-independent and bit-identical to
+    the SQL oracle's integer SUM."""
+
+    def __init__(self, lm_ref, col: str):
+        words, micro = ray.get(lm_ref) if isinstance(
+            lm_ref, ray.ObjectRef) else lm_ref
+        self.words = words
+        self.micro = micro
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from bento_ray.util import duckdb_round
+
+        flat, lens = _split_words(t.column(self.col))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(flat):
+            idx = pc.index_in(flat, value_set=self.words) \
+                .fill_null(-1).to_numpy(zero_copy_only=False)
+            cost = np.where(idx >= 0, self.micro[idx], 0)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            sums = np.bincount(doc_of, weights=cost,
+                               minlength=len(lens))
+        else:
+            sums = np.zeros(len(lens), np.float64)
+        score = np.where(
+            lens > 0,
+            duckdb_round(-sums / 1e6 / np.maximum(lens, 1), 6), 0.0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(lens.astype(np.int64), pa.int64()),
+            "neg_logprob": pa.array(score, pa.float64()),
+        })
+
+
+def unigram_logprob(ds, col: str = "text"):
+    """CCNet-style language-model quality signal, self-trained: fit a
+    unigram LM on the corpus (token frequencies), then score every doc
+    with its mean negative log-probability in nats — low = common
+    fluent text, high = rare-token noise. Returns
+    (doc_id, n_words, neg_logprob).
+
+    Cross-engine float discipline: per-token costs are quantized to
+    integer micro-nats ONCE on the driver
+    (round(ln(count/N)·1e6), DuckDB ROUND convention), so the per-doc
+    reduction is an integer sum — associative, order-independent, and
+    bit-identical between Ray and the SQL oracle regardless of
+    summation order.
+
+    Plan: token counts via the term_counts combiner [vocab-sized
+    shuffle] → vocab-sized LM table collected once and broadcast via
+    ray.put → one stateless actor-pool scoring pass [no shuffle].
+    Swap the broadcast for ``shuffle_join`` on the token when the
+    vocabulary outgrows worker RAM."""
+    from bento_ray.util import duckdb_round
+
+    vocab = term_counts(ds, col).to_pandas()
+    cnts = vocab["cnt"].to_numpy(np.int64)
+    n_total = float(cnts.sum())
+    micro = duckdb_round(
+        np.log(cnts / n_total) * 1e6, 0).astype(np.int64) \
+        if len(cnts) else np.empty(0, np.int64)
+    words = pa.array(vocab["word"].tolist(), pa.string())
+    lm_ref = ray.put((words, micro))
+
+    return ds.map_batches(
+        _UnigramScorer, fn_constructor_args=(lm_ref, col),
+        batch_format="pyarrow", concurrency=(1, 8))

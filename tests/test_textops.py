@@ -783,3 +783,67 @@ def test_dedup_by_groups_no_labels_keeps_all(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "group_id": pa.array([], pa.int64())}))
     assert dedup_by_groups(docs, labels).count() == 2
+
+
+def test_decontaminate_scores(doc_ds):
+    from bento_ray.textops import decontaminate
+
+    # eval set = doc 0's text (12 words): docs 0 and 1 (its exact
+    # dup) are fully contaminated; doc 3 shares no 4-gram.
+    eval_ds = rd.from_items(
+        [{"doc_id": 100,
+          "text": "the quick brown fox jumps over the lazy dog "
+                  "again and again"}])
+    out = decontaminate(doc_ds, eval_ds, n=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "n_ngrams"] == 9  # 12 words → 9 4-grams
+    assert out.loc[0, "overlap_frac"] == 1.0
+    assert out.loc[1, "overlap_frac"] == 1.0
+    assert out.loc[3, "n_overlap"] == 0
+    assert out.loc[3, "overlap_frac"] == 0.0
+    # near-dup doc 2 shares the leading 4-grams but not the tail
+    assert 0.0 < out.loc[2, "overlap_frac"] < 1.0
+
+
+def test_decontaminate_short_and_empty_docs():
+    from bento_ray.textops import decontaminate
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "too short"},          # < n words
+        {"doc_id": 1, "text": ""},                   # no words
+        {"doc_id": 2, "text": "one two three four"},  # exactly n
+    ])
+    ev = rd.from_items([{"doc_id": 9, "text": "one two three four"}])
+    out = decontaminate(ds, ev, n=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out["n_ngrams"]) == [0, 0, 1]
+    assert list(out["n_overlap"]) == [0, 0, 1]
+    assert list(out["overlap_frac"]) == [0.0, 0.0, 1.0]
+
+
+def test_unigram_logprob_matches_direct_computation():
+    import math
+
+    from bento_ray.textops import unigram_logprob
+    from bento_ray.util import duckdb_round
+
+    texts = ["a a b", "b c", ""]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    out = unigram_logprob(ds).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # corpus counts: a=2, b=2, c=1, N=5
+    micro = {w: float(duckdb_round(math.log(c / 5.0) * 1e6, 0))
+             for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+
+    def score(words):
+        return float(duckdb_round(
+            -sum(micro[w] for w in words) / 1e6 / len(words), 6))
+
+    assert out.loc[0, "n_words"] == 3
+    assert out.loc[0, "neg_logprob"] == score(["a", "a", "b"])
+    assert out.loc[1, "neg_logprob"] == score(["b", "c"])
+    assert out.loc[2, "n_words"] == 0
+    assert out.loc[2, "neg_logprob"] == 0.0
+    # rare token c scores worse (higher neg-logprob) than common a
+    assert out.loc[1, "neg_logprob"] > out.loc[0, "neg_logprob"]
