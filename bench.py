@@ -14,7 +14,10 @@ sequential repeats with the warm-read protocol, best reported as the
 capability number and the full sample list alongside so the spread is
 visible in the recorded artifact. Repeats stop when the
 $BENTO_BENCH_BUDGET_SEC budget (default 900s) runs out; the first
-sample of each measurement always runs.
+sample of each measurement always runs. The headline additionally
+extends past REPEATS (up to 2×) while consecutive samples still
+improve >10% — interference decays over tens of seconds, and a
+best-of-k that is still falling hasn't reached the capability band.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <best headline sec>, "unit": "sec",
@@ -155,16 +158,26 @@ def run_bench() -> dict:
         )
         return time.perf_counter() - t0, m
 
+    # Adaptive repeats for the headline: co-tenant interference decays
+    # over tens of seconds, so when consecutive samples are still
+    # improving >10% the measurement hasn't reached the capability
+    # band yet — keep sampling (budget-bounded, hard cap 2×REPEATS)
+    # instead of recording a known-degraded best-of-k.
     samples: list[float] = []
     rows_fed = 0
-    for i in range(REPEATS):
+    i = 0
+    while i < 2 * REPEATS:
         if i > 0 and not budget.allows_repeat(samples[-1]):
             break
+        if i >= REPEATS and len(samples) >= 2 and \
+                min(samples[:-1]) * 0.9 < samples[-1]:
+            break  # converged: last sample no longer 10% under prior best
         if i > 0:
             _warm_read()  # the repeat must not pay another run's evictions
         sec, metrics = _one_flagship()
         samples.append(round(sec, 3))
         rows_fed = metrics["rows_fed"]
+        i += 1
     headline = min(samples)
     pages_per_sec = rows_fed / headline
 

@@ -820,6 +820,64 @@ def m_parse_timestamp(v, fmt=None):
     return _format_rfc3339(dt)
 
 
+def _mk_parse_jwt(alg):
+    """parse_jwt_* (internal/impl/crypto/jwt_parse.go): verify with
+    the method's fixed algorithm and return the claims object."""
+    def f(v, signing_secret):
+        from bento_ray import jwtauth
+
+        try:
+            return jwtauth.parse_jwt(get_string(v), alg,
+                                     get_string(signing_secret))
+        except jwtauth.JWTError as e:
+            raise BloblangError(str(e)) from None
+    return f
+
+
+def _mk_sign_jwt(alg):
+    """sign_jwt_* (internal/impl/crypto/jwt_sign.go): sign a claims
+    object, returning the compact JWS string."""
+    def f(v, signing_secret):
+        from bento_ray import jwtauth
+
+        if not isinstance(v, dict):
+            raise BloblangError(
+                f"expected object value, got {type_of(v)}")
+        try:
+            return jwtauth.sign_jwt(v, alg, get_string(signing_secret))
+        except jwtauth.JWTError as e:
+            raise BloblangError(str(e)) from None
+    return f
+
+
+def m_compare_argon2(v, hashed_secret):
+    """compare_argon2 (internal/impl/crypto/argon2.go): True iff the
+    input matches the fully-qualified argon2i/argon2id hash string.
+    Empty input returns False without parsing (argon2.go:126-128)."""
+    from bento_ray import argon2kdf
+
+    source = get_string(v)
+    if source == "":
+        return False
+    try:
+        return argon2kdf.compare(source.encode(),
+                                 get_string(hashed_secret))
+    except argon2kdf.Argon2Error as e:
+        raise BloblangError(str(e)) from None
+
+
+def m_compare_bcrypt(v, hashed_secret):
+    """compare_bcrypt (internal/impl/crypto/bcrypt.go): True iff the
+    input matches the bcrypt hash; malformed hashes error."""
+    from bento_ray import bcryptkdf
+
+    try:
+        return bcryptkdf.compare(get_string(v).encode(),
+                                 get_string(hashed_secret))
+    except bcryptkdf.BcryptError as e:
+        raise BloblangError(str(e)) from None
+
+
 def _build_registry():
     R = {}
 
@@ -907,6 +965,15 @@ def _build_registry():
     reg("decode", _m(m_decode))
     reg("encrypt_aes", _m(m_encrypt_aes))
     reg("decrypt_aes", _m(m_decrypt_aes))
+    # JWT + password-hash comparisons (internal/impl/crypto/): 9 parse
+    # + 9 sign methods, one per golang-jwt algorithm, plus
+    # compare_argon2 / compare_bcrypt.
+    for _alg in ("HS256", "HS384", "HS512", "RS256", "RS384", "RS512",
+                 "ES256", "ES384", "ES512"):
+        reg(f"parse_jwt_{_alg.lower()}", _m(_mk_parse_jwt(_alg)))
+        reg(f"sign_jwt_{_alg.lower()}", _m(_mk_sign_jwt(_alg)))
+    reg("compare_argon2", _m(m_compare_argon2))
+    reg("compare_bcrypt", _m(m_compare_bcrypt))
     reg("hash", m_hash_entry)
     reg("compress", _compress_entry)
     reg("decompress", _decompress_entry)
