@@ -46,8 +46,17 @@ def _cmd_run(args) -> int:
         print(f"wrote {path}")
     elif "stdout" in out_spec:
         for row in p.dataset().iter_rows():
-            print(json.dumps(row, default=str, sort_keys=True,
-                             separators=(",", ":")))
+            # content-mode rows print the message bytes per line
+            # (output_stdout.go); structured rows print as JSON docs
+            if "content" in row and set(row) <= {"content", "err",
+                                                 "path"}:
+                c = row["content"]
+                if isinstance(c, (bytes, bytearray)):
+                    c = c.decode("utf-8", "replace")
+                print(c)
+            else:
+                print(json.dumps(row, default=str, sort_keys=True,
+                                 separators=(",", ":")))
     elif "drop" in out_spec:
         print(f"{p.drop()} rows dropped")
     else:

@@ -850,6 +850,21 @@ def _mk_sign_jwt(alg):
     return f
 
 
+def _mk_geoip(method):
+    """geoip_* (internal/impl/maxmind/bloblang_geoip.go): mmdb lookup
+    returning the geoip2-golang struct shape; the reader is cached per
+    path (the reference opens the DB once at method construction)."""
+    def f(v, path):
+        from bento_ray import geoip
+
+        try:
+            return geoip.geoip_lookup(method, get_string(v),
+                                      get_string(path))
+        except geoip.GeoIPError as e:
+            raise BloblangError(str(e)) from None
+    return f
+
+
 def m_compare_argon2(v, hashed_secret):
     """compare_argon2 (internal/impl/crypto/argon2.go): True iff the
     input matches the fully-qualified argon2i/argon2id hash string.
@@ -974,6 +989,12 @@ def _build_registry():
         reg(f"sign_jwt_{_alg.lower()}", _m(_mk_sign_jwt(_alg)))
     reg("compare_argon2", _m(m_compare_argon2))
     reg("compare_bcrypt", _m(m_compare_bcrypt))
+    # geoip_* (internal/impl/maxmind/bloblang_geoip.go): mmdb lookups
+    # shaped as the geoip2-golang structs.
+    for _gm in ("geoip_city", "geoip_country", "geoip_asn",
+                "geoip_enterprise", "geoip_anonymous_ip",
+                "geoip_connection_type", "geoip_domain", "geoip_isp"):
+        reg(_gm, _m(_mk_geoip(_gm)))
     reg("hash", m_hash_entry)
     reg("compress", _compress_entry)
     reg("decompress", _decompress_entry)

@@ -1051,6 +1051,53 @@ class AvroProcessor(Processor):
         return [batch]
 
 
+class OpenSnowcatProcessor(Processor):
+    """``opensnowcat`` (internal/impl/opensnowcat/
+    processor_opensnowcat.go): Snowplow enriched-TSV event processing
+    — drop filters (column substrings + schema property paths),
+    PII transforms (hash/redact/anonymize_ip), tsv or flattened-json
+    output. Core logic in bento_ray.snowcat."""
+
+    name = "opensnowcat"
+
+    def __init__(self, output_format: str = "tsv",
+                 filters: dict | None = None):
+        from bento_ray.snowcat import OpenSnowcat
+
+        f = filters or {}
+        self.engine = OpenSnowcat(
+            output_format=output_format,
+            drop=f.get("drop"),
+            transform=f.get("transform"))
+
+    def process_batch(self, batch, rt):
+        from bento_ray.snowcat import SnowcatError
+
+        out = []
+        for m in batch:
+            try:
+                res = self.engine.process(
+                    m.content_bytes().decode("utf-8", "replace"))
+            except SnowcatError as e:
+                m.error = str(e)
+                out.append(m)
+                continue
+            if res is None:
+                rt.counters["opensnowcat.dropped"] = \
+                    rt.counters.get("opensnowcat.dropped", 0) + 1
+                continue  # event dropped by filter
+            if isinstance(res, dict):
+                m._structured = res
+                m._parsed = True
+                m.raw = None
+            else:
+                m.raw = res.encode()
+                m._structured = None
+                m._parsed = False
+            out.append(m)
+        return [out]
+
+
 class MsgpackProcessor(Processor):
     """``msgpack`` (internal/impl/msgpack/processor.go): to_json /
     from_json between MessagePack and JSON payloads."""
@@ -1622,7 +1669,7 @@ CONFIG_PROCESSOR_KINDS = frozenset({
     "sleep", "metric", "group_by_value", "bounds_check", "parse_log",
     "grok", "compress", "decompress", "insert_part", "jq", "jmespath",
     "noop", "log", "select_parts", "http", "javascript", "command",
-    "subprocess",
+    "subprocess", "opensnowcat",
 })
 
 
@@ -1669,6 +1716,10 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
             base_dir=_BASE_DIR[0] if _BASE_DIR else None)
     if kind == "msgpack":
         return MsgpackProcessor(operator=cfg["operator"])
+    if kind == "opensnowcat":
+        return OpenSnowcatProcessor(
+            output_format=(cfg or {}).get("output_format", "tsv"),
+            filters=(cfg or {}).get("filters"))
     if kind == "avro":
         return AvroProcessor(
             operator=cfg["operator"],
