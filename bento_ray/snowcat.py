@@ -33,7 +33,8 @@ from datetime import datetime, timezone
 
 from bento_ray.util import rfc3339nano
 
-__all__ = ["COLUMNS", "parse_enriched_event", "OpenSnowcat"]
+__all__ = ["COLUMNS", "parse_enriched_event", "OpenSnowcat",
+           "snowcat_stage"]
 
 # processor_opensnowcat.go:29-63 (public spec ordering, lowercase)
 COLUMNS = [
@@ -334,3 +335,44 @@ class OpenSnowcat:
         if self.output_format == "tsv":
             return joined
         return parse_enriched_event(joined)
+
+
+def snowcat_stage(ds, col: str = "content", output_format: str = "json",
+                  drop: dict | None = None, transform: dict | None = None,
+                  concurrency=(1, 8)):
+    """Distributed bulk path for the ``opensnowcat`` processor: run the
+    enriched-event engine over a Dataset column of TSV lines with an
+    actor pool (filters/transforms compile once per actor in
+    ``__init__``, not per batch).
+
+    Output: ``json`` mode → one ``content`` column of flattened-event
+    JSON strings (opaque docs keep the engine columnar without forcing
+    a per-event schema union); ``tsv`` mode → transformed TSV lines.
+    Dropped events shrink the batch — at 100 TB the drop filter is the
+    point, and filtering inside the batch means dropped bytes never
+    re-enter the object store."""
+    import pyarrow as pa
+
+    class _Stage:
+        def __init__(self):
+            from bento_ray.blobl.values import go_json_dumps
+
+            self.engine = OpenSnowcat(output_format=output_format,
+                                      drop=drop, transform=transform)
+            self.dumps = go_json_dumps
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t.column(col).to_pylist()
+            out = []
+            for v in vals:
+                if isinstance(v, bytes):
+                    v = v.decode("utf-8", "replace")
+                res = self.engine.process(v)
+                if res is None:
+                    continue
+                out.append(self.dumps(res)
+                           if isinstance(res, dict) else res)
+            return pa.table({"content": pa.array(out, pa.string())})
+
+    return ds.map_batches(_Stage, batch_format="pyarrow",
+                          concurrency=concurrency)
