@@ -132,3 +132,22 @@ def test_processor_registration(tsv):
     msgs2 = proc2.process_batch([Message(tsv.encode())], rt)
     assert msgs2 == [[]]
     assert rt.counters["opensnowcat.dropped"] == 1
+
+
+def test_snowcat_stage_distributed(tsv):
+    import json
+
+    import ray.data as rd
+
+    from bento_ray.snowcat import snowcat_stage
+
+    ds = rd.from_items([{"content": tsv}, {"content": tsv}])
+    out = snowcat_stage(ds, output_format="json").to_pandas()
+    assert len(out) == 2
+    doc = json.loads(out["content"][0])
+    assert doc["app_id"] == "snwcat"
+    # drop filter inside the stage
+    dropped = snowcat_stage(
+        rd.from_items([{"content": tsv}]),
+        drop={"user_ipaddress": {"contains": ["75.80."]}}).to_pandas()
+    assert len(dropped) == 0
