@@ -511,17 +511,25 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
         ids = t.column("doc_id").to_numpy().astype(np.uint64)
         return t.filter(pa.array(_bloom_test(bits, ids)))
 
-    pruned = shingles.map_batches(_member, batch_format="pyarrow")
+    # Bloom-pruned shingle sets feed BOTH joins — materialize once so
+    # the shingle explode never recomputes (and the fallback join's
+    # schema probe stays O(1)). Bounded: pair-member docs only.
+    pruned = shingles.map_batches(_member, batch_format="pyarrow") \
+        .materialize()
     sh_a = pruned.map_batches(_ren("doc_id", "doc_a"),
                               batch_format="pyarrow")
     sh_b = pruned.map_batches(_ren("doc_id", "doc_b"),
                               batch_format="pyarrow")
+    # force_fallback: the co-bucketed hash join is fully distributed
+    # AND has no actor-pool spin-up — Ray's native Join operator spent
+    # 40s of a 45s sf0.1 run on aggregator startup for a few hundred
+    # Bloom-pruned rows. Both sides here are pair-bounded.
     joined = shuffle_join(pairs, sh_a, on="doc_a", how="inner",
-                          suffix="_a")
+                          suffix="_a", force_fallback=True)
     joined = joined.map_batches(_ren("shingles", "sh_a"),
-                                batch_format="pyarrow")
+                                batch_format="pyarrow").materialize()
     joined = shuffle_join(joined, sh_b, on="doc_b", how="inner",
-                          suffix="_b")
+                          suffix="_b", force_fallback=True)
     joined = joined.map_batches(_ren("shingles", "sh_b"),
                                 batch_format="pyarrow")
 
