@@ -1029,6 +1029,96 @@ ORDER BY d.doc_id
 """
 
 
+def q_dup_window_coverage(sf_dir: str):
+    """Span-level duplication coverage (Lee et al. 2022 hash-window
+    approximation): per-doc fraction of tokens covered by an 8-token
+    window duplicated across ≥2 documents. Oracle replicates the
+    window-hash fold, the distinct-doc document frequency, and the
+    interval union (DISTINCT positions) in SQL."""
+    from bento_ray.textops import dup_window_coverage
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dup_window_coverage(ds, n=8)
+
+
+# Shared CTE body: per-doc (position, window-hash) pairs, the ≥2-doc
+# duplicated-window set, and the DISTINCT covered token positions.
+_SQL_DUPWIN_BODY = rf"""
+d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+         {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 1
+),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM wh GROUP BY doc_id),
+ngp AS (
+  SELECT doc_id, u['s'] AS s, u['h'] AS ngh
+  FROM (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(hs) - 7),
+            i -> {{'s': i, 'h': CAST(list_reduce(
+                   list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(hs[i : i + 7],
+                                    x -> CAST(x AS HUGEINT))),
+                   (acc, x) -> ((acc * 1000003 + x)
+                                % 18446744073709551616)
+                               % 2305843009213693951) AS BIGINT)}})) AS u
+        FROM hl WHERE len(hs) >= 8)
+),
+dup AS (SELECT ngh FROM (SELECT ngh, count(DISTINCT doc_id) AS dd
+                         FROM ngp GROUP BY ngh) WHERE dd >= 2),
+cov AS (SELECT DISTINCT doc_id, p FROM (
+          SELECT g.doc_id AS doc_id,
+                 unnest(generate_series(g.s, g.s + 7)) AS p
+          FROM ngp g JOIN dup USING (ngh)))
+"""
+
+
+SQL_DUP_WINDOW_COVERAGE = rf"""
+WITH {_SQL_DUPWIN_BODY},
+tot AS (SELECT doc_id, COALESCE(len(words), 0) AS n_tokens FROM d),
+ccount AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(c.n_covered, 0) AS n_covered,
+       ROUND(COALESCE(c.n_covered, 0)
+             / GREATEST(t.n_tokens, 1), 6) AS covered_frac
+FROM tot t LEFT JOIN ccount c USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def q_remove_dup_spans(sf_dir: str):
+    """The span-dedup APPLY step: drop every token covered by a
+    duplicated 8-token window and re-join with single spaces (Arrow
+    ListArray + binary_join — no per-doc Python strings). Hash-level
+    text parity with the SQL oracle."""
+    from bento_ray.textops import remove_dup_spans
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_spans(ds, n=8)
+
+
+SQL_REMOVE_DUP_SPANS = rf"""
+WITH {_SQL_DUPWIN_BODY},
+tok AS (SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+               unnest(words) AS w
+        FROM d WHERE len(words) >= 1),
+kept AS (SELECT t.doc_id, t.i, t.w FROM tok t
+         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.i
+         WHERE c.doc_id IS NULL),
+ctext AS (SELECT doc_id,
+                 array_to_string(list(w ORDER BY i), ' ') AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       COALESCE(len(d.words), 0) - COALESCE(c.n_kept, 0) AS n_removed
+FROM d LEFT JOIN ctext c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per doc; oracle SQL_SIMHASH replicates the FNV
     word hashes and the per-bit ±1 vote exactly (bits 61-63 of a
@@ -1915,6 +2005,9 @@ QUERIES = {
                               SQL_EMBEDDING_DIM_STATS),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "q_dup_window_coverage": (q_dup_window_coverage,
+                              SQL_DUP_WINDOW_COVERAGE),
+    "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

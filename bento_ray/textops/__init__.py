@@ -32,6 +32,8 @@ from bento_ray.textops.terms import (
     stratified_sample,
     decontaminate,
     unigram_logprob,
+    dup_window_coverage,
+    remove_dup_spans,
 )
 from bento_ray.textops.urlops import (
     parse_urls,
@@ -71,4 +73,6 @@ __all__ = [
     "cosine_near_dups_lsh",
     "decontaminate",
     "unigram_logprob",
+    "dup_window_coverage",
+    "remove_dup_spans",
 ]

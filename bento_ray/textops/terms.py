@@ -47,6 +47,8 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "unigram_logprob",
+    "dup_window_coverage",
+    "remove_dup_spans",
 ]
 
 # Knuth multiplicative hash constant (2^32 / phi) — public domain.
@@ -434,11 +436,14 @@ def hash_sample(ds, denom: int = 10, residue: int = 3,
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
-def _ngram_hash_explode(t: pa.Table, col: str, n: int):
+def _ngram_hash_explode(t: pa.Table, col: str, n: int,
+                        with_words: bool = False):
     """Shared n-gram hash explode (the dup_ngram_stats polynomial):
     per-batch (ngram-hash instances, owning doc row index, doc ids,
-    per-doc n-gram totals). Hashes are 61-bit polynomial folds of the
-    FNV word hashes — n-grams move as integers, never strings."""
+    per-doc n-gram totals, window start positions within each doc[,
+    flat word array + per-doc word counts when ``with_words``]).
+    Hashes are 61-bit polynomial folds of the FNV word hashes —
+    n-grams move as integers, never strings."""
     from bento_ray.textops.quality import word_hashes
 
     M = np.uint64((1 << 61) - 1)
@@ -454,12 +459,18 @@ def _ngram_hash_explode(t: pa.Table, col: str, n: int):
                    + hs[j:total - n + 1 + j]) % M
         doc_of = np.repeat(np.arange(len(lens)), lens)
         valid = doc_of[:total - n + 1] == doc_of[n - 1:]
+        flat_idx = np.flatnonzero(valid)
         ngh = out[valid].astype(np.int64)
-        inst_row = doc_of[:total - n + 1][valid]
+        inst_row = doc_of[flat_idx]
+        word_starts = np.concatenate(
+            [[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        pos = flat_idx - word_starts[inst_row]
     else:
         ngh = np.empty(0, np.int64)
         inst_row = np.empty(0, np.int64)
-    return ngh, inst_row, ids, np.maximum(lens - n + 1, 0)
+        pos = np.empty(0, np.int64)
+    base = (ngh, inst_row, ids, np.maximum(lens - n + 1, 0), pos)
+    return (*base, flat, lens) if with_words else base
 
 
 class _ContaminationScorer:
@@ -474,7 +485,7 @@ class _ContaminationScorer:
         self.col = col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ngh, inst_row, ids, totals = _ngram_hash_explode(
+        ngh, inst_row, ids, totals, _ = _ngram_hash_explode(
             t, self.col, self.n)
         if len(ngh) and len(self.ev):
             pos = np.searchsorted(self.ev, ngh)
@@ -510,7 +521,7 @@ def decontaminate(ds, eval_ds, n: int = 8, col: str = "text"):
     for any real benchmark suite)."""
 
     def _eval_partial(t: pa.Table) -> pa.Table:
-        ngh, _, _, _ = _ngram_hash_explode(t, col, n)
+        ngh, _, _, _, _ = _ngram_hash_explode(t, col, n)
         return pa.table({"ngh": pa.array(np.unique(ngh), pa.int64())})
 
     parts = [b.column("ngh").to_numpy(zero_copy_only=False)
@@ -599,3 +610,137 @@ def unigram_logprob(ds, col: str = "text"):
     return ds.map_batches(
         _UnigramScorer, fn_constructor_args=(lm_ref, col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _dup_window_hashes(ds, n: int, col: str):
+    """Window hashes that occur in ≥2 DISTINCT docs corpus-wide, as a
+    sorted int64 array broadcast via ray.put. Two-phase: per-batch
+    distinct (doc, hash) pairs (a doc is atomic within its block, so
+    batch-local distinct IS global) → groupby(hash) partial-sum →
+    filter df ≥ 2. The collected set is the corpus's duplicated-window
+    vocabulary — bounded by redundancy, not corpus size; swap the
+    driver collect + broadcast for a shuffle_join on the hash when
+    that vocabulary outgrows worker RAM."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def _inst(t: pa.Table) -> pa.Table:
+        ngh, inst_row, _, _, _ = _ngram_hash_explode(t, col, n)
+        tt = pa.table({"d": pa.array(inst_row, pa.int64()),
+                       "ngh": pa.array(ngh, pa.int64())})
+        agg = tt.group_by(["d", "ngh"]).aggregate([("ngh", "count")])
+        dfp = agg.group_by("ngh").aggregate([("ngh", "count")])
+        return pa.table({
+            "ngh": dfp.column("ngh"),
+            "dfp": dfp.column("ngh_count").cast(pa.int64()),
+        })
+
+    df = (ds.map_batches(_inst, batch_format="pyarrow")
+          .groupby("ngh").aggregate(_Sum("dfp", alias_name="df")))
+    parts = [b.filter(pc.greater_equal(b.column("df"), 2))
+             .column("ngh").to_numpy(zero_copy_only=False)
+             for b in df.iter_batches(batch_format="pyarrow")]
+    dup = np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, np.int64)
+    return ray.put(dup)
+
+
+def _covered_mask(t: pa.Table, col: str, n: int, dup: np.ndarray):
+    """Per-batch token-coverage machinery shared by the two span ops:
+    → (ids, flat words, per-doc word counts, boolean covered-mask over
+    the flat token index). Interval union is one vectorized
+    delta-array cumsum (no per-window loop)."""
+    ngh, inst_row, ids, _, pos, flat, lens = _ngram_hash_explode(
+        t, col, n, with_words=True)
+    total = int(lens.sum())
+    covered = np.zeros(total + 1, np.int64)
+    if len(ngh) and len(dup):
+        at = dup[np.clip(np.searchsorted(dup, ngh), 0,
+                         len(dup) - 1)] == ngh
+        if at.any():
+            starts = np.concatenate(
+                [[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+            s = starts[inst_row[at]] + pos[at]   # flat start index
+            np.add.at(covered, s, 1)
+            np.add.at(covered, s + n, -1)
+    mask = np.cumsum(covered[:-1]) > 0
+    return ids, flat, lens, mask
+
+
+def dup_window_coverage(ds, n: int = 8, col: str = "text"):
+    """Span-level duplication signal (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better' — the hash-window
+    approximation of their suffix-array substring match): per doc, the
+    fraction of TOKENS covered by at least one n-token window whose
+    hash occurs in ≥2 distinct documents. Returns
+    (doc_id, n_tokens, n_covered, covered_frac).
+
+    Plan: dup-window vocabulary via the combiner two-phase (shuffle ∝
+    distinct windows) → broadcast sorted hash set → one stateless
+    scoring pass (searchsorted + delta-array interval union)."""
+    from bento_ray.util import duckdb_round
+
+    dup_ref = _dup_window_hashes(ds, n, col)
+
+    class _Score:
+        def __init__(self):
+            self.dup = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, _, lens, mask = _covered_mask(t, col, n, self.dup)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            ncov = np.bincount(doc_of[mask], minlength=len(lens)) \
+                .astype(np.int64) if len(mask) else \
+                np.zeros(len(lens), np.int64)
+            frac = duckdb_round(ncov / np.maximum(lens, 1), 6)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(lens.astype(np.int64), pa.int64()),
+                "n_covered": pa.array(ncov, pa.int64()),
+                "covered_frac": pa.array(frac, pa.float64()),
+            })
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def remove_dup_spans(ds, n: int = 8, col: str = "text"):
+    """The APPLY step of span-level dedup: drop every token covered by
+    a cross-document duplicated n-token window and re-join the
+    remainder with single spaces. Returns
+    (doc_id, clean_text, n_removed) — the text surgery is Arrow-native
+    (ListArray over the kept flat words + one binary_join kernel), no
+    per-doc Python string building."""
+    dup_ref = _dup_window_hashes(ds, n, col)
+
+    class _Clean:
+        def __init__(self):
+            self.dup = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, flat, lens, mask = _covered_mask(t, col, n, self.dup)
+            nd = len(lens)
+            if len(mask):
+                doc_of = np.repeat(np.arange(nd), lens)
+                keep = ~mask
+                kept_words = flat.filter(pa.array(keep))
+                kept_per_doc = np.bincount(doc_of[keep], minlength=nd)
+                removed = (lens - kept_per_doc).astype(np.int64)
+            else:
+                kept_words = flat
+                kept_per_doc = np.zeros(nd, np.int64)
+                removed = np.zeros(nd, np.int64)
+            offsets = np.concatenate(
+                [[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                kept_words.combine_chunks() if isinstance(
+                    kept_words, pa.ChunkedArray) else kept_words)
+            joined = pc.binary_join(lists, " ")
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": joined,
+                "n_removed": pa.array(removed, pa.int64()),
+            })
+
+    return ds.map_batches(_Clean, batch_format="pyarrow",
+                          concurrency=(1, 8))

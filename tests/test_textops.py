@@ -847,3 +847,64 @@ def test_unigram_logprob_matches_direct_computation():
     assert out.loc[2, "neg_logprob"] == 0.0
     # rare token c scores worse (higher neg-logprob) than common a
     assert out.loc[1, "neg_logprob"] > out.loc[0, "neg_logprob"]
+
+
+def test_dup_window_coverage_and_removal():
+    from bento_ray.textops import dup_window_coverage, remove_dup_spans
+
+    shared = "alpha beta gamma delta"          # 4-token dup window
+    ds = rd.from_items([
+        {"doc_id": 0, "text": f"{shared} unique tail zero"},
+        {"doc_id": 1, "text": f"front one {shared}"},
+        {"doc_id": 2, "text": "completely different words here now"},
+        {"doc_id": 3, "text": ""},
+    ])
+    cov = dup_window_coverage(ds, n=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert cov.loc[0, "n_tokens"] == 7
+    assert cov.loc[0, "n_covered"] == 4   # the shared window only
+    assert cov.loc[1, "n_covered"] == 4
+    assert cov.loc[2, "n_covered"] == 0
+    assert cov.loc[3, "n_tokens"] == 0
+    assert cov.loc[3, "covered_frac"] == 0.0
+
+    clean = remove_dup_spans(ds, n=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert clean.loc[0, "clean_text"] == "unique tail zero"
+    assert clean.loc[0, "n_removed"] == 4
+    assert clean.loc[1, "clean_text"] == "front one"
+    assert clean.loc[2, "clean_text"] == \
+        "completely different words here now"
+    assert clean.loc[2, "n_removed"] == 0
+    assert clean.loc[3, "clean_text"] == ""
+
+
+def test_dup_window_overlapping_spans_union():
+    from bento_ray.textops import dup_window_coverage
+
+    # doc 0 and 1 share a 5-token run → two overlapping 4-windows in
+    # each; union must count 5 tokens, not 8
+    run = "a b c d e"
+    ds = rd.from_items([
+        {"doc_id": 0, "text": f"{run} x y z"},
+        {"doc_id": 1, "text": f"p q {run}"},
+    ])
+    cov = dup_window_coverage(ds, n=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert cov.loc[0, "n_covered"] == 5
+    assert cov.loc[1, "n_covered"] == 5
+
+
+def test_within_doc_repeat_is_not_a_dup_span():
+    from bento_ray.textops import dup_window_coverage
+
+    rep = "w x y z"
+    ds = rd.from_items([
+        {"doc_id": 0, "text": f"{rep} mid {rep}"},   # repeats itself
+        {"doc_id": 1, "text": "unrelated other text body four"},
+    ])
+    cov = dup_window_coverage(ds, n=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # cross-document definition: a window repeated only inside one doc
+    # does not count
+    assert cov.loc[0, "n_covered"] == 0
