@@ -1119,6 +1119,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_sequence_packing(sf_dir: str):
+    """Tokenize-and-pack: concatenate docs in doc_id order, chunk into
+    512-token sequences, report per-doc token offset + first/last
+    sequence. Oracle is the SQL running-sum window; the engine is the
+    distributed ordered prefix-sum (range buckets → driver-sized
+    bucket prefixes → one groupby exchange)."""
+    from bento_ray.textops import sequence_packing
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return sequence_packing(ds, seq_len=512)
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS ntok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, ntok,
+         CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM d
+)
+SELECT doc_id,
+       ntok AS n_tokens,
+       off AS token_offset,
+       CASE WHEN ntok = 0 THEN -1 ELSE off // 512 END AS first_seq,
+       CASE WHEN ntok = 0 THEN -1
+            ELSE (off + ntok - 1) // 512 END AS last_seq
+FROM o
+ORDER BY doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per doc; oracle SQL_SIMHASH replicates the FNV
     word hashes and the per-bit ±1 vote exactly (bits 61-63 of a
@@ -2008,6 +2045,7 @@ QUERIES = {
     "q_dup_window_coverage": (q_dup_window_coverage,
                               SQL_DUP_WINDOW_COVERAGE),
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
+    "q_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -34,6 +34,7 @@ from bento_ray.textops.terms import (
     unigram_logprob,
     dup_window_coverage,
     remove_dup_spans,
+    sequence_packing,
 )
 from bento_ray.textops.urlops import (
     parse_urls,
@@ -75,4 +76,5 @@ __all__ = [
     "unigram_logprob",
     "dup_window_coverage",
     "remove_dup_spans",
+    "sequence_packing",
 ]

@@ -49,6 +49,7 @@ __all__ = [
     "unigram_logprob",
     "dup_window_coverage",
     "remove_dup_spans",
+    "sequence_packing",
 ]
 
 # Knuth multiplicative hash constant (2^32 / phi) — public domain.
@@ -744,3 +745,89 @@ def remove_dup_spans(ds, n: int = 8, col: str = "text"):
 
     return ds.map_batches(_Clean, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def sequence_packing(ds, seq_len: int = 512, col: str = "text",
+                     id_col: str = "doc_id"):
+    """Training-batch sequence packing: concatenate documents in
+    ``id_col`` order and chunk into fixed ``seq_len``-token sequences;
+    report per doc its global token offset and the first/last sequence
+    it lands in (−1 sentinels for empty docs). This is the
+    tokenize-and-pack step of an LLM data pipeline, and the
+    distributed ORDERED PREFIX-SUM pattern:
+
+      1. per-doc token counts (one vectorized pass, no shuffle);
+      2. range-bucket partial sums (combiner) → the driver sees ONE
+         row per bucket and computes bucket-prefix offsets;
+      3. one groupby(bucket) exchange; each bucket sorts its own docs
+         and adds the broadcast bucket prefix.
+
+    Shuffle moves 2-int rows (never text); the driver holds only
+    bucket count × 16 bytes. Buckets are doc-id ranges so packing is
+    deterministic and independent of block layout."""
+    from bento_ray.util import cluster_cpus, duckdb_round  # noqa: F401
+
+    def _counts(t: pa.Table) -> pa.Table:
+        _, lens = _split_words(t.column(col))
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "ntok": pa.array(lens.astype(np.int64), pa.int64()),
+        })
+
+    counts = ds.map_batches(_counts, batch_format="pyarrow") \
+        .materialize()
+    max_id = counts.max(id_col)
+    n_buckets = max(1, 64 * cluster_cpus())
+    width = max(1, (int(max_id) + n_buckets) // n_buckets)
+
+    def _bucket_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = ids // width
+        s = np.bincount(b, weights=t.column("ntok").to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        nz = np.flatnonzero(s)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "bsum": pa.array(s[nz].astype(np.int64),
+                                          pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    bsums = counts.map_batches(_bucket_partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(_Sum("bsum", alias_name="bsum")) \
+        .take_all()
+    bmap = {int(r["bucket"]): int(r["bsum"]) for r in bsums}
+    prefix = np.zeros(n_buckets + 1, np.int64)
+    acc = 0
+    for b in range(n_buckets):
+        prefix[b] = acc
+        acc += bmap.get(b, 0)
+    prefix_ref = ray.put(prefix)
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(ids // width, pa.int64()))
+
+    def _within(g: pa.Table) -> pa.Table:
+        pre = ray.get(prefix_ref)
+        order = np.argsort(g.column(id_col).to_numpy(
+            zero_copy_only=False), kind="stable")
+        g = g.take(pa.array(order))
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        ntok = g.column("ntok").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = int(g.column("bucket")[0].as_py())
+        off = pre[b] + np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        end = off + ntok
+        first = np.where(ntok > 0, off // seq_len, -1)
+        lastq = np.where(ntok > 0, (end - 1) // seq_len, -1)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "token_offset": pa.array(off.astype(np.int64), pa.int64()),
+            "first_seq": pa.array(first.astype(np.int64), pa.int64()),
+            "last_seq": pa.array(lastq.astype(np.int64), pa.int64()),
+        })
+
+    return counts.map_batches(_add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_within, batch_format="pyarrow")

@@ -908,3 +908,26 @@ def test_within_doc_repeat_is_not_a_dup_span():
     # cross-document definition: a window repeated only inside one doc
     # does not count
     assert cov.loc[0, "n_covered"] == 0
+
+
+def test_sequence_packing_prefix_sums():
+    from bento_ray.textops import sequence_packing
+
+    docs = [
+        {"doc_id": 10, "text": "a b c"},            # 3 tokens, off 0
+        {"doc_id": 20, "text": ""},                  # empty → -1 seqs
+        {"doc_id": 30, "text": " ".join(["w"] * 6)},  # off 3, crosses
+        {"doc_id": 40, "text": "x y"},               # off 9
+    ]
+    out = sequence_packing(rd.from_items(docs), seq_len=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert list(out["token_offset"]) == [0, 3, 3, 9]
+    assert list(out["n_tokens"]) == [3, 0, 6, 2]
+    # doc 10: tokens 0-2 → seq 0 only
+    assert out.loc[10, "first_seq"] == 0 and out.loc[10, "last_seq"] == 0
+    # empty doc: sentinels
+    assert out.loc[20, "first_seq"] == -1 and out.loc[20, "last_seq"] == -1
+    # doc 30: tokens 3-8 → seqs 0..2
+    assert out.loc[30, "first_seq"] == 0 and out.loc[30, "last_seq"] == 2
+    # doc 40: tokens 9-10 → seq 2 only
+    assert out.loc[40, "first_seq"] == 2 and out.loc[40, "last_seq"] == 2
