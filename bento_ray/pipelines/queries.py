@@ -1119,6 +1119,87 @@ ORDER BY d.doc_id
 """
 
 
+def q_snowcat_pii(sf_dir: str):
+    """opensnowcat drop + PII-transform semantics, driver-oracled:
+    deterministic Snowplow enriched-TSV rows synthesized from the
+    documents table run through the processor engine (drop filter on
+    the second IP octet, SHA-256+salt user hash, 2-octet IP
+    anonymization, network-id redaction, tsv output); the oracle
+    replicates the exact column surgery in SQL (sha256(), substring
+    masking, ci-contains drop)."""
+    from bento_ray.snowcat import COLUMNS, OpenSnowcat
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    ncols = len(COLUMNS)
+
+    def _run(t):
+        eng = OpenSnowcat(
+            output_format="tsv",
+            drop={"user_ipaddress": {"contains": ["10.3."]}},
+            transform={"salt": "salty", "hash_algo": "SHA-256",
+                       "fields": {
+                           "user_id": {"strategy": "hash"},
+                           "user_ipaddress": {
+                               "strategy": "anonymize_ip",
+                               "anon_octets": 2},
+                           "network_userid": {
+                               "strategy": "redact",
+                               "redact_value": "[REDACTED]"}}})
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        out_ids, out_tsv = [], []
+        for i, lang in zip(ids, langs):
+            cols = [""] * ncols
+            cols[0] = f"app{i % 7}"
+            cols[5] = "page_view"
+            cols[12] = f"user{i}"
+            cols[13] = f"10.{i % 256}.{(i // 256) % 256}.{i % 100}"
+            cols[17] = f"net{i}"
+            cols[77] = f"UA {lang}"
+            res = eng.process("\t".join(cols))
+            if res is not None:
+                out_ids.append(i)
+                out_tsv.append(res)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "out_tsv": pa.array(out_tsv, pa.string())})
+
+    return ds.map_batches(_run, batch_format="pyarrow")
+
+
+SQL_SNOWCAT_PII = r"""
+WITH base AS (
+  SELECT doc_id,
+    'app' || CAST(doc_id % 7 AS VARCHAR) AS app_id,
+    'user' || CAST(doc_id AS VARCHAR) AS uid,
+    '10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+          || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+          || CAST(doc_id % 100 AS VARCHAR) AS ip,
+    'net' || CAST(doc_id AS VARCHAR) AS net,
+    'UA ' || lang AS ua
+  FROM documents
+),
+kept AS (SELECT * FROM base
+         WHERE NOT contains(lower(ip), '10.3.')),
+tx AS (
+  SELECT doc_id, app_id,
+         sha256(uid || 'salty') AS uid_h,
+         split_part(ip, '.', 1) || '.' || split_part(ip, '.', 2)
+           || '.x.x' AS ip_a,
+         '[REDACTED]' AS net_r, ua
+  FROM kept
+)
+SELECT doc_id,
+       app_id || repeat(chr(9), 5) || 'page_view'
+              || repeat(chr(9), 7) || uid_h
+              || chr(9) || ip_a
+              || repeat(chr(9), 4) || net_r
+              || repeat(chr(9), 60) || ua
+              || repeat(chr(9), 53) AS out_tsv
+FROM tx
+ORDER BY doc_id
+"""
+
+
 def q_sequence_packing(sf_dir: str):
     """Tokenize-and-pack: concatenate docs in doc_id order, chunk into
     512-token sequences, report per-doc token offset + first/last
@@ -2046,6 +2127,7 @@ QUERIES = {
                               SQL_DUP_WINDOW_COVERAGE),
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "q_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "q_snowcat_pii": (q_snowcat_pii, SQL_SNOWCAT_PII),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
