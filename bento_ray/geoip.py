@@ -175,3 +175,42 @@ def geoip_lookup(method: str, ip: str, path: str) -> dict:
     except ValueError as exc:  # bad IP or bad database
         raise GeoIPError(str(exc)) from None
     return _shape(raw, schema)
+
+
+def geoip_stage(ds, ip_col: str, path: str, method: str = "geoip_city",
+                out_col: str = "geo", concurrency=(1, 8)):
+    """Distributed bulk path for the geoip_* methods: enrich a Dataset
+    column of IP strings against a local .mmdb file with an actor pool
+    — the reader (tree + data section) loads ONCE per actor in
+    ``__init__``; per batch each lookup is a pure tree walk. The
+    shaped records are emitted as JSON strings in ``out_col`` (opaque
+    docs keep the stage columnar without a per-database schema union).
+
+    At cluster scale the .mmdb file must be present on every node (it
+    is a small static artifact — ship it via runtime_env or a shared
+    mount); nothing is broadcast per batch."""
+    import json as _json
+
+    import pyarrow as pa
+
+    class _Stage:
+        def __init__(self):
+            self.reader = MMDBReader(path)
+            self.schema = GEOIP_METHODS[method]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ips = t.column(ip_col).to_pylist()
+            out = []
+            for ip in ips:
+                try:
+                    raw = self.reader.lookup(ip) if ip else None
+                except ValueError:
+                    raw = None
+                out.append(_json.dumps(_shape(raw, self.schema),
+                                       sort_keys=True,
+                                       separators=(",", ":")))
+            return t.append_column(out_col,
+                                   pa.array(out, pa.string()))
+
+    return ds.map_batches(_Stage, batch_format="pyarrow",
+                          concurrency=concurrency)

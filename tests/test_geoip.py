@@ -69,3 +69,23 @@ def test_city_full_shape():
     assert out["Country"]["IsoCode"] == "GB"
     assert isinstance(out["Location"]["Latitude"], float)
     assert out["Subdivisions"][0]["IsoCode"] == "ENG"
+
+
+def test_geoip_stage_distributed():
+    import json
+
+    import ray.data as rd
+
+    from bento_ray.geoip import geoip_stage
+
+    ds = rd.from_items([
+        {"ip": "81.2.69.192"},   # London in the test DB
+        {"ip": "127.0.0.1"},     # miss → zero struct
+        {"ip": "not-an-ip"},     # invalid → zero struct
+    ])
+    out = geoip_stage(ds, "ip", f"{TD}/GeoIP2-City-Test.mmdb",
+                      "geoip_city").to_pandas()
+    recs = [json.loads(s) for s in out["geo"]]
+    assert recs[0]["City"]["Names"]["en"] == "London"
+    assert recs[1]["City"] == {"GeoNameID": 0, "Names": None}
+    assert recs[2]["Country"]["IsoCode"] == ""
