@@ -1612,6 +1612,34 @@ def q_cosine_near_dups_lsh(sf_dir: str):
                                 num_tables=24, dim=64)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023): spherical-kmeans
+    clustering + within-cluster cosine pruning, keep-min-id rule. At
+    the 1-cell gate every doc sees every other, so the kept set must
+    EQUAL the SQL ``NOT EXISTS`` lower-id self-join — the assigner,
+    the cluster groupby, the priority ordering and the chunked
+    triangular prune are all on the hash-checked path. Multi-cell
+    behavior (bounded per-cluster candidate sets, the ``"far"``
+    centroid-priority rule) is pinned in tests/test_textops.py.
+    Threshold 0.4 matches q_cosine_near_dups (real pair set with
+    ≥ 1e-5 margin on this corpus)."""
+    from bento_ray.textops import semdedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.4, num_cells=1, keep="min_id")
+
+
+SQL_SEMDEDUP = """
+SELECT e.vec_id
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings e2
+  WHERE e2.vec_id < e.vec_id
+    AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e2.embedding AS DOUBLE[])) >= 0.4)
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF top-k with the 16-cell spherical-kmeans quantizer, probing
     ALL cells at the gate (exhaustive coverage ⇒ the cell-partitioned
@@ -2137,6 +2165,7 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, SQL_ANN),
     "q_ann_ivf": (q_ann_ivf, SQL_ANN),
     "q_cosine_near_dups_lsh": (q_cosine_near_dups_lsh, SQL_COSINE_NEAR_DUPS),
+    "q_semdedup": (q_semdedup, SQL_SEMDEDUP),
     "q_flagship_stream": (q_flagship_stream, SQL_FLAGSHIP),
 }
 

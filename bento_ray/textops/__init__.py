@@ -19,6 +19,7 @@ from bento_ray.textops.similarity import (
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    semdedup,
 )
 
 from bento_ray.textops.terms import (
@@ -72,6 +73,7 @@ __all__ = [
     "ivf_cosine_topk",
     "cosine_near_dups",
     "cosine_near_dups_lsh",
+    "semdedup",
     "decontaminate",
     "unigram_logprob",
     "dup_window_coverage",

@@ -468,6 +468,80 @@ def ivf_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
                                                 batch_format="pandas")
 
 
+def semdedup(ds, threshold: float = 0.9, num_cells: int = 8,
+             keep: str = "min_id", train_sample: int = 2048,
+             train_iters: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency: int | None = None):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a spherical
+    k-means coarse quantizer, then WITHIN each cluster drop every
+    document that has a higher-priority semantic duplicate
+    (cosine ≥ ``threshold``). Returns the kept ``id_col`` values.
+
+    Priority (``keep``):
+      - ``"min_id"``  — the smallest id among duplicates survives
+        (deterministic, engine-independent; a doc is dropped iff ANY
+        lower-id doc in its cluster clears the threshold — the exact
+        rule a SQL ``NOT EXISTS`` self-join expresses, which is how
+        the driver oracle checks this op at the 1-cell gate).
+      - ``"far"``     — the paper's best-performing rule: among
+        duplicates, keep the example FARTHEST from its cluster
+        centroid (low centroid-similarity = high priority; ties break
+        toward the smaller id).
+
+    Scale shape: the quantizer is trained driver-side on a bounded
+    ``train_sample``; the (cells × dim) centroid matrix is broadcast
+    once via ``ray.put``; cell assignment is one stateless
+    ``map_batches``; ONE groupby shuffle co-locates each cluster; the
+    per-cluster prune is a chunked float64 matmul whose transient is
+    ≤ CHUNK² doubles regardless of cluster size. Total compute is
+    Σ c_i² · D — SemDeDup's point is that ``num_cells`` grows with the
+    corpus (the paper used 50k clusters for 134M docs) so clusters
+    stay small and the quadratic term never sees N²."""
+    CH = 2048
+    rng = np.random.RandomState(seed)
+    sample = ds.limit(train_sample).take(train_sample)
+    sm = _normalize(np.array([r[vec_col] for r in sample], np.float64))
+    C = _spherical_kmeans(sm, num_cells, train_iters, rng)
+    c_ref = ray.put(C)
+
+    assigned = ds.map_batches(
+        _IvfAssigner, fn_constructor_args=(c_ref, vec_col),
+        batch_format="pyarrow", concurrency=_conc(concurrency))
+
+    thr = float(threshold)
+
+    def _per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        vm = _normalize(np.array(g[vec_col].tolist(), np.float64))
+        if keep == "min_id":
+            order = np.argsort(ids, kind="stable")
+        else:  # "far": ascending centroid-similarity, ties by id
+            cen = C[int(g["ivf_cell"].iloc[0])]
+            order = np.lexsort((ids, vm @ cen))
+        ids_o, vm_o = ids[order], vm[order]
+        n = len(ids_o)
+        dropped = np.zeros(n, bool)
+        for s in range(0, n, CH):
+            e = min(s + CH, n)
+            hit = np.zeros(e - s, bool)
+            rows = np.arange(s, e)
+            for cs in range(0, e, CH):
+                ce = min(cs + CH, e)
+                sims = vm_o[s:e] @ vm_o[cs:ce].T
+                mask = (sims >= thr) & \
+                    (np.arange(cs, ce)[None, :] < rows[:, None])
+                hit |= mask.any(axis=1)
+            dropped[s:e] = hit
+        kept = ids_o[~dropped]
+        kept.sort()
+        return pd.DataFrame({id_col: kept})
+
+    return assigned.groupby("ivf_cell").map_groups(
+        _per_cell, batch_format="pandas")
+
+
 def embedding_dim_stats(ds, vec_col: str = "embedding"):
     """Per-dimension mean / population-std over an embedding column —
     the moment-combiner shape: each batch collapses to one (dim, sum,

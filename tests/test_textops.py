@@ -337,6 +337,55 @@ def test_cosine_near_dups_lsh_planted_recall(ray_session):
     assert len(got & want) / len(want) >= 0.9
 
 
+def test_semdedup_far_rule_single_cell(ray_session):
+    """SemDeDup priority rules on a hand-computable 1-cell corpus:
+    ids 1/2 are a cos≈0.958 near-dup pair, ids 3/4 are identical.
+    ``min_id`` keeps {1, 3}; ``far`` (the paper's
+    farthest-from-centroid rule) keeps {2, 3} — id 2 has the LOWEST
+    centroid similarity (0.650 vs id 1's 0.841), and the 3-vs-4 tie
+    breaks to the smaller id."""
+    from bento_ray.textops import semdedup
+
+    items = [{"vec_id": 1, "embedding": [1.0, 0.3, 0.0]},
+             {"vec_id": 2, "embedding": [1.0, 0.0, 0.0]},
+             {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},
+             {"vec_id": 4, "embedding": [0.0, 1.0, 0.0]}]
+    kept_min = sorted(semdedup(rd.from_items(items), threshold=0.95,
+                               num_cells=1, keep="min_id")
+                      .to_pandas()["vec_id"])
+    kept_far = sorted(semdedup(rd.from_items(items), threshold=0.95,
+                               num_cells=1, keep="far")
+                      .to_pandas()["vec_id"])
+    assert kept_min == [1, 3]
+    assert kept_far == [2, 3]
+
+
+def test_semdedup_multicell_planted(ray_session):
+    """Multi-cell SemDeDup: two well-separated clusters, each with
+    planted EXACT duplicates. Identical vectors always share a cell,
+    so exactly the min id of each duplicate group survives and every
+    non-duplicate survives — regardless of which cell k-means carved
+    for it. Also pins that the result is the union over cells (no
+    cross-cell comparisons: a planted pair SPLIT across orthogonal
+    clusters is never compared, which is the documented
+    approximation)."""
+    from bento_ray.textops import semdedup
+
+    rng = np.random.RandomState(7)
+    a = _normalize_rows(rng.standard_normal((40, 8)) + 6 * np.eye(8)[0])
+    b = _normalize_rows(rng.standard_normal((40, 8)) - 6 * np.eye(8)[3])
+    vecs = np.vstack([a, b, a[:5], b[:5]])        # dups get ids 80..89
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(len(vecs))])
+    kept = sorted(semdedup(ds, threshold=0.999999, num_cells=2,
+                           keep="min_id").to_pandas()["vec_id"])
+    assert kept == list(range(80))
+
+
+def _normalize_rows(m):
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
 def test_ivf_ann_recall_clustered_and_real(ray_session):
     """IVF coarse quantization is data-adaptive: on tightly clustered
     vectors a 2-of-16-cell probe already recovers ≥ 0.9 of true
