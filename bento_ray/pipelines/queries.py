@@ -1029,6 +1029,71 @@ ORDER BY d.doc_id
 """
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed unigram+bigram bucket distributions fit on the full corpus
+    (raw) and on its English subset (target); every doc scored by the
+    integer micro-nat log-ratio sum; deterministic top-100 (weight
+    desc, doc_id asc). The oracle replicates the FNV word hash, the
+    bigram polynomial fold, the 10k-bucket mod, the Laplace-smoothed
+    log-ratio quantization and the ranking in SQL — the whole
+    selection pipeline is on the hash-checked path."""
+    from bento_ray.textops import dsir_select
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), pa.scalar("en"))),
+        batch_format="pyarrow")
+    return dsir_select(ds, target, k=100)
+
+
+SQL_DSIR_SELECT = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+         {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 1
+),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM wh GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(hs[i : i + 1], x -> CAST(x AS HUGEINT))),
+           (acc, x) -> ((acc * 1000003 + x) % 18446744073709551616)
+                       % 2305843009213693951) AS BIGINT) % 10000 AS b
+  FROM (SELECT doc_id, unnest(generate_series(1, len(hs) - 1)) AS i, hs
+        FROM hl WHERE len(hs) >= 2)
+),
+feats AS (
+  SELECT doc_id, h % 10000 AS b FROM wh
+  UNION ALL SELECT doc_id, b FROM bi
+),
+cr AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+nr AS (SELECT count(*) AS n FROM feats),
+tf AS (SELECT f.doc_id, f.b FROM feats f
+       JOIN documents doc ON doc.doc_id = f.doc_id
+       WHERE doc.lang = 'en'),
+ct AS (SELECT b, count(*) AS c FROM tf GROUP BY b),
+nt AS (SELECT count(*) AS n FROM tf),
+lam AS (
+  SELECT cr.b,
+         CAST(ROUND((ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + 10000.0))
+                   - ln((cr.c + 1.0) / (nr.n + 10000.0))) * 1000000)
+              AS BIGINT) AS micro
+  FROM cr LEFT JOIN ct USING (b), nr, nt
+),
+s AS (SELECT doc_id, count(*) AS n_feats, SUM(micro) AS w
+      FROM feats JOIN lam USING (b) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+       CAST(COALESCE(s.w, 0) AS BIGINT) AS micro_weight
+FROM d LEFT JOIN s USING (doc_id)
+ORDER BY micro_weight DESC, d.doc_id
+LIMIT 100
+"""
+
+
 def q_dup_window_coverage(sf_dir: str):
     """Span-level duplication coverage (Lee et al. 2022 hash-window
     approximation): per-doc fraction of tokens covered by an 8-token
@@ -2151,6 +2216,7 @@ QUERIES = {
                               SQL_EMBEDDING_DIM_STATS),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "q_dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "q_dup_window_coverage": (q_dup_window_coverage,
                               SQL_DUP_WINDOW_COVERAGE),
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),

@@ -46,6 +46,8 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "decontaminate",
+    "dsir_weights",
+    "dsir_select",
     "unigram_logprob",
     "dup_window_coverage",
     "remove_dup_spans",
@@ -611,6 +613,132 @@ def unigram_logprob(ds, col: str = "text"):
     return ds.map_batches(
         _UnigramScorer, fn_constructor_args=(lm_ref, col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _dsir_bucket_instances(t: pa.Table, col: str, n_buckets: int):
+    """Hashed bag-of-ngrams feature instances (DSIR's representation):
+    every unigram and adjacent-bigram occurrence, hashed into
+    ``n_buckets`` buckets (the 61-bit n-gram polynomial % buckets).
+    Returns (bucket ids per instance, owning doc row, doc ids)."""
+    u_h, u_row, ids, _, _ = _ngram_hash_explode(t, col, 1)
+    b_h, b_row, _, _, _ = _ngram_hash_explode(t, col, 2)
+    bk = np.concatenate([u_h, b_h]) % n_buckets
+    row = np.concatenate([u_row, b_row])
+    return bk.astype(np.int64), row.astype(np.int64), ids
+
+
+def _dsir_bucket_counts(ds, col: str, n_buckets: int) -> np.ndarray:
+    """Dense per-bucket feature counts for a corpus. Combiner-shaped:
+    each batch collapses to ≤ n_buckets (bucket, cnt) rows, the groupby
+    sums bucket-sized partials, and the driver assembles one dense
+    int64 vector (n_buckets ≤ ~100k ⇒ KBs — the distribution IS the
+    model, and it is small by construction)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bk, _, _ = _dsir_bucket_instances(t, col, n_buckets)
+        cnt = np.bincount(bk, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+    dense = np.zeros(n_buckets, np.int64)
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        dense[b.column("bucket").to_numpy(zero_copy_only=False)
+              .astype(np.int64)] = \
+            b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    return dense
+
+
+class _DsirScorer:
+    """Per-doc DSIR importance weight under the broadcast log-ratio
+    table: one bucket-hash pass + an integer bincount per batch. The
+    λ table is fetched once per actor; with ``local_k`` set, each
+    batch emits only its local top-k rows (weight desc, doc_id asc) so
+    the downstream global sort sees ≤ k rows per block."""
+
+    def __init__(self, lam_ref, col: str, n_buckets: int, local_k):
+        self.lam = ray.get(lam_ref) if isinstance(
+            lam_ref, ray.ObjectRef) else lam_ref
+        self.col = col
+        self.n_buckets = n_buckets
+        self.local_k = local_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bk, row, ids = _dsir_bucket_instances(t, self.col, self.n_buckets)
+        if len(bk):
+            # integer micro-nat weights; per-doc sums stay < 2^53 so
+            # the float64 bincount accumulator is exact
+            w = np.bincount(row, weights=self.lam[bk].astype(np.float64),
+                            minlength=len(ids)).astype(np.int64)
+            nf = np.bincount(row, minlength=len(ids)).astype(np.int64)
+        else:
+            w = np.zeros(len(ids), np.int64)
+            nf = np.zeros(len(ids), np.int64)
+        if self.local_k is not None and len(ids) > self.local_k:
+            order = np.lexsort((ids, -w))[:self.local_k]
+            ids, nf, w = ids[order], nf[order], w[order]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_feats": pa.array(nf, pa.int64()),
+            "micro_weight": pa.array(w, pa.int64()),
+        })
+
+
+def _dsir_lambda(ds, target, n_buckets: int, alpha: float, col: str):
+    from bento_ray.util import duckdb_round
+
+    cr = _dsir_bucket_counts(ds, col, n_buckets)
+    ct = _dsir_bucket_counts(target, col, n_buckets)
+    lam = duckdb_round(
+        (np.log((ct + alpha) / (ct.sum() + alpha * n_buckets))
+         - np.log((cr + alpha) / (cr.sum() + alpha * n_buckets))) * 1e6,
+        0).astype(np.int64)
+    return ray.put(lam)
+
+
+def dsir_weights(ds, target, n_buckets: int = 10_000, alpha: float = 1.0,
+                 col: str = "text"):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw doc by how target-like its hashed bag-of-ngrams
+    features are — λ_b = ln p_target(b) − ln p_raw(b) per bucket
+    (Laplace-smoothed), doc weight = Σ instances λ_bucket. Returns
+    (doc_id, n_feats, micro_weight).
+
+    Cross-engine float discipline: λ is quantized to integer
+    micro-nats ONCE on the driver (DuckDB ROUND convention), so the
+    per-doc reduction is an integer sum — associative and
+    order-independent, bit-identical to the SQL oracle.
+
+    Plan: two bucket-count passes (combiner; shuffle ≤ n_buckets rows
+    per block) → one dense λ array (~80 KB at the paper's 10k buckets)
+    broadcast via ray.put → one stateless actor-pool scoring pass
+    [no shuffle]."""
+    lam_ref = _dsir_lambda(ds, target, n_buckets, alpha, col)
+    return ds.map_batches(
+        _DsirScorer, fn_constructor_args=(lam_ref, col, n_buckets, None),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def dsir_select(ds, target, k: int, n_buckets: int = 10_000,
+                alpha: float = 1.0, col: str = "text"):
+    """DSIR data selection: the ``k`` raw docs with the highest
+    importance weight (ties break to the smaller doc_id) — the
+    deterministic top-k variant of the paper's resampling step.
+
+    Scale shape: scoring batches emit only their LOCAL top-k, so the
+    global sort+limit ranks ≤ k rows per block instead of the corpus;
+    at 100 TB that is a k×blocks exchange, not an all-to-all. (The
+    paper's Gumbel-noised sampling is this operator with hash-derived
+    noise added to the weight column — the ranking machinery is
+    identical.)"""
+    lam_ref = _dsir_lambda(ds, target, n_buckets, alpha, col)
+    scored = ds.map_batches(
+        _DsirScorer, fn_constructor_args=(lam_ref, col, n_buckets, k),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return scored.sort(["micro_weight", "doc_id"],
+                       descending=[True, False]).limit(k)
 
 
 def _dup_window_hashes(ds, n: int, col: str):

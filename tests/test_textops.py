@@ -870,6 +870,59 @@ def test_decontaminate_short_and_empty_docs():
     assert list(out["overlap_frac"]) == [0.0, 0.0, 1.0]
 
 
+def test_dsir_ranks_target_like_docs_first(ray_session):
+    """DSIR separation: raw corpus is half vocab-A docs, half vocab-B
+    docs; the target corpus speaks vocab A. Every A-doc must outweigh
+    every B-doc, dsir_select(k=|A|) must return exactly the A ids,
+    and n_feats counts unigram+bigram instances (2·w − 1 for a w-word
+    doc)."""
+    from bento_ray.textops import dsir_select, dsir_weights
+
+    rng = np.random.RandomState(11)
+    A = ["alpha", "bravo", "charlie", "delta", "echo"]
+    B = ["zulu", "yankee", "xray", "whiskey", "victor"]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab, 12))
+
+    raw = [{"doc_id": i, "text": doc(A if i < 20 else B)}
+           for i in range(40)]
+    target = [{"doc_id": 100 + i, "text": doc(A)} for i in range(10)]
+    ds, tds = rd.from_items(raw), rd.from_items(target)
+
+    w = dsir_weights(ds, tds, n_buckets=997).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert (w["n_feats"] == 23).all()            # 12 uni + 11 bi
+    assert w.loc[:19, "micro_weight"].min() > \
+        w.loc[20:, "micro_weight"].max()
+
+    sel = dsir_select(ds, tds, k=20, n_buckets=997).to_pandas()
+    assert sorted(sel["doc_id"]) == list(range(20))
+    assert len(sel) == 20
+
+
+def test_dsir_empty_docs_and_ties(ray_session):
+    """Zero-word docs score exactly 0 and still rank; identical docs
+    get identical weights and break ties by doc_id. At this toy size
+    Laplace smoothing (α·B ≫ counts) pushes every per-bucket log
+    ratio negative — ln((c_t+1)/(N_t+B)) < ln((c_r+1)/(N_r+B)) when
+    N_t < N_r even for target-only features — so the empty doc's 0
+    legitimately ranks FIRST; the separation test above covers the
+    corpus regime where target-like docs win."""
+    from bento_ray.textops import dsir_select
+
+    ds = rd.from_items([
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 1, "text": "same text here"},
+        {"doc_id": 2, "text": "same text here"},
+    ])
+    tds = rd.from_items([{"doc_id": 9, "text": "same text here"}])
+    out = dsir_select(ds, tds, k=3, n_buckets=97).to_pandas()
+    assert list(out["doc_id"]) == [3, 1, 2]
+    assert out["micro_weight"].iloc[0] == 0
+    assert out["micro_weight"].iloc[1] == out["micro_weight"].iloc[2] < 0
+
+
 def test_unigram_logprob_matches_direct_computation():
     import math
 
