@@ -658,12 +658,14 @@ class _DsirScorer:
     batch emits only its local top-k rows (weight desc, doc_id asc) so
     the downstream global sort sees ≤ k rows per block."""
 
-    def __init__(self, lam_ref, col: str, n_buckets: int, local_k):
+    def __init__(self, lam_ref, col: str, n_buckets: int, local_k,
+                 gumbel_seed=None):
         self.lam = ray.get(lam_ref) if isinstance(
             lam_ref, ray.ObjectRef) else lam_ref
         self.col = col
         self.n_buckets = n_buckets
         self.local_k = local_k
+        self.gumbel_seed = gumbel_seed
 
     def __call__(self, t: pa.Table) -> pa.Table:
         bk, row, ids = _dsir_bucket_instances(t, self.col, self.n_buckets)
@@ -676,6 +678,21 @@ class _DsirScorer:
         else:
             w = np.zeros(len(ids), np.int64)
             nf = np.zeros(len(ids), np.int64)
+        if self.gumbel_seed is not None:
+            # Gumbel-top-k resampling (the paper's sampling step):
+            # deterministic per-doc Gumbel noise from a splitmix64
+            # finalizer over (doc_id, seed) — an affine Knuth mix is
+            # NOT enough here: adjacent seeds would only rotate the
+            # 32-bit ring, leaving small rankings unchanged. No RNG
+            # state, reproducible across runs/engines/cluster sizes;
+            # micro-nat quantized so the noised score stays int64.
+            z = ids.astype(np.uint64) + np.uint64(
+                (self.gumbel_seed * 0x9E3779B97F4A7C15) % (1 << 64))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            u = ((z >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0**-53
+            w = w + np.round(-np.log(-np.log(u)) * 1e6).astype(np.int64)
         if self.local_k is not None and len(ids) > self.local_k:
             order = np.lexsort((ids, -w))[:self.local_k]
             ids, nf, w = ids[order], nf[order], w[order]
@@ -722,20 +739,23 @@ def dsir_weights(ds, target, n_buckets: int = 10_000, alpha: float = 1.0,
 
 
 def dsir_select(ds, target, k: int, n_buckets: int = 10_000,
-                alpha: float = 1.0, col: str = "text"):
+                alpha: float = 1.0, col: str = "text",
+                gumbel_seed: int | None = None):
     """DSIR data selection: the ``k`` raw docs with the highest
-    importance weight (ties break to the smaller doc_id) — the
-    deterministic top-k variant of the paper's resampling step.
+    importance weight (ties break to the smaller doc_id). With
+    ``gumbel_seed`` set, this is the paper's Gumbel-top-k resampling
+    (docs drawn ∝ their importance weight): per-doc Gumbel noise is
+    derived deterministically from a splitmix64 hash of
+    (doc_id, seed) and added in micro-nats, so the draw is
+    reproducible with no RNG state shipped anywhere.
 
     Scale shape: scoring batches emit only their LOCAL top-k, so the
     global sort+limit ranks ≤ k rows per block instead of the corpus;
-    at 100 TB that is a k×blocks exchange, not an all-to-all. (The
-    paper's Gumbel-noised sampling is this operator with hash-derived
-    noise added to the weight column — the ranking machinery is
-    identical.)"""
+    at 100 TB that is a k×blocks exchange, not an all-to-all."""
     lam_ref = _dsir_lambda(ds, target, n_buckets, alpha, col)
     scored = ds.map_batches(
-        _DsirScorer, fn_constructor_args=(lam_ref, col, n_buckets, k),
+        _DsirScorer,
+        fn_constructor_args=(lam_ref, col, n_buckets, k, gumbel_seed),
         batch_format="pyarrow", concurrency=(1, 8))
     return scored.sort(["micro_weight", "doc_id"],
                        descending=[True, False]).limit(k)

@@ -923,7 +923,28 @@ def test_dsir_empty_docs_and_ties(ray_session):
     assert out["micro_weight"].iloc[1] == out["micro_weight"].iloc[2] < 0
 
 
-def test_unigram_logprob_matches_direct_computation():
+def test_dsir_gumbel_resampling(ray_session):
+    """Gumbel-top-k resampling: over 40 IDENTICAL docs (equal
+    weights) the draw is pure noise ranking — the same seed
+    reproduces the selection exactly (hash-derived noise, no RNG
+    state), a different seed draws a different subset, and strong
+    weight signal still dominates the noise (the A/B corpus test
+    above would pass unchanged with noise on)."""
+    from bento_ray.textops import dsir_select
+
+    ds = rd.from_items([{"doc_id": i, "text": "same text here"}
+                        for i in range(40)])
+    tds = rd.from_items([{"doc_id": 99, "text": "same text here"}])
+
+    def sel(seed):
+        df = dsir_select(ds, tds, k=20, n_buckets=97,
+                         gumbel_seed=seed).to_pandas()
+        return list(df["doc_id"])
+
+    a1, a2, b = sel(7), sel(7), sel(8)
+    assert a1 == a2                      # deterministic per seed
+    assert set(a1) != set(b)             # seed changes the draw
+    assert len(a1) == 20 and set(a1) <= set(range(40))
     import math
 
     from bento_ray.textops import unigram_logprob
