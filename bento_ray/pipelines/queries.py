@@ -1372,6 +1372,39 @@ ORDER BY cum.lang
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Quantiles of the continuous events.value column via the
+    mergeable KLL-style sketch (bento_ray/sketches.py). Gate k = 1e6
+    ≥ n, so no compactor fires and the distributed machinery — block
+    partials, level-wise Arrow serialization, the bounded merge tree,
+    CDF inversion — must reproduce the exact order statistics the SQL
+    cumulative-window oracle computes (smallest value with cumulative
+    count ≥ ceil(q·n), the length_quantiles rank rule). Approximation
+    error at sketch-sized k is pinned in tests/test_sketches.py.
+    Values are selected (not computed) doubles, so the float hash
+    compare is exact."""
+    from bento_ray.sketches import kll_quantiles
+
+    ds = _t(sf_dir, "events", ["value"])
+    return kll_quantiles(ds, "value", qs=(0.5, 0.9, 0.99), k=1_000_000)
+
+
+SQL_VALUE_QUANTILES = """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+n AS (SELECT COUNT(*) AS n FROM v),
+cum AS (
+  SELECT value, SUM(COUNT(*)) OVER (ORDER BY value) AS c
+  FROM v GROUP BY value
+)
+SELECT t.q,
+       (SELECT MIN(value) FROM cum, n
+         WHERE c >= CAST(CEIL(t.q * n.n) AS BIGINT)) AS value,
+       (SELECT CAST(n AS BIGINT) FROM n) AS n
+FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)
+ORDER BY t.q
+"""
+
+
 def q_embedding_dim_stats(sf_dir: str):
     """Per-dimension mean/std over the embeddings table via the
     moment combiner (sum/sumsq/n partials per block). Both sides round
@@ -2217,6 +2250,7 @@ QUERIES = {
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "q_dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "q_value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "q_dup_window_coverage": (q_dup_window_coverage,
                               SQL_DUP_WINDOW_COVERAGE),
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
