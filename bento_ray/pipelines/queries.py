@@ -1405,6 +1405,38 @@ ORDER BY t.q
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-20 terms via the Misra-Gries mergeable summary
+    (bento_ray/sketches.py) — the capacity-bounded alternative to
+    q_term_frequency's vocabulary-sized shuffle. Gate capacity 1e6 ≥
+    distinct(terms), so no MG subtraction fires and the block
+    summaries + merge tree must reproduce exact counts — shares
+    SQL_TERM_FREQ. Lower-bound behavior at sketch-sized capacity is
+    pinned in tests/test_sketches.py."""
+    from bento_ray.sketches import mg_top_terms
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return mg_top_terms(ds, k=20, capacity=1_000_000)
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """Global distinct user_ids via HyperLogLog with the exact sparse
+    gate (sparse_limit 1e6 ≥ distinct): every block summary stays the
+    unique-hash set, merges are set unions, and the reported count
+    must equal COUNT(DISTINCT user_id). Dense-register accuracy
+    (≈1.04/√2^p) is pinned in tests/test_sketches.py."""
+    from bento_ray.sketches import hll_distinct
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    return hll_distinct(ds, "user_id", sparse_limit=1_000_000)
+
+
+SQL_DISTINCT_HLL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+"""
+
+
 def q_embedding_dim_stats(sf_dir: str):
     """Per-dimension mean/std over the embeddings table via the
     moment combiner (sum/sumsq/n partials per block). Both sides round
@@ -2251,6 +2283,8 @@ QUERIES = {
     "q_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "q_dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "q_value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "q_heavy_hitters": (q_heavy_hitters, SQL_TERM_FREQ),
+    "q_distinct_users_hll": (q_distinct_users_hll, SQL_DISTINCT_HLL),
     "q_dup_window_coverage": (q_dup_window_coverage,
                               SQL_DUP_WINDOW_COVERAGE),
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
