@@ -1787,6 +1787,106 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + canonical-key dedup — the first step of
+    every web-crawl pipeline (the same page arrives as
+    ``HTTP://WWW.X.COM:80/a/?utm_source=y&b=1#top`` and
+    ``http://x.com/a?b=1``). The raw documents carry no URLs, so both
+    sides lace a deterministic doc_id-derived messy URL (mixed-case
+    scheme/host, www. prefixes, default ports, unordered + utm_ query
+    params, fragments, trailing slashes) and then run their OWN
+    canonicalization chain (vectorized Arrow/pandas here, DuckDB
+    regexp/list kernels there) — the hash compares the canonical keys
+    and collapse counts, verifying the canonicalizer itself.
+
+    Scale shape: per-batch (canonical → count, min-id) Arrow partials
+    bound the shuffle to one row per distinct canonical per block."""
+    from bento_ray.textops.urlops import url_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        d = pd.Series(ids)
+        s, p = d % 40, d % 7
+        proto = pd.Series(np.where(s % 2 == 0, "http", "https"))
+        scheme = proto.str.upper().where(d % 3 == 0, proto)
+        www = pd.Series(np.where(d % 2 == 0, "www.", ""))
+        site = "Site" + s.astype(str) + ".Example.COM"
+        host = site.where(d % 5 == 0, "site" + s.astype(str) + ".example.com")
+        port = pd.Series(np.where(s % 2 == 0, ":80", ":443")).where(
+            d % 3 == 1, "")
+        path = "/page/p" + p.astype(str) + pd.Series(
+            np.where(d % 2 == 1, "/", ""))
+        query = pd.Series(
+            np.where(d % 2 == 0,
+                     "?b=2&a=1&utm_source=x" + (d % 3).astype(str),
+                     "?a=1&b=2"))
+        frag = ("#sec" + (d % 6).astype(str)).where(d % 7 == 0, "")
+        url = scheme + "://" + www + host + port + path + query + frag
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "url": pa.array(url, pa.string())})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    return url_dedup(laced, col="url").sort("canonical_url")
+
+
+SQL_URL_DEDUP = r"""
+WITH laced AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN upper(proto) ELSE proto END || '://'
+    || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN 'Site' || s || '.Example.COM'
+         ELSE 'site' || s || '.example.com' END
+    || CASE WHEN doc_id % 3 = 1
+         THEN CASE WHEN proto = 'http' THEN ':80' ELSE ':443' END
+         ELSE '' END
+    || '/page/p' || (doc_id % 7)
+    || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+         THEN '?b=2&a=1&utm_source=x' || (doc_id % 3)
+         ELSE '?a=1&b=2' END
+    || CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 6) ELSE '' END
+    AS url
+  FROM (SELECT doc_id, doc_id % 40 AS s,
+               CASE WHEN (doc_id % 40) % 2 = 0
+                    THEN 'http' ELSE 'https' END AS proto
+        FROM documents)
+),
+parsed AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query0
+  FROM laced
+),
+norm AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+           ELSE host0 END,
+      '^www\.', '') AS host,
+    CASE WHEN path0 = '' THEN '/'
+         WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+         ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+  FROM parsed
+)
+SELECT canonical_url, COUNT(*) AS n_pages, MIN(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id,
+             scheme || '://' || host || path
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM norm)
+GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2290,6 +2390,7 @@ QUERIES = {
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "q_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "q_snowcat_pii": (q_snowcat_pii, SQL_SNOWCAT_PII),
+    "q_url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -33,13 +33,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
 
 __all__ = [
     "parse_urls",
     "domain_stats",
     "top_domains",
     "filter_domains",
+    "canonicalize_urls",
+    "url_dedup",
 ]
 
 _URL_RE = (r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
@@ -158,6 +160,110 @@ def top_domains(ds, k: int = 20, col: str = "url",
     """Top-k domains by page count (ties → lexicographic)."""
     return domain_stats(ds, col, key=key).sort(
         ["pages", "domain"], descending=[True, False]).limit(k)
+
+
+_FULL_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)"
+                r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$")
+
+# ports implied by the scheme — stripped during canonicalization
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def _canonical_query(query: pa.Array) -> pa.Array:
+    """Normalize query strings: split on '&', drop empty and ``utm_*``
+    tracking params, byte-sort the remainder, re-join. Fully
+    vectorized: Arrow split → numpy lexsort within rows →
+    ``pc.binary_join`` — no per-row Python."""
+    qs = pc.fill_null(query, "")
+    lists = pc.split_pattern(qs, "&")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.values
+    counts = np.diff(np.asarray(lists.offsets))
+    row_ids = np.repeat(np.arange(len(counts)), counts)
+    # drop empty params and utm_* trackers — Arrow kernels, no Python
+    keep = pc.and_(pc.greater(pc.utf8_length(flat), 0),
+                   pc.invert(pc.starts_with(flat, "utm_"))).to_numpy(
+        zero_copy_only=False)
+    keep &= ~np.asarray(pc.is_null(flat))
+    vals_k = flat.to_numpy(zero_copy_only=False)[keep]
+    ids_k = row_ids[keep]
+    order = np.lexsort((vals_k.astype(str), ids_k)) if len(ids_k) \
+        else np.zeros(0, np.int64)
+    vals_s, ids_s = vals_k[order], ids_k[order]
+    new_counts = np.bincount(ids_s, minlength=len(counts))
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
+                                 pa.array(vals_s, pa.string())),
+        "&")
+    return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) \
+        else joined
+
+
+def canonicalize_batch(urls) -> pa.Array:
+    """Canonical URL form (one RE2 parse + vectorized normalization):
+    lowercase scheme and host, strip leading ``www.`` and the scheme's
+    default port, drop the fragment, drop ``utm_*`` params, byte-sort
+    the remaining query params, strip a lone trailing slash from
+    non-root paths (empty path → ``/``). Unparseable rows → null."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, _FULL_URL_RE)
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme")).to_pandas()
+    host = pc.utf8_lower(pc.struct_field(m, "host")).to_pandas()
+    path = pc.struct_field(m, "path").to_pandas()
+    q = _canonical_query(pc.struct_field(m, "query"))
+
+    for sch, port in _DEFAULT_PORTS.items():
+        hit = (scheme == sch) & host.str.endswith(port).eq(True)
+        host = host.where(~hit, host.str.slice(0, -len(port)))
+    host = host.str.replace(r"^www\.", "", regex=True)
+    path = path.where(path != "", "/")
+    trail = (path != "/") & path.str.endswith("/").eq(True)
+    path = path.where(~trail, path.str.slice(0, -1))
+
+    qp = q.to_pandas().fillna("")
+    canon = scheme + "://" + host + path + ("?" + qp).where(qp != "", "")
+    return pa.array(canon, pa.string())
+
+
+def canonicalize_urls(ds, col: str = "url", out: str = "canonical_url"):
+    """Append a canonical-URL column (see :func:`canonicalize_batch`).
+    The canonical form is THE dedup key for web corpora — the same page
+    crawled as ``HTTP://WWW.X.COM:80/a/?utm_source=y&b=1#top`` and
+    ``http://x.com/a?b=1`` collapses to one key."""
+    return ds.map_batches(
+        lambda t: t.append_column(out, canonicalize_batch(t.column(col))),
+        batch_format="pyarrow")
+
+
+def url_dedup(ds, col: str = "url", id_col: str = "doc_id"):
+    """Canonical-URL exact dedup summary: one row per canonical URL
+    with ``n_pages`` (how many raw rows collapsed into it) and
+    ``keeper_doc_id`` (the smallest id — the row a dedup pass keeps).
+
+    Combiner-shaped: per-batch (canonical → count, min-id) partials
+    bound the shuffle to one row per distinct canonical per block —
+    at crawl scale the hot URL contributes one partial row per block,
+    never its raw pages."""
+    withc = canonicalize_urls(ds, col)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        agg = (pa.table({"canonical_url": t.column("canonical_url"),
+                         "id": t.column(id_col)})
+               .group_by("canonical_url")
+               .aggregate([("id", "count"), ("id", "min")]))
+        return pa.table({
+            "canonical_url": agg.column("canonical_url"),
+            "n": agg.column("id_count").cast(pa.int64()),
+            "mid": agg.column("id_min"),
+        })
+
+    return (withc.map_batches(_partial, batch_format="pyarrow")
+            .groupby("canonical_url")
+            .aggregate(Sum("n", alias_name="n_pages"),
+                       Min("mid", alias_name="keeper_doc_id")))
 
 
 def filter_domains(ds, domains, mode: str = "deny", col: str = "url"):

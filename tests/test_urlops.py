@@ -116,3 +116,46 @@ def test_parse_urls_unparseable_rows():
     assert out.loc["https://a.example.com/x", "domain"] == "example.com"
     assert out.loc["ftp://files.example.net/pub", "scheme"] == "ftp"
     assert pd.isna(out.loc["not a url", "host"])
+
+
+def test_canonicalize_batch_rules():
+    import pyarrow as pa
+
+    from bento_ray.textops.urlops import canonicalize_batch
+
+    urls = pa.array([
+        # case, www, default port, utm param, param order, fragment,
+        # trailing slash — all collapse to one canonical form
+        "HTTP://WWW.Site1.Example.COM:80/page/p3/?b=2&a=1&utm_source=x#top",
+        "http://site1.example.com/page/p3?a=1&b=2",
+        # root-path variants: empty path and lone slash are the same
+        "https://x.com:443/",
+        "https://x.com",
+        # non-default port is PRESERVED (a different origin)
+        "http://x.com:8080/a",
+        # ftp has no default-port rule here; params still sort
+        "FTP://Files.example.net/pub?z=1&a=2",
+        "not a url",
+        None,
+    ])
+    got = canonicalize_batch(urls).to_pylist()
+    assert got[0] == got[1] == "http://site1.example.com/page/p3?a=1&b=2"
+    assert got[2] == got[3] == "https://x.com/"
+    assert got[4] == "http://x.com:8080/a"
+    assert got[5] == "ftp://files.example.net/pub?a=2&z=1"
+    assert got[6] is None and got[7] is None
+
+
+def test_url_dedup_combiner():
+    from bento_ray.textops.urlops import url_dedup
+
+    rows = [
+        {"doc_id": 5, "url": "http://www.a.com/x?utm_c=1"},
+        {"doc_id": 3, "url": "HTTP://A.COM:80/x"},
+        {"doc_id": 9, "url": "https://b.org/y/"},
+    ]
+    out = url_dedup(rd.from_items(rows)).to_pandas() \
+        .set_index("canonical_url").sort_index()
+    assert out.loc["http://a.com/x", "n_pages"] == 2
+    assert out.loc["http://a.com/x", "keeper_doc_id"] == 3
+    assert out.loc["https://b.org/y", "n_pages"] == 1
