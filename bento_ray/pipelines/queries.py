@@ -1887,6 +1887,65 @@ GROUP BY canonical_url ORDER BY canonical_url
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-crawl dedup: drop new-snapshot docs whose content
+    already exists in the prior snapshot. The raw documents have no
+    duplicate texts, so both sides lace deterministic boilerplate
+    (docs with doc_id%3==0 get one of 101 shared 'boilerplate page
+    vN' bodies, N = (13·doc_id+7) mod 101 — affine so the variant is
+    DECORRELATED from the doc_id%5 snapshot split); the prior
+    snapshot is doc_id%5==0. Its boilerplate covers 34 of the 101
+    variants, so some new boilerplate docs drop and some survive —
+    both branches of the membership test are exercised (27 dropped /
+    106 kept at the 500-doc table).
+
+    Scale shape: snapshot reduces to per-block-unique 61-bit FNV
+    content keys (one int column over the wire), broadcast once; the
+    increment filters with one vectorized searchsorted per batch."""
+    from bento_ray.textops import incremental_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        bp = "boilerplate page v" + pd.Series((13 * ids + 7) % 101).astype(str)
+        content = bp.where(ids % 3 == 0, txt)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(content, pa.string()),
+                         "lang": t.column("lang")})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+
+    def _split(in_snap: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = pa.array(ids % 5 == 0)
+            return t.filter(m if in_snap else pc.invert(m))
+        return _f
+
+    snapshot = laced.map_batches(_split(True), batch_format="pyarrow")
+    new_docs = laced.map_batches(_split(False), batch_format="pyarrow")
+    kept = incremental_dedup(new_docs, snapshot)
+    return kept.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = rf"""
+WITH laced AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'boilerplate page v' || ((13 * doc_id + 7) % 101)
+              ELSE text END AS content
+  FROM documents
+),
+k AS (SELECT doc_id, lang, {_fnv_sql('content')} AS h FROM laced),
+snap AS (SELECT DISTINCT h FROM k WHERE doc_id % 5 = 0)
+SELECT doc_id, lang FROM k
+WHERE doc_id % 5 <> 0 AND h NOT IN (SELECT h FROM snap)
+ORDER BY doc_id
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2391,6 +2450,7 @@ QUERIES = {
     "q_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "q_snowcat_pii": (q_snowcat_pii, SQL_SNOWCAT_PII),
     "q_url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "q_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

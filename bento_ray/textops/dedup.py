@@ -823,3 +823,46 @@ def dedup_by_groups(docs, labels, *, id_col: str = "doc_id"):
         return t.filter(pa.array(keep))
 
     return docs.map_batches(_filter, batch_format="pyarrow")
+
+
+def incremental_dedup(new_docs, snapshot, *, key_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Dedup a NEW corpus increment against a PRIOR snapshot — the
+    incremental-crawl step (CC monthly snapshots, news refeeds): a new
+    document whose content already exists in the prior corpus is
+    dropped, everything else passes through unchanged.
+
+    Shape: the snapshot side reduces to 61-bit FNV content keys with a
+    per-block ``np.unique`` combiner (one bounded column crosses the
+    wire, never snapshot text), collected into one sorted uint64 array
+    and broadcast once via ``ray.put``; the increment side then filters
+    with one vectorized ``searchsorted`` per batch. The broadcast array
+    is 8 B/distinct-snapshot-doc — ~80 GB at 10^10 docs, so beyond
+    worker RAM swap the exact set for the Bloom partials in
+    ``_build_pair_bloom`` (same OR-merge broadcast; false positives
+    then need a confirm join, mirroring the minhash verify pass)."""
+    import ray
+
+    from bento_ray.textops.quality import word_hashes
+
+    def _keys(t: pa.Table) -> pa.Table:
+        h = word_hashes(t.column(key_col))
+        return pa.table({"h": pa.array(np.unique(h).astype(np.int64),
+                                       pa.int64())})
+
+    key_tbl = snapshot.map_batches(_keys, batch_format="pyarrow")
+    keys = np.unique(np.concatenate(
+        [b.column("h").to_numpy() for b in
+         key_tbl.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    keys_ref = ray.put(keys)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        if len(k) == 0:
+            return t
+        h = word_hashes(t.column(key_col)).astype(np.int64)
+        hit = k[np.clip(np.searchsorted(k, h), 0, len(k) - 1)] == h
+        return t.filter(pa.array(~hit))
+
+    return new_docs.map_batches(_filter, batch_format="pyarrow")

@@ -1054,3 +1054,34 @@ def test_sequence_packing_prefix_sums():
     assert out.loc[30, "first_seq"] == 0 and out.loc[30, "last_seq"] == 2
     # doc 40: tokens 9-10 → seq 2 only
     assert out.loc[40, "first_seq"] == 2 and out.loc[40, "last_seq"] == 2
+
+
+def test_incremental_dedup_drops_only_snapshot_content():
+    import ray.data as rd
+
+    from bento_ray.textops import incremental_dedup
+
+    snapshot = rd.from_items([
+        {"doc_id": 1, "text": "shared boilerplate"},
+        {"doc_id": 2, "text": "old news article"},
+    ])
+    new = rd.from_items([
+        {"doc_id": 10, "text": "shared boilerplate"},   # dup → dropped
+        {"doc_id": 11, "text": "fresh content"},         # kept
+        {"doc_id": 12, "text": "old news article"},      # dup → dropped
+        {"doc_id": 13, "text": "shared boilerplate!"},   # near but not equal
+    ])
+    kept = sorted(incremental_dedup(new, snapshot).to_pandas()["doc_id"])
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_empty_snapshot_passthrough():
+    import ray.data as rd
+
+    from bento_ray.textops import incremental_dedup
+
+    snapshot = rd.from_items([{"doc_id": 0, "text": "x"}]).filter(
+        lambda r: False)
+    new = rd.from_items([{"doc_id": 1, "text": "a"},
+                         {"doc_id": 2, "text": "b"}])
+    assert incremental_dedup(new, snapshot).count() == 2
