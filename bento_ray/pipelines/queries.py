@@ -1946,6 +1946,41 @@ ORDER BY doc_id
 """
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Clustering-apply over embeddings: assign every vector to its
+    max-cosine centroid from a FIXED deterministic centroid set (the
+    8 smallest vec_ids' embeddings) — fixed centroids make the
+    assignment SQL-expressible (cross join + argmax via row_number),
+    so the broadcast-matmul assignment path is hash-checked; the
+    iterative distributed ``kmeans_fit`` (per-cell moment combiner,
+    k-row exchange per iteration) is pinned separately in pytest
+    against a local Lloyd reference."""
+    from bento_ray.textops import kmeans_assign
+
+    cm, _ = _query_vectors(sf_dir, 8)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(ds, cm)
+    return out.select_columns(["vec_id", "cluster", "sim"]).sort("vec_id")
+
+
+SQL_KMEANS_ASSIGN = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+s AS (
+  SELECT e.vec_id, c.cidx,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS raw
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cidx AS cluster, ROUND(raw, 4) AS sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY raw DESC, cidx) = 1
+ORDER BY vec_id
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2451,6 +2486,7 @@ QUERIES = {
     "q_snowcat_pii": (q_snowcat_pii, SQL_SNOWCAT_PII),
     "q_url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "q_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "q_kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

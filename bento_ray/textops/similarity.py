@@ -576,3 +576,86 @@ def embedding_dim_stats(ds, vec_col: str = "embedding"):
     return ds.map_batches(_partial, batch_format="pyarrow") \
         .groupby("dim").sum(["s", "ss", "n"]) \
         .map_batches(_final, batch_format="pyarrow")
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
+                  out_col: str = "cluster", sim_col: str | None = "sim",
+                  concurrency: int | None = None):
+    """Assign every vector to its max-cosine centroid (ties → the
+    smallest centroid index, numpy argmax order). Centroids broadcast
+    ONCE via ``ray.put`` and each batch is one (N×D)·(D×K) matmul —
+    the scale-path clustering-apply step (centroid tables are k×d,
+    always driver-sized; the corpus never shuffles)."""
+    from bento_ray.util import duckdb_round
+
+    C = _normalize(np.asarray(centroids, np.float64))
+    c_ref = ray.put(C)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        vm = _normalize(_stack(t.column(vec_col)))
+        sims = vm @ Cm.T
+        cell = np.argmax(sims, axis=1)
+        t = t.append_column(out_col, pa.array(cell.astype(np.int64)))
+        if sim_col:
+            best = sims[np.arange(len(cell)), cell]
+            t = t.append_column(sim_col,
+                                pa.array(duckdb_round(best, 4)))
+        return t
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          concurrency=_conc(concurrency))
+
+
+def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
+               seed: int = 42, init: np.ndarray | None = None) -> np.ndarray:
+    """DISTRIBUTED spherical k-means (Lloyd): each iteration broadcasts
+    the current centroids, every batch emits k partial rows (per-cell
+    vector sum + count — the moment combiner), one k-row groupby
+    reduces them, and the driver recenters/renormalizes the k×d
+    matrix. Corpus vectors never leave their blocks; per-iteration
+    exchange is k × blocks rows regardless of corpus size. Empty cells
+    reseed to the first centroid's antipode (deterministic).
+
+    ``init`` defaults to a deterministic sample: the first k vectors
+    of the dataset (callers wanting random init pass their own)."""
+    if init is None:
+        head = ds.limit(k).to_pandas()
+        init = np.array(head[vec_col].tolist(), np.float64)
+    C = _normalize(np.asarray(init, np.float64))
+    k = C.shape[0]
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)
+            vm = _normalize(_stack(t.column(vec_col)))
+            cell = np.argmax(vm @ Cm.T, axis=1)
+            d = vm.shape[1]
+            sums = np.zeros((Cm.shape[0], d), np.float64)
+            np.add.at(sums, cell, vm)
+            cnt = np.bincount(cell, minlength=Cm.shape[0])
+            return pa.table({
+                "cell": pa.array(np.arange(Cm.shape[0], dtype=np.int64)),
+                "vsum": pa.array(list(sums)),
+                "n": pa.array(cnt.astype(np.int64)),
+            })
+
+        agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("cell").map_groups(
+                lambda g: pd.DataFrame({
+                    "cell": [g["cell"].iloc[0]],
+                    "vsum": [np.sum(np.array(g["vsum"].tolist()), axis=0)],
+                    "n": [int(g["n"].sum())],
+                }), batch_format="pandas").to_pandas()
+        agg = agg.sort_values("cell")
+        newC = C.copy()
+        for _, row in agg.iterrows():
+            c = int(row["cell"])
+            if row["n"] > 0:
+                newC[c] = np.asarray(row["vsum"], np.float64) / row["n"]
+            else:
+                newC[c] = -C[0]
+        C = _normalize(newC)
+    return C

@@ -1085,3 +1085,56 @@ def test_incremental_dedup_empty_snapshot_passthrough():
     new = rd.from_items([{"doc_id": 1, "text": "a"},
                          {"doc_id": 2, "text": "b"}])
     assert incremental_dedup(new, snapshot).count() == 2
+
+
+def test_kmeans_fit_matches_local_lloyd():
+    import ray.data as rd
+
+    from bento_ray.textops import kmeans_assign, kmeans_fit
+    from bento_ray.textops.similarity import _normalize
+
+    rng = np.random.default_rng(7)
+    # three tight clusters on the sphere
+    centers = _normalize(rng.normal(size=(3, 16)))
+    pts = np.concatenate([
+        _normalize(c + 0.05 * rng.normal(size=(40, 16))) for c in centers])
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": row.astype(np.float32).tolist()}
+        for i, row in enumerate(pts)])
+
+    init = pts[:3]
+    got = kmeans_fit(ds, 3, iters=4, init=init)
+
+    # local Lloyd reference, same init / same update rule
+    C = _normalize(np.asarray(init, np.float64))
+    vm = _normalize(np.array(
+        [r.astype(np.float32).astype(np.float64) for r in pts]))
+    for _ in range(4):
+        cell = np.argmax(vm @ C.T, axis=1)
+        newC = C.copy()
+        for c in range(3):
+            m = vm[cell == c]
+            newC[c] = m.mean(axis=0) if len(m) else -C[0]
+        C = _normalize(newC)
+    assert np.allclose(got, C, atol=1e-9)
+
+    # assignments recover the generating clusters
+    out = kmeans_assign(ds, got).to_pandas().sort_values("vec_id")
+    lab = out["cluster"].to_numpy()
+    for g in range(3):
+        grp = lab[g * 40:(g + 1) * 40]
+        assert (grp == np.bincount(grp).argmax()).mean() == 1.0
+
+
+def test_kmeans_fit_empty_cell_reseeds():
+    import ray.data as rd
+
+    from bento_ray.textops import kmeans_fit
+
+    pts = np.array([[1.0, 0.0], [0.9, 0.1], [0.95, 0.05]])
+    ds = rd.from_items([{"embedding": p.tolist()} for p in pts])
+    # second centroid starts antipodal → captures nothing → reseeded
+    init = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    C = kmeans_fit(ds, 2, iters=2, init=init)
+    assert C.shape == (2, 2)
+    assert np.isfinite(C).all()
