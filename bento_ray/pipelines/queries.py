@@ -1981,6 +1981,58 @@ ORDER BY vec_id
 """
 
 
+def _splitmix_sql_key(expr: str, seed: int) -> str:
+    """The engine's seeded-shuffle key (splitmix64 of ``expr XOR
+    mix(seed)``, folded to 61 bits) as DuckDB SQL. 64-bit wraparound
+    is emulated in HUGEINT; the two 64×64-bit multiplies are split
+    into 32-bit halves so no intermediate exceeds 2^96 (HUGEINT
+    overflows at 2^127 on a direct 64×64 product)."""
+    import numpy as np
+
+    from bento_ray.textops.dedup import _mix64
+
+    const = int(_mix64(np.array([seed], np.uint64))[0])
+    m = 18446744073709551616
+
+    def mulmod(a: str, b: int) -> str:
+        bh, bl = b >> 32, b & 0xFFFFFFFF
+        return (f"((({a}) * {bl} + (((({a}) * {bh}) % 4294967296)"
+                f" * 4294967296)) % {m})")
+
+    z0 = (f"((xor(CAST({expr} AS HUGEINT), CAST({const} AS HUGEINT))"
+          f" + 11400714819323198485) % {m})")
+    z1 = mulmod(f"xor({z0}, {z0} // 1073741824)", 13787848793156543929)
+    z2 = mulmod(f"xor({z1}, {z1} // 134217728)", 10723151780598845931)
+    return f"(xor({z2}, {z2} // 2147483648) % 2305843009213693951)"
+
+
+def q_seeded_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: order documents by a seeded
+    splitmix64 key (the training-data ordering step — reproducible
+    across engines and cluster sizes, unlike random_shuffle). The
+    distributed sort is the range-partitioned exchange; the oracle
+    replicates the hash bit-for-bit in HUGEINT SQL and checks the
+    first 200 rows of the global order, rank included."""
+    from bento_ray.textops import seeded_shuffle
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    head = seeded_shuffle(ds, seed=7).limit(200).to_pandas()
+    head = head.sort_values(["shuffle_key", "doc_id"], kind="stable") \
+        .reset_index(drop=True)
+    head["rank"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head[["rank", "doc_id", "shuffle_key"]]
+
+
+def _seeded_shuffle_sql() -> str:
+    k = _splitmix_sql_key("doc_id", 7)
+    return f"""
+SELECT row_number() OVER (ORDER BY z, doc_id) AS rank, doc_id,
+       CAST(z AS BIGINT) AS shuffle_key
+FROM (SELECT doc_id, {k} AS z FROM documents)
+ORDER BY z, doc_id LIMIT 200
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2487,6 +2539,7 @@ QUERIES = {
     "q_url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "q_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "q_kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "q_seeded_shuffle": (q_seeded_shuffle, _seeded_shuffle_sql()),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

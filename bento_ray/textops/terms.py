@@ -439,6 +439,30 @@ def hash_sample(ds, denom: int = 10, residue: int = 3,
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
+def seeded_shuffle(ds, seed: int = 42, key: str = "doc_id",
+                   out_col: str = "shuffle_key"):
+    """Deterministic global shuffle for training-data ordering: append
+    a splitmix64 key derived from ``(row key) XOR mix(seed)`` and sort
+    the dataset by it. Unlike ``random_shuffle`` the order is a pure
+    function of (key, seed) — reproducible across runs, engines and
+    cluster sizes, different per epoch by bumping the seed — and the
+    sort is Ray's distributed range-partitioned exchange (one
+    all-to-all, the unavoidable cost of a global order). Keys fold to
+    61 bits so they stay BIGINT-exact in SQL and parquet."""
+    from bento_ray.textops.dedup import _mix64
+
+    const = np.uint64(_mix64(np.array([seed], np.uint64))[0])
+    mask = np.uint64((1 << 61) - 1)
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        k = _mix64(ids ^ const) % mask
+        return t.append_column(out_col, pa.array(k.astype(np.int64)))
+
+    return ds.map_batches(_key, batch_format="pyarrow").sort(out_col)
+
+
 def _ngram_hash_explode(t: pa.Table, col: str, n: int,
                         with_words: bool = False):
     """Shared n-gram hash explode (the dup_ngram_stats polynomial):

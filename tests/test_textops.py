@@ -1138,3 +1138,19 @@ def test_kmeans_fit_empty_cell_reseeds():
     C = kmeans_fit(ds, 2, iters=2, init=init)
     assert C.shape == (2, 2)
     assert np.isfinite(C).all()
+
+
+def test_seeded_shuffle_deterministic_and_seed_sensitive():
+    import ray.data as rd
+
+    from bento_ray.textops import seeded_shuffle
+
+    ds = rd.from_items([{"doc_id": i} for i in range(50)])
+    a = seeded_shuffle(ds, seed=1).to_pandas()["doc_id"].tolist()
+    b = seeded_shuffle(rd.from_items([{"doc_id": i} for i in range(50)]),
+                       seed=1).to_pandas()["doc_id"].tolist()
+    c = seeded_shuffle(ds, seed=2).to_pandas()["doc_id"].tolist()
+    assert a == b                       # reproducible
+    assert a != c                       # epoch-sensitive
+    assert sorted(a) == list(range(50))  # a permutation
+    assert a != list(range(50))          # actually shuffled
