@@ -2033,6 +2033,77 @@ ORDER BY z, doc_id LIMIT 200
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup (RefinedWeb/CCNet boilerplate
+    removal at paragraph granularity): duplicated paragraphs keep
+    only the first (doc_id, idx) instance; documents are rebuilt from
+    survivors. Paragraphs = consecutive 10-word chunks. Both sides
+    PREPEND a deterministic 10-word boilerplate paragraph (7 variants,
+    doc_id%4==0 docs) so cross-doc duplicates exist and align on
+    chunk boundaries. The engine moves paragraphs as 61-bit hashes
+    with a (count, min-position) combiner and broadcasts only the
+    duplicated subset; the oracle groups by paragraph TEXT — a hash
+    match therefore also certifies the hash space collision-free at
+    this scale."""
+    from bento_ray.textops import paragraph_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        bp = ("quick brown fox jumps over the lazy dog token v"
+              + pd.Series(ids % 7).astype(str) + " ")
+        laced = (bp + txt).where(ids % 4 == 0, txt)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(laced, pa.string())})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    return paragraph_dedup(laced, words_per_para=10).sort("doc_id")
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH laced AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'quick brown fox jumps over the lazy dog token v'
+                   || (doc_id % 7) || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM laced),
+pr AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+                CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS idx,
+         words
+  FROM d WHERE len(words) > 0
+),
+para AS (
+  SELECT doc_id, idx,
+         array_to_string(words[idx * 10 + 1 : idx * 10 + 10], ' ') AS ptext
+  FROM pr
+),
+mk AS (
+  SELECT doc_id, idx, ptext,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, idx) AS rn
+  FROM para
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_paras,
+         COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+         COALESCE(string_agg(ptext, ' ' ORDER BY idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+  FROM mk GROUP BY doc_id
+)
+SELECT d0.doc_id, COALESCE(a.n_paras, 0) AS n_paras,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d0 LEFT JOIN agg a USING (doc_id)
+ORDER BY d0.doc_id
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2540,6 +2611,7 @@ QUERIES = {
     "q_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "q_kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "q_seeded_shuffle": (q_seeded_shuffle, _seeded_shuffle_sql()),
+    "q_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

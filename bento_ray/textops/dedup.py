@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from bento_ray.util import default_concurrency as _dc
@@ -866,3 +867,147 @@ def incremental_dedup(new_docs, snapshot, *, key_col: str = "text",
         return t.filter(pa.array(~hit))
 
     return new_docs.map_batches(_filter, batch_format="pyarrow")
+
+
+# -- paragraph-level exact dedup (RefinedWeb/CCNet-style) -------------------
+
+_PARA_BASE = np.uint64(1000003)
+_PARA_MOD = np.uint64((1 << 61) - 1)
+_PARA_IDX_BITS = 21  # paragraphs per doc packed below doc_id in int64
+
+
+def _para_layout(lens: np.ndarray, w: int):
+    """Per-doc paragraph layout from word counts: paragraphs are
+    consecutive ``w``-word chunks (last chunk short). Returns (paras
+    per doc, flat start offset of each para into the flat word array,
+    para word counts, para doc row, para index within its doc)."""
+    npara = -(-lens // w)
+    doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    total = int(npara.sum())
+    pdoc = np.repeat(np.arange(len(lens)), npara)
+    pbase = np.concatenate([[0], np.cumsum(npara)])[:-1]
+    plocal = np.arange(total) - np.repeat(pbase, npara)
+    pstart = doc_off[pdoc] + plocal * w
+    plen = np.minimum(lens[pdoc] - plocal * w, w)
+    return npara, pstart, plen, pdoc, plocal
+
+
+def _para_hashes(wh: np.ndarray, pstart: np.ndarray, plen: np.ndarray,
+                 w: int) -> np.ndarray:
+    """61-bit polynomial fold of the word FNV hashes per paragraph —
+    w masked vector passes, no per-paragraph Python."""
+    h = np.zeros(len(pstart), np.uint64)
+    for j in range(w):
+        m = plen > j
+        if not m.any():
+            break
+        h[m] = (h[m] * _PARA_BASE + wh[pstart[m] + j]) % _PARA_MOD
+    return h
+
+
+def paragraph_dedup(ds, *, words_per_para: int = 10, col: str = "text",
+                    id_col: str = "doc_id"):
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
+    CCNet boilerplate step at paragraph granularity): every paragraph
+    that appears more than once keeps only its FIRST instance (min
+    (doc_id, para_idx)); documents are rebuilt from their surviving
+    paragraphs. Paragraphs here are consecutive ``words_per_para``-word
+    chunks — corpora with real structure pass paragraph-split text.
+
+    Two passes, both bounded:
+    1. paragraphs move as 61-bit hashes only: per-batch (hash → count,
+       min packed-position) Arrow partials → one groupby — the
+       exchange carries ≤ one row per distinct para per block, never
+       text. Hashes seen >1× (the duplicated subset — tiny on real
+       corpora) come back to the driver and broadcast via ray.put.
+    2. a stateless map recomputes each batch's para hashes and drops
+       non-winner duplicate instances; clean text is rebuilt with
+       Arrow list offsets + binary_join (no per-doc Python strings).
+    Swap the broadcast for a shuffle join if a corpus' duplicated-
+    paragraph set outgrows worker RAM (same swap as dedup_by_groups).
+
+    Returns (id_col, n_paras, n_kept, clean_text)."""
+    import ray
+    from ray.data.aggregate import Min as AMin
+    from ray.data.aggregate import Sum as ASum
+
+    from bento_ray.textops.quality import word_hashes
+    from bento_ray.textops.terms import _split_words
+
+    w = int(words_per_para)
+
+    def _paras(t: pa.Table):
+        flat, lens = _split_words(t.column(col))
+        wh = word_hashes(flat)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        npara, pstart, plen, pdoc, plocal = _para_layout(lens, w)
+        if plocal.size and plocal.max() >= (1 << _PARA_IDX_BITS):
+            raise ValueError("document exceeds packed paragraph-index "
+                             "capacity; raise _PARA_IDX_BITS")
+        h = _para_hashes(wh, pstart, plen, w)
+        pack = (ids[pdoc] << _PARA_IDX_BITS) | plocal
+        return flat, lens, ids, npara, pstart, plen, pdoc, plocal, h, pack
+
+    def _partial(t: pa.Table) -> pa.Table:
+        *_, h, pack = _paras(t)
+        agg = (pa.table({"h": pa.array(h.astype(np.int64)),
+                         "pack": pa.array(pack)})
+               .group_by("h")
+               .aggregate([("pack", "count"), ("pack", "min")]))
+        return pa.table({"h": agg.column("h"),
+                         "n": agg.column("pack_count").cast(pa.int64()),
+                         "winner": agg.column("pack_min")})
+
+    dup_tbl = (ds.map_batches(_partial, batch_format="pyarrow")
+               .groupby("h").aggregate(ASum("n", alias_name="n"),
+                                       AMin("winner", alias_name="winner")))
+    hs, ws = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    for b in dup_tbl.iter_batches(batch_format="pyarrow"):
+        m = pc.greater(b.column("n"), 1)
+        bb = b.filter(m)
+        hs.append(bb.column("h").to_numpy())
+        ws.append(bb.column("winner").to_numpy())
+    dh = np.concatenate(hs)
+    dw = np.concatenate(ws)
+    order = np.argsort(dh)
+    dup_ref = ray.put((dh[order], dw[order]))
+
+    def _apply(t: pa.Table) -> pa.Table:
+        dh_s, dw_s = ray.get(dup_ref)
+        flat, lens, ids, npara, pstart, plen, pdoc, plocal, h, pack = \
+            _paras(t)
+        keep = np.ones(len(h), bool)
+        if len(dh_s):
+            hi = h.astype(np.int64)
+            pos = np.clip(np.searchsorted(dh_s, hi), 0, len(dh_s) - 1)
+            is_dup = dh_s[pos] == hi
+            keep[is_dup] = pack[is_dup] == dw_s[pos[is_dup]]
+        # word-level mask via each word's global paragraph number
+        pbase = np.concatenate([[0], np.cumsum(npara)])[:-1]
+        doc_of_word = np.repeat(np.arange(len(lens)), lens)
+        pos_in_doc = np.arange(int(lens.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
+        word_para = pbase[doc_of_word] + pos_in_doc // w
+        keep_word = keep[word_para] if len(h) else np.zeros(0, bool)
+        kept_words = flat.filter(pa.array(keep_word)) if len(keep_word) \
+            else flat
+        kept_per_doc = np.bincount(doc_of_word[keep_word],
+                                   minlength=len(lens)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     kept_words.combine_chunks()
+                                     if isinstance(kept_words,
+                                                   pa.ChunkedArray)
+                                     else kept_words), " ")
+        n_kept = np.bincount(pdoc[keep], minlength=len(lens)) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_paras": pa.array(npara.astype(np.int64)),
+            "n_kept": pa.array(n_kept),
+            "clean_text": clean,
+        })
+
+    return ds.map_batches(_apply, batch_format="pyarrow")

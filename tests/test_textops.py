@@ -1154,3 +1154,38 @@ def test_seeded_shuffle_deterministic_and_seed_sensitive():
     assert a != c                       # epoch-sensitive
     assert sorted(a) == list(range(50))  # a permutation
     assert a != list(range(50))          # actually shuffled
+
+
+def test_paragraph_dedup_keeps_first_instance():
+    import ray.data as rd
+
+    from bento_ray.textops import paragraph_dedup
+
+    bp = "a b c d"  # one 4-word paragraph at w=4
+    rows = [
+        {"doc_id": 1, "text": bp + " unique one two x"},       # paras: bp, tail
+        {"doc_id": 2, "text": bp + " other words here y"},     # bp dropped
+        {"doc_id": 3, "text": "totally different body z"},
+        {"doc_id": 4, "text": ""},                              # wordless
+    ]
+    out = paragraph_dedup(rd.from_items(rows), words_per_para=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_paras"] == 2 and out.loc[1, "n_kept"] == 2
+    assert out.loc[1, "clean_text"] == "a b c d unique one two x"
+    assert out.loc[2, "n_paras"] == 2 and out.loc[2, "n_kept"] == 1
+    assert out.loc[2, "clean_text"] == "other words here y"
+    assert out.loc[3, "n_kept"] == 1
+    assert out.loc[4, "n_paras"] == 0 and out.loc[4, "clean_text"] == ""
+
+
+def test_paragraph_dedup_within_doc_duplicates():
+    import ray.data as rd
+
+    from bento_ray.textops import paragraph_dedup
+
+    # the same paragraph twice INSIDE one doc: second instance drops
+    rows = [{"doc_id": 7, "text": "p q r s p q r s tail words go here"}]
+    out = paragraph_dedup(rd.from_items(rows), words_per_para=4) \
+        .to_pandas().iloc[0]
+    assert out["n_paras"] == 3 and out["n_kept"] == 2
+    assert out["clean_text"] == "p q r s tail words go here"
