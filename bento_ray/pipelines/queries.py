@@ -2104,6 +2104,54 @@ ORDER BY d0.doc_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing per language: the
+    self-trained unigram LM scores every doc (integer micro-nat sums,
+    bit-exact both engines — q_unigram_logprob's discipline), then
+    each lang splits into thirds by the cumulative-threshold rule
+    (t1 = smallest score with cum ≥ ⌈n/3⌉ — tie-safe: a pure function
+    of the (score, count) histogram, same rule the length-quantiles
+    oracle proved)."""
+    from bento_ray.textops import ccnet_buckets
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ccnet_buckets(ds).sort(["lang", "bucket"])
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(words) AS w FROM d),
+vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+q AS (SELECT w, CAST(ROUND(ln(c / n) * 1000000) AS BIGINT) AS micro
+      FROM vocab, tot),
+s AS (SELECT doc_id, SUM(micro) AS sm, count(*) AS cnt
+      FROM tok JOIN q USING (w) GROUP BY doc_id),
+sc AS (SELECT d.doc_id, d.lang,
+              COALESCE(ROUND(-s.sm / 1000000.0 / s.cnt, 6), 0.0) AS nl
+       FROM d LEFT JOIN s USING (doc_id)),
+cum AS (SELECT lang, nl,
+               SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY nl) AS cumn,
+               SUM(COUNT(*)) OVER (PARTITION BY lang) AS n
+        FROM sc GROUP BY lang, nl),
+th AS (SELECT lang,
+         MIN(nl) FILTER (WHERE cumn >= CAST(ceil(n / 3.0) AS BIGINT)) AS t1,
+         MIN(nl) FILTER (WHERE cumn >= CAST(ceil(2 * n / 3.0) AS BIGINT))
+           AS t2
+       FROM cum GROUP BY lang)
+SELECT sc.lang,
+       CASE WHEN nl <= t1 THEN 'head'
+            WHEN nl <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs, ROUND(AVG(nl), 4) AS avg_neg_logprob
+FROM sc JOIN th USING (lang)
+GROUP BY sc.lang, bucket ORDER BY sc.lang, bucket
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2612,6 +2660,7 @@ QUERIES = {
     "q_kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "q_seeded_shuffle": (q_seeded_shuffle, _seeded_shuffle_sql()),
     "q_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "q_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

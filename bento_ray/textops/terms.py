@@ -572,12 +572,13 @@ class _UnigramScorer:
     float64 below 2^53, hence order-independent and bit-identical to
     the SQL oracle's integer SUM."""
 
-    def __init__(self, lm_ref, col: str):
+    def __init__(self, lm_ref, col: str, keep_cols=()):
         words, micro = ray.get(lm_ref) if isinstance(
             lm_ref, ray.ObjectRef) else lm_ref
         self.words = words
         self.micro = micro
         self.col = col
+        self.keep_cols = tuple(keep_cols)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from bento_ray.util import duckdb_round
@@ -597,14 +598,17 @@ class _UnigramScorer:
         score = np.where(
             lens > 0,
             duckdb_round(-sums / 1e6 / np.maximum(lens, 1), 6), 0.0)
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "n_words": pa.array(lens.astype(np.int64), pa.int64()),
             "neg_logprob": pa.array(score, pa.float64()),
-        })
+        }
+        for c in self.keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
 
 
-def unigram_logprob(ds, col: str = "text"):
+def unigram_logprob(ds, col: str = "text", keep_cols=()):
     """CCNet-style language-model quality signal, self-trained: fit a
     unigram LM on the corpus (token frequencies), then score every doc
     with its mean negative log-probability in nats — low = common
@@ -635,8 +639,82 @@ def unigram_logprob(ds, col: str = "text"):
     lm_ref = ray.put((words, micro))
 
     return ds.map_batches(
-        _UnigramScorer, fn_constructor_args=(lm_ref, col),
+        _UnigramScorer, fn_constructor_args=(lm_ref, col, keep_cols),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ccnet_buckets(ds, col: str = "text", lang_col: str = "lang"):
+    """CCNet-style per-language perplexity bucketing: score every doc
+    with the self-trained unigram LM (:func:`unigram_logprob`), then
+    split each language into head / middle / tail thirds by score.
+    Buckets use the cumulative-threshold rule (t1 = smallest score
+    with cum-count ≥ ⌈n/3⌉, t2 at ⌈2n/3⌉; bucket by score ≤ t1 / ≤ t2)
+    — a pure function of the (score, count) histogram, so score TIES
+    are handled identically by any engine (no per-doc rank needed).
+
+    Scale shape: the scored table is a 4-narrow-column projection
+    (id, lang, n_words, score — no text) and is materialized once to
+    feed two consumers; the histogram pass is a per-(lang, score)
+    count combiner — the exchange and the driver table are bounded by
+    distinct scores (swap in sketches.kll_quantiles per lang when
+    even that outgrows the driver); thresholds broadcast as a tiny
+    per-lang dict and assignment is one stateless pass.
+
+    Returns (lang, bucket, n_docs, avg_neg_logprob)."""
+    from ray.data.aggregate import Count as ACount
+    from ray.data.aggregate import Mean as AMean
+    from ray.data.aggregate import Sum as ASum
+
+    from bento_ray.util import duckdb_round
+
+    sc = unigram_logprob(ds, col, keep_cols=(lang_col,)).materialize()
+
+    def _hist(t: pa.Table) -> pa.Table:
+        agg = (pa.table({"lang": t.column(lang_col),
+                         "nl": t.column("neg_logprob")})
+               .group_by(["lang", "nl"]).aggregate([("nl", "count")]))
+        return pa.table({"lang": agg.column("lang"),
+                         "nl": agg.column("nl"),
+                         "n": agg.column("nl_count").cast(pa.int64())})
+
+    hist = (sc.map_batches(_hist, batch_format="pyarrow")
+            .groupby(["lang", "nl"]).aggregate(ASum("n", alias_name="n"))
+            .to_pandas())
+    th: dict[str, tuple[float, float]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("nl")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        n1, n2 = -(-n // 3), -(-2 * n // 3)
+        vals = g["nl"].to_numpy()
+        th[str(lang)] = (float(vals[np.searchsorted(cum, n1)]),
+                         float(vals[np.searchsorted(cum, n2)]))
+    th_ref = ray.put(th)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        d = ray.get(th_ref)
+        langs = t.column(lang_col).to_pandas()
+        t1 = langs.map({k: v[0] for k, v in d.items()}).to_numpy(np.float64)
+        t2 = langs.map({k: v[1] for k, v in d.items()}).to_numpy(np.float64)
+        nl = t.column("neg_logprob").to_numpy()
+        bucket = np.where(nl <= t1, "head",
+                          np.where(nl <= t2, "middle", "tail"))
+        return pa.table({"lang": t.column(lang_col),
+                         "bucket": pa.array(bucket, pa.string()),
+                         "neg_logprob": t.column("neg_logprob")})
+
+    out = (sc.map_batches(_assign, batch_format="pyarrow")
+           .groupby(["lang", "bucket"])
+           .aggregate(ACount(alias_name="n_docs"),
+                      AMean("neg_logprob", alias_name="avg_neg_logprob")))
+
+    def _round(t: pa.Table) -> pa.Table:
+        v = duckdb_round(t.column("avg_neg_logprob").to_numpy(
+            zero_copy_only=False), 4)
+        i = t.column_names.index("avg_neg_logprob")
+        return t.set_column(i, "avg_neg_logprob", pa.array(v, pa.float64()))
+
+    return out.map_batches(_round, batch_format="pyarrow")
 
 
 def _dsir_bucket_instances(t: pa.Table, col: str, n_buckets: int):

@@ -1189,3 +1189,24 @@ def test_paragraph_dedup_within_doc_duplicates():
         .to_pandas().iloc[0]
     assert out["n_paras"] == 3 and out["n_kept"] == 2
     assert out["clean_text"] == "p q r s tail words go here"
+
+
+def test_ccnet_buckets_thirds_and_order():
+    import ray.data as rd
+
+    from bento_ray.textops import ccnet_buckets
+
+    # 9 docs, one lang: common-word docs score low (head), rare high
+    rows = []
+    for i in range(9):
+        words = ["common"] * 5 if i < 3 else (
+            ["common", "mid", "mid"] if i < 6 else [f"rare{i}a", f"rare{i}b"])
+        rows.append({"doc_id": i, "lang": "en", "text": " ".join(words)})
+    out = ccnet_buckets(rd.from_items(rows)).to_pandas() \
+        .set_index("bucket").sort_index()
+    assert out.loc["head", "n_docs"] == 3
+    assert out.loc["middle", "n_docs"] == 3
+    assert out.loc["tail", "n_docs"] == 3
+    assert (out.loc["head", "avg_neg_logprob"]
+            < out.loc["middle", "avg_neg_logprob"]
+            < out.loc["tail", "avg_neg_logprob"])
