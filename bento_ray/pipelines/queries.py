@@ -2152,6 +2152,31 @@ GROUP BY sc.lang, bucket ORDER BY sc.lang, bucket
 """
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """Corpus byte-pair statistics (BPE merge #1's inner loop as a
+    driver-visible operator): top-20 adjacent within-word byte pairs.
+    Per batch one bincount(65536) histogram over the zero-copy Arrow
+    word buffer; the shuffle carries ≤65536 rows per block. The full
+    greedy merge loop (``bpe_train`` — one distributed word-frequency
+    pass, vocab-sized driver loop) is pinned in pytest against a
+    scalar reference."""
+    from bento_ray.textops import bpe_pair_counts
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return bpe_pair_counts(ds, k=20)
+
+
+SQL_BPE_PAIRS = r"""
+WITH d AS (SELECT regexp_extract_all(text, '\S+') AS words FROM documents),
+tok AS (SELECT unnest(words) AS w FROM d),
+p AS (SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM tok WHERE len(w) >= 2))
+SELECT pair, COUNT(*) AS cnt FROM p
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2661,6 +2686,7 @@ QUERIES = {
     "q_seeded_shuffle": (q_seeded_shuffle, _seeded_shuffle_sql()),
     "q_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "q_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "q_bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

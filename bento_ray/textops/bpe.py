@@ -1,0 +1,143 @@
+"""Byte-pair-encoding primitives over a distributed corpus.
+
+BPE training never needs the corpus itself — only the (word, count)
+frequency table, which is vocabulary-sized. So the distributed part is
+exactly one pass: the ``term_counts`` combiner (per-block Arrow
+hash-aggregates, one vocab-bounded shuffle). The merge loop then runs
+on the driver over that table (classic Sennrich et al. 2016
+algorithm), touching ``|vocab| × avg_word_len`` symbols per merge —
+megabytes at web scale, independent of corpus bytes.
+
+``bpe_pair_counts`` exposes the pair-statistics pass itself as a
+distributed operator (the inner loop of merge #1, and a corpus
+character-bigram profile in its own right): per-batch byte-level pair
+histograms (one ``np.bincount(65536)`` per batch — zero-copy over the
+Arrow word buffer) → one 2-int-column shuffle bounded by 65536 rows
+per block. ASCII corpora only for the string rendering (byte == char;
+multi-byte UTF-8 pairs are counted at byte level and rendered
+lossily — the oracle restricts itself to the same ASCII convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+__all__ = ["bpe_pair_counts", "bpe_train", "bpe_encode_word"]
+
+
+def _word_buffers(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    offs = np.frombuffer(flat.buffers()[1], np.int32, count=n + 1)
+    data_buf = flat.buffers()[2]
+    data = np.frombuffer(data_buf, np.uint8, count=offs[-1]) \
+        if data_buf is not None else np.empty(0, np.uint8)
+    return data, offs
+
+
+def bpe_pair_counts(ds, col: str = "text", k: int = 20):
+    """Top-k adjacent byte pairs within words across the corpus —
+    merge #1's statistics as a driver-visible operator. Per batch:
+    one boolean mask excludes cross-word byte positions, one
+    ``np.bincount`` builds the 65536-bin histogram; the global
+    exchange carries ≤ 65536 (pair, n) rows per block."""
+    from bento_ray.textops.terms import _split_words
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, _ = _split_words(t.column(col))
+        data, offs = _word_buffers(flat)
+        if len(data) < 2:
+            return pa.table({"pair_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        first = data[:-1].astype(np.int64)
+        second = data[1:].astype(np.int64)
+        # a pair is valid when both bytes belong to the same word:
+        # positions offs[i]-1 (last byte of word i) start a cross-word
+        # pair — mask them out
+        valid = np.ones(len(data) - 1, bool)
+        ends = offs[1:-1].astype(np.int64) - 1  # last byte index per word
+        valid[ends[(ends >= 0) & (ends < len(valid))]] = False
+        pair = first[valid] * 256 + second[valid]
+        hist = np.bincount(pair, minlength=65536)
+        nz = np.flatnonzero(hist)
+        return pa.table({"pair_id": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(hist[nz].astype(np.int64))})
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("pair_id").aggregate(Sum("n", alias_name="cnt")))
+
+    def _render(t: pa.Table) -> pa.Table:
+        pid = t.column("pair_id").to_numpy()
+        pairs = [bytes([p // 256, p % 256]).decode("latin-1")
+                 for p in pid]  # k rows only — post-limit
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "cnt": t.column("cnt")})
+
+    return (agg.sort(["cnt", "pair_id"], descending=[True, False])
+            .limit(k).map_batches(_render, batch_format="pyarrow"))
+
+
+def bpe_train(ds, num_merges: int = 50, col: str = "text"
+              ) -> list[tuple[str, str]]:
+    """Learn BPE merges from a distributed corpus: ONE distributed
+    word-frequency pass (the ``term_counts`` combiner), then the
+    classic greedy merge loop on the driver over the vocab-sized
+    table. Ties on pair count break to the lexicographically smallest
+    pair — fully deterministic. Returns the merge list in order."""
+    from bento_ray.textops.terms import term_counts
+
+    vocab = term_counts(ds, col).to_pandas()
+    seqs = [tuple(w) for w in vocab["word"].astype(str)]
+    cnts = vocab["cnt"].to_numpy(np.int64)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for s, c in zip(seqs, cnts):
+            for a, b in zip(s, s[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + int(c)
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_seqs = []
+        for s in seqs:
+            if a not in s:
+                new_seqs.append(s)
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+    return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to one word (test/CLI helper — corpus
+    tokenization at scale goes through a broadcast merge table inside
+    map_batches, not per-row Python)."""
+    s = list(word)
+    for a, b in merges:
+        i = 0
+        out: list[str] = []
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s

@@ -1210,3 +1210,62 @@ def test_ccnet_buckets_thirds_and_order():
     assert (out.loc["head", "avg_neg_logprob"]
             < out.loc["middle", "avg_neg_logprob"]
             < out.loc["tail", "avg_neg_logprob"])
+
+
+def _bpe_reference(word_counts, num_merges):
+    """Scalar reference BPE (Sennrich et al.): same tie rule."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        stats = {}
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_scalar_reference():
+    import ray.data as rd
+
+    from bento_ray.textops import bpe_encode_word, bpe_train
+
+    docs = ["low low low lower lowest", "new newer newest low",
+            "wider wide wide new"]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(docs)])
+    wc = {}
+    for t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 8)
+    got = bpe_train(ds, num_merges=8)
+    assert got == want
+    # encoding uses the merges in order
+    toks = bpe_encode_word("lowest", got)
+    assert "".join(toks) == "lowest"
+    assert len(toks) < len("lowest")
+
+
+def test_bpe_pair_counts_simple():
+    import ray.data as rd
+
+    from bento_ray.textops import bpe_pair_counts
+
+    ds = rd.from_items([{"text": "aa ab aa"}])
+    out = bpe_pair_counts(ds, k=5).to_pandas().set_index("pair")
+    assert out.loc["aa", "cnt"] == 2
+    assert out.loc["ab", "cnt"] == 1
