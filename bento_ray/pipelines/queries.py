@@ -2177,6 +2177,39 @@ GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
 """
 
 
+def q_weighted_mix(sf_dir: str):
+    """Training-mix construction: per-source keep rates (full /
+    half / tenth / zero) applied by deterministic Knuth-hash
+    thresholding, then a per-source survivor count — both the
+    row-level filter and the mix proportions are hash-checked (the
+    identical integer arithmetic runs in SQL)."""
+    from bento_ray.textops import weighted_mix
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1,
+             "src4": 0.0}
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    kept = weighted_mix(ds, rates, default_rate=0.75)
+    return kept.groupby("source").count() \
+        .map_batches(lambda t: t.rename_columns(["source", "n_kept"]),
+                     batch_format="pyarrow").sort("source")
+
+
+SQL_WEIGHTED_MIX = """
+WITH thr AS (
+  SELECT source,
+         CASE source
+           WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+           WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+           WHEN 'src4' THEN 0 ELSE 7500 END AS t
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.source, COUNT(*) AS n_kept
+FROM documents d JOIN thr USING (source)
+WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < thr.t
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2687,6 +2720,7 @@ QUERIES = {
     "q_paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "q_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "q_bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "q_weighted_mix": (q_weighted_mix, SQL_WEIGHTED_MIX),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -463,6 +463,35 @@ def seeded_shuffle(ds, seed: int = 42, key: str = "doc_id",
     return ds.map_batches(_key, batch_format="pyarrow").sort(out_col)
 
 
+def weighted_mix(ds, rates: dict[str, float], *, source_col: str = "source",
+                 key: str = "doc_id", default_rate: float = 0.0,
+                 scale: int = 10_000):
+    """Training-mix construction: keep a deterministic per-source
+    fraction of rows (e.g. {'wiki': 1.0, 'web': 0.25, 'forums': 0.1})
+    via the Knuth multiplicative hash of an integer key — the same
+    reproducible-across-engines sampling as ``hash_sample``, but with
+    the threshold looked up per source. Rates quantize to
+    ``round(rate·scale)`` so the comparison is integer-exact in SQL.
+    The rate table broadcasts once via ray.put; the filter is one
+    vectorized hash + lookup pass per batch — no shuffle."""
+    import ray
+
+    q = {s: int(round(r * scale)) for s, r in rates.items()}
+    dflt = int(round(default_rate * scale))
+    ref = ray.put((q, dflt))
+
+    def _f(t: pa.Table) -> pa.Table:
+        qd, dq = ray.get(ref)
+        ids = t.column(key).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((ids * _KNUTH) % _M32 % np.uint64(scale)).astype(np.int64)
+        thr = t.column(source_col).to_pandas().map(qd).fillna(dq) \
+            .to_numpy(np.int64)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def _ngram_hash_explode(t: pa.Table, col: str, n: int,
                         with_words: bool = False):
     """Shared n-gram hash explode (the dup_ngram_stats polynomial):

@@ -1269,3 +1269,24 @@ def test_bpe_pair_counts_simple():
     out = bpe_pair_counts(ds, k=5).to_pandas().set_index("pair")
     assert out.loc["aa", "cnt"] == 2
     assert out.loc["ab", "cnt"] == 1
+
+
+def test_weighted_mix_rates_and_determinism():
+    import ray.data as rd
+
+    from bento_ray.textops import weighted_mix
+
+    rows = [{"doc_id": i, "source": "a" if i % 2 == 0 else "b"}
+            for i in range(2000)]
+    ds = rd.from_items(rows)
+    out = weighted_mix(ds, {"a": 1.0, "b": 0.25}).to_pandas()
+    n_a = (out["source"] == "a").sum()
+    n_b = (out["source"] == "b").sum()
+    assert n_a == 1000                       # rate 1.0 keeps everything
+    assert 150 < n_b < 350                    # ~25% of 1000
+    out2 = weighted_mix(rd.from_items(rows),
+                        {"a": 1.0, "b": 0.25}).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])  # deterministic
+    # default_rate=0 drops unlisted sources
+    out3 = weighted_mix(ds, {"a": 0.5}).to_pandas()
+    assert (out3["source"] == "b").sum() == 0
