@@ -2210,6 +2210,85 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The COMPOSED curation chain end-to-end (paragraph dedup →
+    integer-exact quality gate → per-lang summary) hash-checked as a
+    whole — per-op oracles stop helping at composition seams, so the
+    seams themselves are on the checked path. Uses q_paragraph_dedup's
+    boilerplate lacing so the dedup stage does real work."""
+    from bento_ray.pipelines.curation import curate_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        bp = ("quick brown fox jumps over the lazy dog token v"
+              + pd.Series(ids % 7).astype(str) + " ")
+        laced = (bp + txt).where(ids % 4 == 0, txt)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(laced, pa.string()),
+                         "lang": t.column("lang")})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    return curate_documents(laced).sort("lang")
+
+
+SQL_CURATION = r"""
+WITH laced AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'quick brown fox jumps over the lazy dog token v'
+                   || (doc_id % 7) || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM laced),
+pr AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+                CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS idx,
+         words
+  FROM d WHERE len(words) > 0
+),
+para AS (
+  SELECT doc_id, idx,
+         array_to_string(words[idx * 10 + 1 : idx * 10 + 10], ' ') AS ptext
+  FROM pr
+),
+mk AS (
+  SELECT doc_id, idx, ptext,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, idx) AS rn
+  FROM para
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_paras,
+         COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+         COALESCE(string_agg(ptext, ' ' ORDER BY idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+  FROM mk GROUP BY doc_id
+),
+clean AS (
+  SELECT l.doc_id, l.lang, COALESCE(a.n_paras, 0) AS n_paras,
+         COALESCE(a.n_kept, 0) AS n_kept,
+         regexp_extract_all(COALESCE(a.clean_text, ''), '\S+') AS cw
+  FROM laced l LEFT JOIN agg a USING (doc_id)
+),
+gated AS (
+  SELECT lang, len(cw) AS n_words,
+         ROUND(CAST(n_kept AS DOUBLE) / GREATEST(n_paras, 1), 6)
+           AS kept_frac
+  FROM clean
+  WHERE len(cw) >= 20
+    AND 10 * len(list_distinct(cw)) >= 3 * len(cw)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       ROUND(AVG(kept_frac), 4) AS avg_kept_frac
+FROM gated GROUP BY lang ORDER BY lang
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2721,6 +2800,7 @@ QUERIES = {
     "q_ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "q_bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
     "q_weighted_mix": (q_weighted_mix, SQL_WEIGHTED_MIX),
+    "q_curation_pipeline": (q_curation_pipeline, SQL_CURATION),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -906,7 +906,7 @@ def _para_hashes(wh: np.ndarray, pstart: np.ndarray, plen: np.ndarray,
 
 
 def paragraph_dedup(ds, *, words_per_para: int = 10, col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", keep_cols=()):
     """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
     CCNet boilerplate step at paragraph granularity): every paragraph
     that appears more than once keeps only its FIRST instance (min
@@ -1003,11 +1003,14 @@ def paragraph_dedup(ds, *, words_per_para: int = 10, col: str = "text",
                                      else kept_words), " ")
         n_kept = np.bincount(pdoc[keep], minlength=len(lens)) \
             .astype(np.int64)
-        return pa.table({
+        cols = {
             id_col: pa.array(ids),
             "n_paras": pa.array(npara.astype(np.int64)),
             "n_kept": pa.array(n_kept),
             "clean_text": clean,
-        })
+        }
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(_apply, batch_format="pyarrow")

@@ -1290,3 +1290,26 @@ def test_weighted_mix_rates_and_determinism():
     # default_rate=0 drops unlisted sources
     out3 = weighted_mix(ds, {"a": 0.5}).to_pandas()
     assert (out3["source"] == "b").sum() == 0
+
+
+def test_curate_documents_gate_rules():
+    import ray.data as rd
+
+    from bento_ray.pipelines.curation import curate_documents
+
+    long_unique = " ".join(f"w{i}" for i in range(30))
+    other_long = " ".join(f"x{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": long_unique},     # kept
+        {"doc_id": 2, "lang": "en", "text": "short doc"},     # < 20 words
+        {"doc_id": 3, "lang": "fr", "text": "rep " * 40},      # low distinct
+        {"doc_id": 4, "lang": "fr", "text": other_long},       # kept
+        # shares ALL paragraphs with doc 1 → deduped below the gate
+        {"doc_id": 5, "lang": "de", "text": long_unique + " extra tail"},
+    ]
+    out = curate_documents(rd.from_items(rows)).to_pandas() \
+        .set_index("lang").sort_index()
+    assert out.loc["en", "n_docs"] == 1 and out.loc["en", "total_words"] == 30
+    assert out.loc["fr", "n_docs"] == 1 and out.loc["fr", "total_words"] == 40
+    assert "de" not in out.index   # dedup + gate removed doc 5
+    assert (out["avg_kept_frac"] == 1.0).all()  # survivors lost nothing
