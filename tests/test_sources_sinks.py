@@ -271,3 +271,70 @@ def test_subprocess_output_structured_rows_as_json(ray_session, tmp_path):
     n = subprocess_output(ds, "sh", ["-c", f"cat > {out_f}"])
     assert n == 2
     assert out_f.read_bytes() == b'{"a":1}\n{"a":2}\n'
+
+
+def _warc_record(rtype: str, uri: str | None, payload: bytes) -> bytes:
+    h = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+         + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+         + "WARC-Date: 2026-08-18T00:00:00Z\r\n"
+         + f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return h + payload + b"\r\n\r\n"
+
+
+def test_warc_scanner_length_delimited():
+    from bento_ray.sources.scanners import parse_warc_record, warc
+
+    # the second payload CONTAINS "WARC/1.0" — a regex splitter would
+    # cut it; the Content-Length walk must not
+    data = (_warc_record("warcinfo", None, b"software: test")
+            + _warc_record("response", "http://a.com/x",
+                           b"<html>WARC/1.0 inside payload</html>")
+            + _warc_record("response", "http://b.com/y", b""))
+    recs = list(warc()(data))
+    assert len(recs) == 3
+    parsed = [parse_warc_record(r) for r in recs]
+    assert [p["headers"]["warc-type"] for p in parsed] == \
+        ["warcinfo", "response", "response"]
+    assert parsed[1]["headers"]["warc-target-uri"] == "http://a.com/x"
+    assert b"WARC/1.0 inside payload" in parsed[1]["payload"]
+    assert parsed[2]["payload"] == b""
+
+
+def test_warc_scanner_malformed():
+    import pytest as _pytest
+
+    from bento_ray.sources.scanners import warc
+
+    with _pytest.raises(ValueError, match="expected version line"):
+        list(warc()(b"not a warc stream\r\n\r\n"))
+    with _pytest.raises(ValueError, match="Content-Length"):
+        list(warc()(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"))
+
+
+def test_read_warc_distributed(tmp_path):
+    import gzip
+
+    from bento_ray.sources.scanners import (build_scanner, decompress,
+                                            read_warc, scan_paths)
+
+    raw = (_warc_record("response", "http://a.com/1", b"alpha")
+           + _warc_record("response", "http://a.com/2", b"beta"))
+    p1 = tmp_path / "part1.warc"
+    p1.write_bytes(raw)
+    p2 = tmp_path / "part2.warc"
+    p2.write_bytes(_warc_record("response", "http://b.com/3", b"gamma"))
+    df = read_warc([str(p1), str(p2)]).to_pandas() \
+        .sort_values("target_uri").reset_index(drop=True)
+    assert list(df["target_uri"]) == \
+        ["http://a.com/1", "http://a.com/2", "http://b.com/3"]
+    assert list(df["payload"]) == [b"alpha", b"beta", b"gamma"]
+    assert (df["warc_type"] == "response").all()
+
+    # .warc.gz member via the composed decompress scanner + YAML name
+    pg = tmp_path / "part.warc.gz"
+    pg.write_bytes(gzip.compress(raw))
+    sc = build_scanner({"decompress": {"algorithm": "gzip",
+                                       "into": {"warc": {}}}})
+    got = scan_paths([str(pg)], sc, include_path=False).to_pandas()
+    assert len(got) == 2
+    assert decompress is not None
