@@ -2289,6 +2289,75 @@ FROM gated GROUP BY lang ORDER BY lang
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank over a deterministic synthetic outlink
+    graph (3 modular out-edges per doc — both engines construct the
+    identical edge set from doc_id arithmetic; doc_ids are verified
+    dense 0..N-1 first). Three power iterations from the uniform
+    vector, each ONE shuffle join (ranks ⋈ edges on src) + ONE grouped
+    sum — the Pregel superstep as Dataset ops, with the rank vector
+    never leaving the cluster. The oracle unrolls the same three
+    iterations in SQL; ranks compare at 8 decimals (float association
+    noise is ~1e-16 relative)."""
+    from bento_ray.textops.graph import pagerank
+    from bento_ray.util import duckdb_round
+
+    ds = _t(sf_dir, "documents", ["doc_id"]).materialize()
+    n = ds.count()
+    mn, mx = ds.min("doc_id"), ds.max("doc_id")
+    assert (mn, mx) == (0, n - 1), "gate graph assumes dense doc_ids"
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        s = np.repeat(src, 3)
+        j = np.tile(np.arange(3), len(src))
+        dst = (s * 31 + 17 * j + 7) % n
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow")
+    nodes = ds.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow")
+    out = pagerank(edges, nodes, iters=3)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("node"),
+            "pagerank": pa.array(duckdb_round(
+                t.column("rank").to_numpy(), 8), pa.float64()),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow").sort("doc_id")
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    head = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+e AS (SELECT doc_id AS src,
+             (doc_id * 31 + 17 * unnest([0, 1, 2]) + 7)
+               % (SELECT cnt FROM n) AS dst
+      FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT cnt FROM n) AS r FROM nodes)"""
+    body = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        body.append(f""",
+c{k} AS (SELECT e.dst, SUM({prev}.r / deg.d) AS s
+        FROM e JOIN {prev} ON {prev}.node = e.src
+        JOIN deg ON deg.src = e.src GROUP BY e.dst),
+r{k} AS (SELECT nodes.doc_id AS node,
+               0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(c{k}.s, 0) AS r
+        FROM nodes LEFT JOIN c{k} ON c{k}.dst = nodes.doc_id)""")
+        prev = f"r{k}"
+    tail = f"""
+SELECT node AS doc_id, ROUND(r, 8) AS pagerank FROM {prev} ORDER BY doc_id
+"""
+    return head + "".join(body) + tail
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2801,6 +2870,7 @@ QUERIES = {
     "q_bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIRS),
     "q_weighted_mix": (q_weighted_mix, SQL_WEIGHTED_MIX),
     "q_curation_pipeline": (q_curation_pipeline, SQL_CURATION),
+    "q_pagerank": (q_pagerank, _pagerank_sql()),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -1313,3 +1313,36 @@ def test_curate_documents_gate_rules():
     assert out.loc["fr", "n_docs"] == 1 and out.loc["fr", "total_words"] == 40
     assert "de" not in out.index   # dedup + gate removed doc 5
     assert (out["avg_kept_frac"] == 1.0).all()  # survivors lost nothing
+
+
+def test_pagerank_known_graphs():
+    import ray.data as rd
+
+    from bento_ray.textops.graph import pagerank
+
+    # 3-cycle: uniform is stationary
+    nodes = rd.from_items([{"node": i} for i in range(3)])
+    edges = rd.from_items([{"src": 0, "dst": 1}, {"src": 1, "dst": 2},
+                           {"src": 2, "dst": 0}])
+    out = pagerank(edges, nodes, iters=3).to_pandas()
+    assert np.allclose(out["rank"], 1 / 3)
+
+    # star into node 0, 2 iterations vs hand-rolled reference
+    nodes = rd.from_items([{"node": i} for i in range(4)])
+    edges = rd.from_items([{"src": i, "dst": 0} for i in (1, 2, 3)])
+    got = pagerank(edges, nodes, iters=2).to_pandas() \
+        .set_index("node")["rank"]
+    r = np.full(4, 0.25)
+    for _ in range(2):
+        s = np.zeros(4)
+        s[0] = r[1] + r[2] + r[3]
+        r = 0.15 / 4 + 0.85 * s
+    assert np.allclose(got.sort_index().to_numpy(), r)
+
+    # isolated node keeps the base rank; dangling mass is dropped
+    nodes = rd.from_items([{"node": i} for i in range(3)])
+    edges = rd.from_items([{"src": 0, "dst": 1}])
+    got = pagerank(edges, nodes, iters=1).to_pandas() \
+        .set_index("node")["rank"].sort_index()
+    assert np.isclose(got[1], 0.15 / 3 + 0.85 * (1 / 3))
+    assert np.isclose(got[0], 0.15 / 3) and np.isclose(got[2], 0.15 / 3)
