@@ -2358,6 +2358,86 @@ SELECT node AS doc_id, ROUND(r, 8) AS pagerank FROM {prev} ORDER BY doc_id
     return head + "".join(body) + tail
 
 
+def q_logreg_quality(sf_dir: str):
+    """DISTRIBUTED MODEL TRAINING, hash-checked end-to-end: a
+    logistic-regression quality/spam classifier over hashed
+    bag-of-words features, trained with full-batch gradient descent
+    (two iterations) where each iteration is one bounded per-bucket
+    gradient combiner + a driver-side B-row update. Weights live on
+    an integer NANO grid and per-doc residuals re-quantize to nanos
+    before the gradient sum (the unigram-LM discipline applied to
+    training), so the learned weights are BIT-IDENTICAL to the
+    oracle's unrolled-SQL training run. Labels/spam vocabulary are
+    laced deterministically (doc_id%3==0 docs get spam tokens)."""
+    from bento_ray.textops.classify import logreg_fit_hashed
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        spam = ids % 3 == 0
+        laced = (txt + " win free prize click now offer").where(spam, txt)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(laced, pa.string()),
+            "y": pa.array((spam).astype(np.float64)),
+        })
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    wn = logreg_fit_hashed(laced, label_col="y", n_buckets=64, iters=2)
+    return pd.DataFrame({
+        "bucket": np.arange(len(wn), dtype=np.int64),
+        "weight_nano": wn.astype(np.int64),
+    })
+
+
+def _logreg_sql(iters: int = 2, n_buckets: int = 64) -> str:
+    head = rf"""
+WITH laced AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' win free prize click now offer'
+              ELSE text END AS text,
+         CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+d AS (SELECT doc_id, y, regexp_extract_all(text, '\S+') AS words
+      FROM laced),
+tok AS (SELECT doc_id, ({_fnv_sql('w')} % {n_buckets}) + 1 AS bucket
+        FROM (SELECT doc_id, unnest(words) AS w FROM d)),
+feat AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, bucket
+  UNION ALL SELECT doc_id, 0 AS bucket, CAST(1 AS BIGINT) FROM d
+),
+n AS (SELECT COUNT(*) AS N FROM d),
+buckets AS (SELECT unnest(generate_series(0, {n_buckets})) AS bucket),
+w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wn FROM buckets)"""
+    body = []
+    prev = "w0"
+    for k in range(1, iters + 1):
+        body.append(f""",
+z{k} AS (SELECT f.doc_id, SUM({prev}.wn * f.cnt) AS dot
+        FROM feat f JOIN {prev} USING (bucket) GROUP BY f.doc_id),
+gq{k} AS (SELECT d.doc_id,
+               CAST(ROUND((1.0 / (1.0 + exp(-(z{k}.dot / 1e9))) - d.y)
+                          * 1e9) AS BIGINT) AS gq
+         FROM d JOIN z{k} USING (doc_id)),
+g{k} AS (SELECT f.bucket, SUM(gq{k}.gq * f.cnt) AS g
+        FROM feat f JOIN gq{k} USING (doc_id) GROUP BY f.bucket),
+w{k} AS (SELECT b.bucket,
+               {prev}.wn - CAST(ROUND(COALESCE(CAST(g{k}.g AS DOUBLE), 0)
+                                      / (SELECT N FROM n)) AS BIGINT) AS wn
+        FROM buckets b JOIN {prev} ON {prev}.bucket = b.bucket
+        LEFT JOIN g{k} ON g{k}.bucket = b.bucket)""")
+        prev = f"w{k}"
+    tail = f"""
+SELECT bucket, wn AS weight_nano FROM {prev} ORDER BY bucket
+"""
+    return head + "".join(body) + tail
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2871,6 +2951,7 @@ QUERIES = {
     "q_weighted_mix": (q_weighted_mix, SQL_WEIGHTED_MIX),
     "q_curation_pipeline": (q_curation_pipeline, SQL_CURATION),
     "q_pagerank": (q_pagerank, _pagerank_sql()),
+    "q_logreg_quality": (q_logreg_quality, _logreg_sql()),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

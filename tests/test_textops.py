@@ -1346,3 +1346,67 @@ def test_pagerank_known_graphs():
         .set_index("node")["rank"].sort_index()
     assert np.isclose(got[1], 0.15 / 3 + 0.85 * (1 / 3))
     assert np.isclose(got[0], 0.15 / 3) and np.isclose(got[2], 0.15 / 3)
+
+
+def test_logreg_hashed_trains_and_separates():
+    import ray.data as rd
+
+    from bento_ray.textops.classify import (logreg_fit_hashed,
+                                            logreg_score_hashed)
+
+    rng = np.random.default_rng(3)
+    ham_vocab = [f"word{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        body = " ".join(rng.choice(ham_vocab, 12))
+        if i % 2 == 0:
+            body += " win free prize click now"
+        rows.append({"doc_id": i, "text": body,
+                     "y": float(i % 2 == 0)})
+    ds = rd.from_items(rows)
+    wn = logreg_fit_hashed(ds, label_col="y", n_buckets=64, iters=4)
+    assert wn.dtype == np.int64 and len(wn) == 65
+
+    scored = logreg_score_hashed(ds, wn).to_pandas()
+    spam = scored[scored["y"] == 1.0]["score"]
+    ham = scored[scored["y"] == 0.0]["score"]
+    assert spam.mean() > 0.7 > 0.3 > ham.mean()
+    # hard decision at 0.5: high accuracy (hash collisions at B=64
+    # keep it short of perfect — spam/ham words share buckets)
+    acc = ((scored["score"] > 0.5) == (scored["y"] == 1.0)).mean()
+    assert acc >= 0.9, acc
+
+
+def test_logreg_hashed_matches_local_reference():
+    import ray.data as rd
+
+    from bento_ray.textops.classify import logreg_fit_hashed
+    from bento_ray.textops.quality import hash_word
+    from bento_ray.util import duckdb_round
+
+    rows = [{"doc_id": i,
+             "text": ["good text here", "spam spam offer",
+                      "more nice words", "offer spam now"][i],
+             "y": float(i % 2)} for i in range(4)]
+    got = logreg_fit_hashed(rd.from_items(rows), label_col="y",
+                            n_buckets=16, iters=3)
+
+    # scalar reference with identical quantization
+    B = 16
+    feats = []
+    for r in rows:
+        cnt = np.zeros(B + 1, np.int64)
+        cnt[0] = 1
+        for w in r["text"].split():
+            cnt[hash_word(w) % B + 1] += 1
+        feats.append(cnt)
+    X = np.array(feats)
+    y = np.array([r["y"] for r in rows])
+    wn = np.zeros(B + 1, np.int64)
+    for _ in range(3):
+        z = (X @ wn) / 1e9
+        sig = 1.0 / (1.0 + np.exp(-z))
+        gq = duckdb_round((sig - y) * 1e9, 0).astype(np.int64)
+        g = gq @ X
+        wn = wn - duckdb_round(g / len(rows), 0).astype(np.int64)
+    assert np.array_equal(got, wn)
