@@ -2438,6 +2438,84 @@ SELECT bucket, wn AS weight_nano FROM {prev} ORDER BY bucket
     return head + "".join(body) + tail
 
 
+_SIMHASH_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliet kilo lima mike november oscar papa quebec romeo "
+                 "sierra tango uniform victor whiskey xray yankee zulu "
+                 "one two three four")
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-duplicate pairs (4×16-bit band LSH + exact Hamming
+    verify — EXACT at hamming ≤ 3 by pigeonhole). Both sides lace
+    near-dup docs (doc_id%10 ∈ {8,9} share a 31-word base per
+    doc_id//10 group, the 9-variant appends one extra word) so true
+    small-Hamming pairs exist; the oracle replicates the SimHash bit
+    votes, the banding, and the popcount in SQL."""
+    from bento_ray.textops import simhash_near_dups
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        base = (_SIMHASH_BASE + " topic"
+                + pd.Series(ids // 10).astype(str))
+        laced = txt.where(ids % 10 <= 7,
+                          base.where(ids % 10 == 8, base + " extraword"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(laced, pa.string())})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    return simhash_near_dups(laced, max_hamming=3) \
+        .sort(["doc_a", "doc_b"])
+
+
+def _simhash_near_dups_sql() -> str:
+    return rf"""
+WITH laced AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 <= 7 THEN text
+              WHEN doc_id % 10 = 8
+                THEN '{_SIMHASH_BASE}' || ' topic' || (doc_id // 10)
+              ELSE '{_SIMHASH_BASE}' || ' topic' || (doc_id // 10)
+                   || ' extraword' END AS text
+  FROM documents
+),
+d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM laced),
+wh AS (
+  SELECT doc_id, {_fnv_sql('unnest(words)')} AS h
+  FROM d WHERE len(words) >= 1
+),
+hc AS (SELECT doc_id, h, COUNT(*) AS c FROM wh GROUP BY doc_id, h),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM hc, (SELECT unnest(generate_series(0, 60)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, k,
+         (simhash >> (16 * k)) & 65535 AS band
+  FROM (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS k FROM s)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y
+    ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 # The flagship correctness corpus: deterministic synthetic pages
 # (testgen.pages), generated driver-side (n < 50k needs no Ray) and
 # cached — both the Ray query and the DuckDB oracle read the same
@@ -2952,6 +3030,7 @@ QUERIES = {
     "q_curation_pipeline": (q_curation_pipeline, SQL_CURATION),
     "q_pagerank": (q_pagerank, _pagerank_sql()),
     "q_logreg_quality": (q_logreg_quality, _logreg_sql()),
+    "q_simhash_near_dups": (q_simhash_near_dups, _simhash_near_dups_sql()),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -1014,3 +1014,106 @@ def paragraph_dedup(ds, *, words_per_para: int = 10, col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+# -- SimHash near-dup pairs (banded LSH + exact Hamming verify) -------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
+def simhash_near_dups(ds, *, max_hamming: int = 3,
+                      concurrency: int | None = None,
+                      num_parts: int | None = None):
+    """SimHash near-duplicate pairs: 4×16-bit band LSH over the 64-bit
+    fingerprint, exact Hamming verify. Pigeonhole recall guarantee:
+    hamming ≤ 3 < 4 bands ⇒ at least one band matches exactly, so no
+    true pair at the default threshold is missed — unlike MinHash LSH
+    this stage is EXACT at max_hamming ≤ 3.
+
+    Same distributed plan as the MinHash path (its scan/dedup
+    helpers are reused verbatim): band rows → coarse-partition
+    vectorized bucket scans → hash-partitioned pair dedup → two
+    shuffle joins attach the 8-byte fingerprints → vectorized popcount
+    filter. Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    from bento_ray.stages.join import shuffle_join
+    from bento_ray.util import stable_hash
+
+    if num_parts is None:
+        from bento_ray.util import cluster_cpus
+        num_parts = max(4, cluster_cpus())
+    P = num_parts
+
+    sims = simhash64(ds, concurrency) \
+        .map_batches(lambda t: t.select(["doc_id", "simhash"]),
+                     batch_format="pyarrow").materialize()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        h = t.column("simhash").to_numpy().astype(np.uint64)
+        ids = t.column("doc_id").to_numpy()
+        band_id = np.tile(np.arange(4, dtype=np.int64), len(h))
+        hh = np.repeat(h, 4)
+        band = (hh >> (band_id.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+        })
+
+    def _bucket_part(t: pa.Table) -> pa.Table:
+        h = (stable_hash(pd.Series(
+            t.column("band_id").to_numpy() * 1_000_003
+            + t.column("band_hash").to_numpy().astype(np.int64)))
+            % np.uint64(P))
+        return t.append_column("bucket_part",
+                               pa.array(h.astype(np.int64), pa.int64()))
+
+    pairs = (sims.map_batches(_explode, batch_format="pyarrow")
+             .map_batches(_bucket_part, batch_format="pyarrow")
+             .groupby("bucket_part")
+             .map_groups(lambda t: _pair_partition_scan(
+                 t.drop_columns(["bucket_part"]), P),
+                 batch_format="pyarrow")
+             .groupby("pair_part")
+             .map_groups(lambda t: _unique_pairs_partition(
+                 t.drop_columns(["pair_part"])), batch_format="pyarrow")
+             ).materialize()
+
+    def _ren(col_from, col_to):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [col_to if c == col_from else c for c in t.column_names])
+        return _f
+
+    sh_a = sims.map_batches(_ren("doc_id", "doc_a"),
+                            batch_format="pyarrow").materialize()
+    sh_b = sims.map_batches(_ren("doc_id", "doc_b"),
+                            batch_format="pyarrow").materialize()
+    j = shuffle_join(pairs, sh_a, on="doc_a", how="inner",
+                     force_fallback=True)
+    j = shuffle_join(j.materialize(), sh_b, on="doc_b", how="inner",
+                     force_fallback=True, suffix="_b")
+
+    def _verify(t: pa.Table) -> pa.Table:
+        ha = t.column("simhash").to_numpy().astype(np.uint64)
+        hb = t.column("simhash_b").to_numpy().astype(np.uint64)
+        ham = _popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        out = pa.table({
+            "doc_a": t.column("doc_a"),
+            "doc_b": t.column("doc_b"),
+            "hamming": pa.array(ham, pa.int64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(_verify, batch_format="pyarrow")

@@ -1410,3 +1410,46 @@ def test_logreg_hashed_matches_local_reference():
         g = gq @ X
         wn = wn - duckdb_round(g / len(rows), 0).astype(np.int64)
     assert np.array_equal(got, wn)
+
+
+def test_simhash_near_dups_exact_at_small_hamming():
+    import ray.data as rd
+
+    from bento_ray.textops import simhash64, simhash_near_dups
+    from bento_ray.textops.dedup import _popcount64
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                 # identical → ham 0
+        {"doc_id": 2, "text": base + " extra"},      # near
+        {"doc_id": 3, "text": "totally different words about other things "
+                              "entirely unrelated content here now"},
+    ]
+    ds = rd.from_items(rows)
+    got = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs
+    assert got.set_index(["doc_a", "doc_b"]).loc[(0, 1), "hamming"] == 0
+
+    # brute-force ground truth: banding misses NOTHING at ham ≤ 3
+    sims = simhash64(ds).to_pandas().set_index("doc_id")["simhash"]
+    truth = set()
+    for a in range(4):
+        for b in range(a + 1, 4):
+            ham = int(_popcount64(np.array(
+                [np.uint64(sims[a]) ^ np.uint64(sims[b])]))[0])
+            if ham <= 3:
+                truth.add((a, b))
+    assert pairs == truth
+
+
+def test_popcount64_matches_python():
+    from bento_ray.textops.dedup import _popcount64
+
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    got = _popcount64(xs)
+    want = np.array([bin(int(x)).count("1") for x in xs])
+    assert np.array_equal(got, want)
