@@ -42,6 +42,7 @@ __all__ = [
     "filter_domains",
     "canonicalize_urls",
     "url_dedup",
+    "extract_links",
 ]
 
 _URL_RE = (r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
@@ -160,6 +161,36 @@ def top_domains(ds, k: int = 20, col: str = "url",
     """Top-k domains by page count (ties → lexicographic)."""
     return domain_stats(ds, col, key=key).sort(
         ["pages", "domain"], descending=[True, False]).limit(k)
+
+
+def extract_links(ds, html_col: str = "html", src_col: str = "url"):
+    """Outlink extraction — the crawl-graph edge pass: one row per
+    ``href="..."`` occurrence as (src, link). Fully vectorized: one
+    Arrow ``split_pattern`` on the attribute marker per batch, a
+    boolean mask drops each doc's pre-href prefix, and one RE2 kernel
+    trims each fragment at the closing quote — no per-row Python over
+    HTML. Feed through :func:`parse_urls`/``domain_stats`` for a
+    domain graph, or ``textops.graph.pagerank`` for link authority."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column(html_col), 'href="')
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.values
+        offsets = np.asarray(lists.offsets)
+        counts = np.diff(offsets)
+        # the first fragment of every doc precedes its first href
+        keep = np.ones(len(flat), bool)
+        keep[offsets[:-1][counts > 0]] = False
+        row_ids = np.repeat(np.arange(len(counts)), counts)[keep]
+        frags = flat.filter(pa.array(keep))
+        m = pc.extract_regex(frags, r'^(?P<l>[^"]*)')
+        # html often arrives binary (parquet BYTE_ARRAY) — links are text
+        links = pc.struct_field(m, "l").cast(pa.string())
+        src = t.column(src_col).take(pa.array(row_ids, pa.int64()))
+        return pa.table({"src": src, "link": links})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 _FULL_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)"

@@ -159,3 +159,64 @@ def test_url_dedup_combiner():
     assert out.loc["http://a.com/x", "n_pages"] == 2
     assert out.loc["http://a.com/x", "keeper_doc_id"] == 3
     assert out.loc["https://b.org/y", "n_pages"] == 1
+
+
+def test_extract_links_vectorized():
+    from bento_ray.textops import extract_links
+
+    ds = rd.from_items([
+        {"url": "https://a.com/", "html":
+            '<p>x</p><a href="https://b.com/1">b</a>'
+            '<a href="https://c.com/2">c</a>'},
+        {"url": "https://d.com/", "html": "<p>no links here</p>"},
+        {"url": "https://e.com/", "html": '<a href="/relative">r</a>'},
+    ])
+    out = extract_links(ds).to_pandas().sort_values("link") \
+        .reset_index(drop=True)
+    assert list(out["link"]) == ["/relative", "https://b.com/1",
+                                 "https://c.com/2"]
+    assert list(out["src"]) == ["https://e.com/", "https://a.com/",
+                                "https://a.com/"]
+
+
+def test_link_graph_pagerank_end_to_end(pages_dir):
+    """Crawl-graph integration: extract outlinks from the synthetic
+    pages corpus, reduce to a registrable-domain edge set, run
+    distributed PageRank over it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bento_ray.sources.inputs import read_parquet
+    from bento_ray.textops import extract_links
+    from bento_ray.textops.graph import pagerank
+    from bento_ray.textops.urlops import _parse_batch
+
+    pages = read_parquet(pages_dir, columns=["url", "html"])
+    links = extract_links(pages)
+
+    def _hosts(t: pa.Table) -> pa.Table:
+        s = _parse_batch(pa.table({"u": t.column("src")}), "u")
+        d = _parse_batch(pa.table({"u": t.column("link")}), "u")
+        out = pa.table({"src": s.column("host"), "dst": d.column("host")})
+        return out.filter(pc.and_(pc.is_valid(out.column("src")),
+                                  pc.is_valid(out.column("dst"))))
+
+    edges = links.map_batches(_hosts, batch_format="pyarrow").materialize()
+    assert edges.count() > 0
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t.column("src").combine_chunks(),
+                                 t.column("dst").combine_chunks()])
+        return pa.table({"node": pa.array(
+            pa.compute.unique(vals))})
+
+    nodes = edges.map_batches(_nodes, batch_format="pyarrow") \
+        .groupby("node").count().map_batches(
+            lambda t: pa.table({"node": t.column("node")}),
+            batch_format="pyarrow").materialize()
+    n = nodes.count()
+    ranks = pagerank(edges, nodes, iters=2).to_pandas()
+    assert len(ranks) == n
+    # probability mass is conserved up to dangling leakage: ≤ 1
+    assert 0 < ranks["rank"].sum() <= 1.0 + 1e-9
+    assert (ranks["rank"] > 0).all()
