@@ -2438,6 +2438,54 @@ SELECT bucket, wn AS weight_nano FROM {prev} ORDER BY bucket
     return head + "".join(body) + tail
 
 
+def q_extract_links(sf_dir: str):
+    """Outlink extraction parity: both sides lace deterministic anchor
+    tags into the doc text (one link for even doc_ids, a second for
+    doc_id%6==0 — multiplicity matters, the compare is multiset), then
+    extract with their own engine (Arrow split+RE2 here, DuckDB
+    regexp_extract_all there)."""
+    from bento_ray.textops import extract_links
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        d = pd.Series(ids)
+        a1 = (' <a href="http://site' + (d % 20).astype(str)
+              + '.example.com/p' + (d % 5).astype(str) + '">x</a>')
+        a2 = (' <a href="https://ref' + (d % 3).astype(str)
+              + '.example.org/">y</a>')
+        laced = txt + a1.where(d % 2 == 0, "") + a2.where(d % 6 == 0, "")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "html": pa.array(laced, pa.string())})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    out = extract_links(laced, html_col="html", src_col="doc_id")
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "link"]),
+        batch_format="pyarrow").sort(["doc_id", "link"])
+
+
+SQL_EXTRACT_LINKS = r"""
+WITH laced AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+              THEN ' <a href="http://site' || (doc_id % 20)
+                   || '.example.com/p' || (doc_id % 5) || '">x</a>'
+              ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+              THEN ' <a href="https://ref' || (doc_id % 3)
+                   || '.example.org/">y</a>'
+              ELSE '' END AS html
+  FROM documents
+)
+SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+FROM laced ORDER BY doc_id, link
+"""
+
+
 _SIMHASH_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
                  "juliet kilo lima mike november oscar papa quebec romeo "
                  "sierra tango uniform victor whiskey xray yankee zulu "
@@ -3031,6 +3079,7 @@ QUERIES = {
     "q_pagerank": (q_pagerank, _pagerank_sql()),
     "q_logreg_quality": (q_logreg_quality, _logreg_sql()),
     "q_simhash_near_dups": (q_simhash_near_dups, _simhash_near_dups_sql()),
+    "q_extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),
