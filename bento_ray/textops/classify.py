@@ -59,13 +59,23 @@ def _activations(cnt: np.ndarray, wn: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-(dot / _NANO)))
 
 
+def _binarize(cnt: np.ndarray) -> np.ndarray:
+    b = (cnt > 0).astype(np.int64)
+    b[:, _BIAS] = 1
+    return b
+
+
 def logreg_fit_hashed(ds, *, label_col: str, col: str = "text",
                       n_buckets: int = 64, iters: int = 2,
-                      lr: float = 1.0) -> np.ndarray:
+                      lr: float = 1.0, binary: bool = False) -> np.ndarray:
     """Train; returns the weight vector as int64 NANOS, length
     n_buckets+1 (index 0 = bias). Update rule per iteration:
     wn -= round(lr · Σ_docs round((σ(z)-y)·1e9) · x / N), every
-    rounding half-away-from-zero (DuckDB ROUND convention)."""
+    rounding half-away-from-zero (DuckDB ROUND convention).
+    ``binary=True`` uses presence (0/1) features instead of counts —
+    much better conditioned for full-batch GD on natural text (count
+    features let common-word buckets dominate the gradient and the
+    fixed step oscillates)."""
     from bento_ray.util import duckdb_round
 
     n_total = ds.count()
@@ -77,6 +87,8 @@ def logreg_fit_hashed(ds, *, label_col: str, col: str = "text",
         def _grad_partial(t: pa.Table) -> pa.Table:
             w = ray.get(w_ref)
             cnt = _doc_features(t, col, n_buckets)
+            if binary:
+                cnt = _binarize(cnt)
             y = t.column(label_col).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
             sig = _activations(cnt, w)
@@ -98,9 +110,11 @@ def logreg_fit_hashed(ds, *, label_col: str, col: str = "text",
 
 
 def logreg_score_hashed(ds, wn: np.ndarray, *, col: str = "text",
-                        out_col: str = "score", digits: int = 6):
+                        out_col: str = "score", digits: int = 6,
+                        binary: bool = False):
     """Score docs under a trained nano-weight vector: one broadcast +
-    one vectorized pass; appends σ(w·x) rounded to ``digits``."""
+    one vectorized pass; appends σ(w·x) rounded to ``digits``.
+    ``binary`` must match the training run's setting."""
     from bento_ray.util import duckdb_round
 
     n_buckets = len(wn) - 1
@@ -109,6 +123,8 @@ def logreg_score_hashed(ds, wn: np.ndarray, *, col: str = "text",
     def _f(t: pa.Table) -> pa.Table:
         w = ray.get(w_ref)
         cnt = _doc_features(t, col, n_buckets)
+        if binary:
+            cnt = _binarize(cnt)
         sig = duckdb_round(_activations(cnt, w), digits)
         return t.append_column(out_col, pa.array(sig, pa.float64()))
 

@@ -55,7 +55,8 @@ def main() -> None:
     print(merges)
     print("encode('merge'):", bpe_encode_word("merge", merges))
 
-    print("\n== quality classifier (spam lacing, 2 GD iterations) ==")
+    print("\n== quality classifier (spam lacing, 6 GD iterations, "
+          "presence features) ==")
 
     def _lace(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
@@ -68,8 +69,9 @@ def main() -> None:
                          "y": pa.array(spam.astype(np.float64))})
 
     laced = docs.map_batches(_lace, batch_format="pyarrow")
-    wn = logreg_fit_hashed(laced, label_col="y", n_buckets=64, iters=2)
-    scored = logreg_score_hashed(laced, wn).to_pandas()
+    wn = logreg_fit_hashed(laced, label_col="y", n_buckets=64, iters=6,
+                           binary=True)
+    scored = logreg_score_hashed(laced, wn, binary=True).to_pandas()
     spam_mean = scored[scored["y"] == 1.0]["score"].mean()
     ham_mean = scored[scored["y"] == 0.0]["score"].mean()
     print(f"mean score — spam: {spam_mean:.3f}, ham: {ham_mean:.3f}")
