@@ -2486,6 +2486,38 @@ FROM laced ORDER BY doc_id, link
 """
 
 
+def q_cep_sequence(sf_dir: str):
+    """CEP pattern matching (the north rule's missing letter): all
+    CONSECUTIVE click→purchase sequences per user completed within 6
+    hours — MATCH_RECOGNIZE strict contiguity, as one hash exchange +
+    P vectorized partition scans. The oracle is the LAG window form of
+    the same semantics."""
+    from bento_ray.stages.cep import match_event_sequence
+
+    ds = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type"])
+    out = match_event_sequence(ds, ["click", "purchase"],
+                               within_us=21_600_000_000)
+    return out.sort(["user_id", "first_event_id"])
+
+
+SQL_CEP_SEQUENCE = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS pt,
+         lag(ts) OVER w AS pts,
+         lag(event_id) OVER w AS pid
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, pid AS first_event_id, event_id AS last_event_id,
+       epoch_us(ts) - epoch_us(pts) AS span_us
+FROM s
+WHERE pt = 'click' AND event_type = 'purchase'
+  AND epoch_us(ts) - epoch_us(pts) <= 21600000000
+ORDER BY user_id, first_event_id
+"""
+
+
 _SIMHASH_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
                  "juliet kilo lima mike november oscar papa quebec romeo "
                  "sierra tango uniform victor whiskey xray yankee zulu "
@@ -3080,6 +3112,7 @@ QUERIES = {
     "q_logreg_quality": (q_logreg_quality, _logreg_sql()),
     "q_simhash_near_dups": (q_simhash_near_dups, _simhash_near_dups_sql()),
     "q_extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
+    "q_cep_sequence": (q_cep_sequence, SQL_CEP_SEQUENCE),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -469,3 +469,61 @@ def test_window_arithmetic_normalizes_ns_timestamps():
     e_ns = assign_tumbling(t_ns, "ts", 10_000_000)["window_end"]
     e_us = assign_tumbling(t_us, "ts", 10_000_000)["window_end"]
     assert e_ns.to_pylist() == e_us.to_pylist()
+
+
+def test_match_event_sequence_strict_contiguity():
+    import ray.data as rd
+
+    from bento_ray.stages.cep import match_event_sequence
+
+    US = 1_000_000
+    rows = [
+        # user 1: click(0s) → purchase(10s): match, span 10s
+        {"event_id": 1, "user_id": 1, "ts": 0, "event_type": "click"},
+        {"event_id": 2, "user_id": 1, "ts": 10 * US, "event_type": "purchase"},
+        # user 1: click(100s) → view → purchase: NOT contiguous
+        {"event_id": 3, "user_id": 1, "ts": 100 * US, "event_type": "click"},
+        {"event_id": 4, "user_id": 1, "ts": 110 * US, "event_type": "view"},
+        {"event_id": 5, "user_id": 1, "ts": 120 * US, "event_type": "purchase"},
+        # user 2: click → purchase but too slow (span 900s > 60s bound)
+        {"event_id": 6, "user_id": 2, "ts": 0, "event_type": "click"},
+        {"event_id": 7, "user_id": 2, "ts": 900 * US, "event_type": "purchase"},
+        # user boundary never matches across users (3→8 adjacent in sort)
+        {"event_id": 8, "user_id": 3, "ts": 101 * US, "event_type": "purchase"},
+    ]
+    import pyarrow as pa
+
+    ds = rd.from_items(rows).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("ts"), "ts",
+            t.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = match_event_sequence(ds, ["click", "purchase"],
+                               within_us=60 * US).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["user_id"], r["first_event_id"], r["last_event_id"],
+            r["span_us"]) == (1, 1, 2, 10 * US)
+
+
+def test_match_event_sequence_three_step_overlaps():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from bento_ray.stages.cep import match_event_sequence
+
+    US = 1_000_000
+    # a b a b a — pattern [a, b, a] matches at positions 0 and 2
+    types = ["a", "b", "a", "b", "a"]
+    rows = [{"event_id": i, "user_id": 7, "ts": i * US, "event_type": t}
+            for i, t in enumerate(types)]
+    ds = rd.from_items(rows).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("ts"), "ts",
+            t.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = match_event_sequence(ds, ["a", "b", "a"], within_us=10 * US) \
+        .to_pandas().sort_values("first_event_id")
+    assert list(out["first_event_id"]) == [0, 2]
+    assert list(out["last_event_id"]) == [2, 4]
