@@ -2518,6 +2518,51 @@ ORDER BY user_id, first_event_id
 """
 
 
+def q_fix_mojibake(sf_dir: str):
+    """Encoding repair (ftfy's core move) hash-checked: both sides
+    lace deterministic mojibake ('cafÃ©' / 'donâ€™t') into the ASCII
+    corpus; the engine repairs via the general
+    cp1252-encode → utf-8-decode roundtrip on marker-flagged rows,
+    the oracle via the equivalent replace chain over the known laced
+    sequences — so the hash verifies the roundtrip repairs exactly
+    the laced corruption and touches nothing else."""
+    from bento_ray.textops import fix_mojibake
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lace(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text").to_pandas()
+        d = pd.Series(ids)
+        laced = (txt
+                 + pd.Series(" cafÃ© menu").repeat(len(d))
+                   .reset_index(drop=True).where(d % 4 == 1, "")
+                 + pd.Series(" donâ€™t stop").repeat(len(d))
+                   .reset_index(drop=True).where(d % 8 == 3, ""))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(laced, pa.string())})
+
+    laced = ds.map_batches(_lace, batch_format="pyarrow")
+    return fix_mojibake(laced).select_columns(
+        ["doc_id", "fixed_text", "was_mojibake"]).sort("doc_id")
+
+
+SQL_FIX_MOJIBAKE = """
+WITH laced AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 1 THEN ' cafÃ© menu' ELSE '' END
+         || CASE WHEN doc_id % 8 = 3 THEN ' donâ€™t stop' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       replace(replace(t, 'cafÃ©', 'café'), 'donâ€™t', 'don’t')
+         AS fixed_text,
+       (doc_id % 4 = 1 OR doc_id % 8 = 3) AS was_mojibake
+FROM laced ORDER BY doc_id
+"""
+
+
 _SIMHASH_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
                  "juliet kilo lima mike november oscar papa quebec romeo "
                  "sierra tango uniform victor whiskey xray yankee zulu "
@@ -3113,6 +3158,7 @@ QUERIES = {
     "q_simhash_near_dups": (q_simhash_near_dups, _simhash_near_dups_sql()),
     "q_extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
     "q_cep_sequence": (q_cep_sequence, SQL_CEP_SEQUENCE),
+    "q_fix_mojibake": (q_fix_mojibake, SQL_FIX_MOJIBAKE),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
     "q_dup_groups": (q_dup_groups, SQL_DUP_GROUPS),

@@ -1453,3 +1453,40 @@ def test_popcount64_matches_python():
     got = _popcount64(xs)
     want = np.array([bin(int(x)).count("1") for x in xs])
     assert np.array_equal(got, want)
+
+
+def test_fix_mojibake_repairs_and_passes_through():
+    import ray.data as rd
+
+    from bento_ray.textops import fix_mojibake
+
+    rows = [
+        {"doc_id": 0, "text": "plain ascii stays put"},
+        {"doc_id": 1, "text": "the cafÃ© is open"},          # 1 round
+        {"doc_id": 2, "text": "donâ€™t touch â€œquotesâ€\x9d"},
+        {"doc_id": 3, "text": "already café fine"},           # real é kept
+        {"doc_id": 4, "text": "lone Ã marker no valid utf8"},  # unrepairable
+    ]
+    out = fix_mojibake(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "fixed_text"] == "plain ascii stays put"
+    assert not out.loc[0, "was_mojibake"]
+    assert out.loc[1, "fixed_text"] == "the café is open"
+    assert out.loc[1, "was_mojibake"]
+    assert out.loc[2, "fixed_text"] == "don’t touch “quotes”"
+    assert out.loc[3, "fixed_text"] == "already café fine"
+    assert not out.loc[3, "was_mojibake"]
+    # a bare 'Ã ' that isn't valid UTF-8 after re-encode is left alone
+    assert out.loc[4, "fixed_text"] == "lone Ã marker no valid utf8"
+
+
+def test_fix_mojibake_double_encoded():
+    import ray.data as rd
+
+    from bento_ray.textops import fix_mojibake
+
+    once = "café".encode("utf-8").decode("cp1252")       # 'cafÃ©'
+    twice = once.encode("utf-8").decode("cp1252")        # double-mojibake
+    out = fix_mojibake(rd.from_items(
+        [{"doc_id": 0, "text": f"menu {twice} here"}])).to_pandas()
+    assert out.iloc[0]["fixed_text"] == "menu café here"
