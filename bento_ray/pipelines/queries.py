@@ -3088,6 +3088,141 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_interval_join(sf_dir: str):
+    """Stream-stream interval join (Flink interval join): every
+    (click, purchase) pair by the same user with the purchase 1 us to
+    2 h after the click. One hash exchange + merge-rank partition
+    scans (stages/join.py interval_join) — the oracle is the direct
+    range-predicate self-join."""
+    from bento_ray.stages.join import interval_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id",
+                               "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    out = interval_join(
+        clicks, buys, key_col="user_id", left_ts="ts", right_ts="ts",
+        left_id_col="event_id", right_id_col="event_id",
+        left_out="click_id", right_out="purchase_id",
+        lower_us=1, upper_us=7_200_000_000)
+    return out.sort(["user_id", "click_id", "purchase_id"])
+
+
+SQL_INTERVAL_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 7200000000
+ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
+def q_cep_followed_by(sf_dir: str):
+    """Relaxed-contiguity CEP (Flink `followedBy`): for every signup,
+    the earliest later click by the same user, then the earliest
+    purchase after that click, completed within 48 h. The oracle
+    replicates earliest-completion semantics with nested
+    next-occurrence window minima over the same (ts, event_id)
+    order."""
+    from bento_ray.stages.cep import match_followed_by
+
+    ds = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type"])
+    out = match_followed_by(ds, ["signup", "click", "purchase"],
+                            within_us=172_800_000_000)
+    return out.sort(["user_id", "first_event_id"])
+
+
+SQL_CEP_FOLLOWED_BY = """
+WITH e0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events
+),
+e AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' THEN pos END) OVER w2
+           AS nxt_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN pos END) OVER w2
+           AS nxt_buy
+  FROM e0 WINDOW w2 AS (PARTITION BY user_id ORDER BY pos
+                        ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING)
+)
+SELECT a.user_id, a.event_id AS first_event_id,
+       c.event_id AS last_event_id,
+       epoch_us(c.ts) - epoch_us(a.ts) AS span_us
+FROM e a
+JOIN e b ON b.user_id = a.user_id AND b.pos = a.nxt_click
+JOIN e c ON c.user_id = b.user_id AND c.pos = b.nxt_buy
+WHERE a.event_type = 'signup'
+  AND epoch_us(c.ts) - epoch_us(a.ts) <= 172800000000
+ORDER BY a.user_id, first_event_id
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 orders by totalprice per priority, combiner-pruned: each
+    block keeps ≤3 rows per priority before the shuffle, so the
+    exchange moves k × groups × blocks rows regardless of input
+    size."""
+    from bento_ray.stages.rank import topk_per_group
+
+    ds = _t(sf_dir, "orders",
+            ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = topk_per_group(ds, ["o_orderpriority"], "o_totalprice",
+                         "o_orderkey", 3, descending=True)
+    return out.sort(["o_orderpriority", "o_orderkey"])
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderpriority
+  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+def q_rolling_avg(sf_dir: str):
+    """Per-user rolling 5-event average of `value` in event order
+    (Flink OVER ROWS window): one hash exchange + shifted-cumsum
+    partition scans. Sums ride an integer micro-unit grid
+    (half-away-from-zero like SQL ROUND) so Ray and DuckDB agree
+    bit-for-bit; the average divides the same two IEEE doubles on
+    both engines."""
+    from bento_ray.stages.rank import rolling_aggregate
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_aggregate(ds, key_col="user_id", ts_col="ts",
+                            val_col="value", id_col="event_id",
+                            window=5)
+    return out.sort(["user_id", "event_id"])
+
+
+SQL_ROLLING_AVG = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1e6) AS BIGINT) AS micro
+  FROM events
+)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS roll_cnt,
+       CAST(SUM(micro) OVER w AS BIGINT) AS roll_sum_micro,
+       (CAST(SUM(micro) OVER w AS BIGINT)
+        / COUNT(*) OVER w) / 1e6 AS roll_avg
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q_bloblang_revenue": (q_bloblang_revenue, SQL_BLOBLANG_REVENUE),
@@ -3158,6 +3293,10 @@ QUERIES = {
     "q_simhash_near_dups": (q_simhash_near_dups, _simhash_near_dups_sql()),
     "q_extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
     "q_cep_sequence": (q_cep_sequence, SQL_CEP_SEQUENCE),
+    "q_cep_followed_by": (q_cep_followed_by, SQL_CEP_FOLLOWED_BY),
+    "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "q_rolling_avg": (q_rolling_avg, SQL_ROLLING_AVG),
     "q_fix_mojibake": (q_fix_mojibake, SQL_FIX_MOJIBAKE),
     # rows-only (non-SQL-expressible)
     "q_minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH),
