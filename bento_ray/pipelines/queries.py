@@ -3205,6 +3205,39 @@ def q_rolling_avg(sf_dir: str):
     return out.sort(["user_id", "event_id"])
 
 
+def q_window_topk(sf_dir: str):
+    """Streaming top-k: top-2 events by value per (1h tumbling
+    window, event_type) — window assignment composed with the
+    combiner-pruned per-group top-k, so the exchange moves ≤ 2 rows
+    per (window, type) per block. The oracle runs the same window
+    arithmetic + row_number rule."""
+    from bento_ray.stages.rank import topk_per_group
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    ds = ds.map_batches(lambda t: _tumble_naive(t, "ts", HOUR_US),
+                        batch_format="pyarrow")
+    out = topk_per_group(ds, ["window_end", "event_type"], "value",
+                         "event_id", 2, descending=True)
+    return (out.select_columns(["window_end", "event_type", "event_id",
+                                "value"])
+            .sort(["window_end", "event_type", "event_id"]))
+
+
+SQL_WINDOW_TOPK = f"""
+WITH w AS (
+  SELECT make_timestamp(((epoch_us(ts) + {HOUR_US - 1}) // {HOUR_US})
+                        * {HOUR_US}) AS window_end,
+         event_type, event_id, value
+  FROM events
+)
+SELECT window_end, event_type, event_id, value FROM w
+QUALIFY row_number() OVER (
+  PARTITION BY window_end, event_type
+  ORDER BY value DESC, event_id) <= 2
+ORDER BY window_end, event_type, event_id
+"""
+
+
 SQL_ROLLING_AVG = """
 WITH m AS (
   SELECT user_id, event_id, ts,
@@ -3296,6 +3329,7 @@ QUERIES = {
     "q_cep_followed_by": (q_cep_followed_by, SQL_CEP_FOLLOWED_BY),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "q_rolling_avg": (q_rolling_avg, SQL_ROLLING_AVG),
     "q_fix_mojibake": (q_fix_mojibake, SQL_FIX_MOJIBAKE),
     # rows-only (non-SQL-expressible)

@@ -27,6 +27,11 @@ SUBSET = [
     "q_dup_ngram_stats",
     "q_lang_id",
     "q_stratified_sample",
+    "q_interval_join",
+    "q_cep_followed_by",
+    "q_topk_per_group",
+    "q_window_topk",
+    "q_rolling_avg",
 ]
 
 
