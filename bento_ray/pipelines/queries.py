@@ -3166,6 +3166,33 @@ ORDER BY a.user_id, first_event_id
 """
 
 
+def q_cep_absence(sf_dir: str):
+    """CEP negation / timeout (Flink `notFollowedBy` within a bound):
+    signups with NO purchase by the same user in the following 6 h.
+    One suffix-min pass per partition; the oracle is the equivalent
+    NOT EXISTS anti-join with the same (ts, event_id) tie rule."""
+    from bento_ray.stages.cep import match_absence
+
+    ds = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type"])
+    out = match_absence(ds, "signup", "purchase",
+                        within_us=21_600_000_000)
+    return out.sort(["user_id", "first_event_id"])
+
+
+SQL_CEP_ABSENCE = """
+SELECT s.user_id, s.event_id AS first_event_id
+FROM events s
+WHERE s.event_type = 'signup' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+    AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+    AND epoch_us(p.ts) - epoch_us(s.ts) <= 21600000000
+)
+ORDER BY s.user_id, first_event_id
+"""
+
+
 def q_topk_per_group(sf_dir: str):
     """Top-3 orders by totalprice per priority, combiner-pruned: each
     block keeps ≤3 rows per priority before the shuffle, so the
@@ -3327,6 +3354,7 @@ QUERIES = {
     "q_extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
     "q_cep_sequence": (q_cep_sequence, SQL_CEP_SEQUENCE),
     "q_cep_followed_by": (q_cep_followed_by, SQL_CEP_FOLLOWED_BY),
+    "q_cep_absence": (q_cep_absence, SQL_CEP_ABSENCE),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

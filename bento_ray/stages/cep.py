@@ -20,7 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["match_event_sequence", "match_followed_by"]
+__all__ = ["match_event_sequence", "match_followed_by",
+           "match_absence"]
 
 
 def match_event_sequence(ds, pattern: list[str], *, within_us: int,
@@ -164,6 +165,70 @@ def match_followed_by(ds, pattern: list[str], *, within_us: int,
             "first_event_id": pa.array(eid[first], pa.int64()),
             "last_event_id": pa.array(eid[last], pa.int64()),
             "span_us": pa.array(span, pa.int64()),
+        })
+
+    return (ds.map_batches(_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda t: _scan(t.drop_columns(["part"])),
+                        batch_format="pyarrow"))
+
+
+def match_absence(ds, first: str, absent: str, *, within_us: int,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id",
+                  num_parts: int | None = None):
+    """CEP negation / timeout pattern (Flink `notFollowedBy` within a
+    time bound — the alerting shape: "signup with NO purchase inside
+    7 days"): emit (key, first_event_id) for every ``first``-type
+    event with no ``absent``-type event for the same key strictly
+    after it (in (ts, id) order) within ``within_us``.
+
+    Same distributed shape as the other CEP scans: one hash exchange
+    on the key, P partition scans, ONE suffix-min pass for the
+    next-occurrence index — the absence test is then a single
+    vectorized comparison. In a live stream this is the
+    watermark-fired timeout timer; over a bounded table the suffix
+    scan IS that timer's final state."""
+    from bento_ray.util import stable_hash
+
+    if num_parts is None:
+        from bento_ray.util import cluster_cpus
+        num_parts = max(4, cluster_cpus())
+    P = num_parts
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = stable_hash(t.column(key_col)) % np.uint64(P)
+        return t.append_column("part", pa.array(h.astype(np.int64)))
+
+    empty = pa.table({
+        key_col: pa.array([], pa.int64()),
+        "first_event_id": pa.array([], pa.int64()),
+    })
+
+    def _scan(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        typ = t.column(type_col).to_numpy(zero_copy_only=False)
+        eid = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, key))
+        key, ts, typ, eid = key[order], ts[order], typ[order], eid[order]
+        n = len(key)
+        if n == 0:
+            return empty
+        pos_if = np.where(typ == absent, np.arange(n), n)
+        suffmin = np.minimum.accumulate(pos_if[::-1])[::-1]
+        nxt = np.concatenate([suffmin[1:], [n]])
+        starts = np.flatnonzero(typ == first)
+        landed = nxt[starts]
+        safe = np.minimum(landed, n - 1)
+        # present = an in-key absent-event within the bound exists
+        present = (landed < n) & (key[safe] == key[starts]) & \
+            (ts[safe] - ts[starts] <= within_us)
+        keep = starts[~present]
+        return pa.table({
+            key_col: pa.array(key[keep], pa.int64()),
+            "first_event_id": pa.array(eid[keep], pa.int64()),
         })
 
     return (ds.map_batches(_part, batch_format="pyarrow")

@@ -29,6 +29,7 @@ SUBSET = [
     "q_stratified_sample",
     "q_interval_join",
     "q_cep_followed_by",
+    "q_cep_absence",
     "q_topk_per_group",
     "q_window_topk",
     "q_rolling_avg",

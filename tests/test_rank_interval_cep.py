@@ -240,3 +240,27 @@ def test_rolling_aggregate_brute_force():
         for i, e in enumerate(evs):
             lo = max(0, i - W + 1)
             assert got[e["event_id"]] == (i - lo + 1, sum(micro[lo:i + 1]))
+
+
+def test_match_absence_timeout_pattern():
+    from bento_ray.stages.cep import match_absence
+
+    rows = [
+        # user 1: signup with purchase 5s later — suppressed
+        {"event_id": 1, "user_id": 1, "ts": 0, "event_type": "signup"},
+        {"event_id": 2, "user_id": 1, "ts": 5 * US, "event_type": "purchase"},
+        # user 1: second signup, next purchase 100s later — emitted
+        {"event_id": 3, "user_id": 1, "ts": 10 * US, "event_type": "signup"},
+        {"event_id": 4, "user_id": 1, "ts": 110 * US, "event_type": "purchase"},
+        # user 2: signup, never purchases — emitted
+        {"event_id": 5, "user_id": 2, "ts": 0, "event_type": "signup"},
+        # user 3's purchase must not suppress user 2's signup
+        {"event_id": 6, "user_id": 3, "ts": 1 * US, "event_type": "purchase"},
+        # same-ts tie: purchase with HIGHER id counts as "after"
+        {"event_id": 7, "user_id": 4, "ts": 0, "event_type": "signup"},
+        {"event_id": 8, "user_id": 4, "ts": 0, "event_type": "purchase"},
+    ]
+    out = match_absence(_events_ds(rows), "signup", "purchase",
+                        within_us=30 * US).to_pandas()
+    got = sorted(zip(out["user_id"], out["first_event_id"]))
+    assert got == [(1, 3), (2, 5)]
