@@ -458,3 +458,189 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         rows["meta_height"].append(h)
         rows["meta_duration_ms"].append(dur)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (LAION-style corpus curation)
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, norm='ortho')."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _phash64_dct(luma32: np.ndarray) -> int:
+    """True perceptual hash (pHash, imagehash convention): 2-D DCT of
+    the 32×32 luma thumb, keep the top-left 8×8 low-frequency block,
+    threshold each coefficient against the block median."""
+    d = _DCT32 @ luma32 @ _DCT32.T
+    block = d[:8, :8]
+    bits = (block > np.median(block)).flatten()
+    return int(np.packbits(bits).astype(np.uint64)
+               .dot(256 ** np.arange(8, dtype=np.uint64)[::-1]))
+
+
+class ImagePHash(ImageDecoder):
+    """Actor stage: payload → 64-bit DCT perceptual hash. The decode
+    ladder is ImageDecoder's (PIL → pure codecs → deterministic
+    fake), run on a 32×32 bilinear thumb as pHash requires."""
+
+    def __init__(self):
+        super().__init__(thumb=32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes, decoders = [], []
+        for payload in t.column("payload").to_pylist():
+            px, _w, _h, dec = self._decode(payload or b"")
+            hashes.append(_phash64_dct(_luma(px)))
+            decoders.append(dec)
+        t = t.append_column("phash", pa.array(
+            np.array(hashes, np.uint64).astype(np.int64), pa.int64()))
+        return t.append_column("decoder", pa.array(decoders, pa.string()))
+
+
+def _phash_pair_scan(t: pa.Table, num_pair_parts: int) -> pa.Table:
+    """Candidate pairs inside one coarse bucket partition, CARRYING
+    both 64-bit hashes with the pair (16 extra bytes/pair — cheaper at
+    any scale than the two shuffle joins the text simhash path uses to
+    re-attach fingerprints to pairs). Same fully-vectorized
+    boundary-scan + cumulative-offset expansion as
+    textops.dedup._pair_partition_scan."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hash_a": pa.array([], pa.int64()),
+                      "hash_b": pa.array([], pa.int64()),
+                      "pair_part": pa.array([], pa.int64())})
+    n = len(t)
+    if n == 0:
+        return empty
+    idx = pa.compute.sort_indices(t, sort_keys=[
+        ("band_id", "ascending"), ("band_hash", "ascending"),
+        ("doc_id", "ascending")])
+    t = t.take(idx)
+    bid = t.column("band_id").to_numpy()
+    bh = t.column("band_hash").to_numpy()
+    docs = t.column("doc_id").to_numpy()
+    hsh = t.column("h").to_numpy()
+    bucket_id = np.zeros(n, np.int64)
+    bucket_id[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+    bucket_id = np.cumsum(bucket_id)
+    dup = np.zeros(n, bool)
+    dup[1:] = (docs[1:] == docs[:-1]) & (bucket_id[1:] == bucket_id[:-1])
+    if dup.any():
+        keep = ~dup
+        docs, hsh, bucket_id = docs[keep], hsh[keep], bucket_id[keep]
+        n = len(docs)
+    sizes = np.bincount(bucket_id)
+    group_start = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pos = np.arange(n) - group_start[bucket_id]
+    total = int(pos.sum())
+    if total == 0:
+        return empty
+    seg_start = np.concatenate([[0], np.cumsum(pos)[:-1]])
+    b_idx = np.repeat(np.arange(n), pos)
+    a_idx = (np.arange(total) - np.repeat(seg_start, pos)
+             + np.repeat(group_start[bucket_id], pos))
+    packed = (docs[a_idx].astype(np.uint64) << np.uint64(32)) \
+        | docs[b_idx].astype(np.uint64)
+    packed, first = np.unique(packed, return_index=True)
+    return pa.table({
+        "doc_a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+        "doc_b": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        "hash_a": pa.array(hsh[a_idx[first]], pa.int64()),
+        "hash_b": pa.array(hsh[b_idx[first]], pa.int64()),
+        "pair_part": pa.array(
+            (packed % np.uint64(num_pair_parts)).astype(np.int64)),
+    })
+
+
+def image_near_dups(ds, *, max_hamming: int = 3,
+                    concurrency: int | None = None,
+                    num_parts: int | None = None):
+    """Near-duplicate IMAGE pairs by perceptual hash — the multimodal
+    counterpart of textops.simhash_near_dups, for image-corpus
+    curation (LAION-style pHash dedup): 4×16-bit band LSH over the
+    64-bit DCT pHash, exact Hamming verify. EXACT at
+    ``max_hamming ≤ 3`` by pigeonhole (4 disjoint bands: ≤3 flipped
+    bits leave ≥1 band identical).
+
+    Distributed plan: pHash actor pool (decode once per payload) →
+    band explosion (4 rows × 16 bytes per image) → coarse bucket
+    partitions, vectorized boundary scans → hash-partitioned pair
+    dedup + popcount verify. Pairs CARRY their two hashes, so no
+    join is needed to verify — at 10^9 images the moving state is
+    bounded by band rows (≈64 B/image) + surviving pairs. media_ids
+    must pack in 32 bits (same contract as the text pair helpers).
+    Returns (media_a, media_b, hamming), media_a < media_b."""
+    from bento_ray.util import stable_hash
+
+    if num_parts is None:
+        from bento_ray.util import cluster_cpus
+        num_parts = max(4, cluster_cpus())
+    P = num_parts
+
+    sigs = ds.map_batches(ImagePHash, batch_size=64,
+                          concurrency=_conc(concurrency),
+                          batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["media_id", "phash"]),
+                     batch_format="pyarrow")
+
+    def _explode(t: pa.Table) -> pa.Table:
+        h = t.column("phash").to_numpy().astype(np.uint64)
+        ids = t.column("media_id").to_numpy()
+        band_id = np.tile(np.arange(4, dtype=np.int64), len(h))
+        hh = np.repeat(h, 4)
+        band = (hh >> (band_id.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        import pandas as pd
+
+        bucket = (stable_hash(pd.Series(
+            band_id * 1_000_003 + band.astype(np.int64)))
+            % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "h": pa.array(np.repeat(h, 4).astype(np.int64), pa.int64()),
+            "bucket_part": pa.array(bucket),
+        })
+
+    def _dedup_verify(t: pa.Table) -> pa.Table:
+        from bento_ray.textops.dedup import _popcount64
+
+        empty = pa.table({"media_a": pa.array([], pa.int64()),
+                          "media_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        A = t.column("doc_a").to_numpy().astype(np.uint64)
+        B = t.column("doc_b").to_numpy().astype(np.uint64)
+        packed, first = np.unique((A << np.uint64(32)) | B,
+                                  return_index=True)
+        ha = t.column("hash_a").to_numpy()[first].astype(np.uint64)
+        hb = t.column("hash_b").to_numpy()[first].astype(np.uint64)
+        ham = _popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        return pa.table({
+            "media_a": pa.array(
+                (packed >> np.uint64(32)).astype(np.int64)[keep]),
+            "media_b": pa.array(
+                (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)[keep]),
+            "hamming": pa.array(ham[keep].astype(np.int64)),
+        })
+
+    return (sigs.map_batches(_explode, batch_format="pyarrow")
+            .groupby("bucket_part")
+            .map_groups(lambda t: _phash_pair_scan(
+                t.drop_columns(["bucket_part"]), P),
+                batch_format="pyarrow")
+            .groupby("pair_part")
+            .map_groups(lambda t: _dedup_verify(
+                t.drop_columns(["pair_part"])), batch_format="pyarrow"))

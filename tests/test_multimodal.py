@@ -192,3 +192,78 @@ def test_video_metadata_stage(media_ds):
             assert row["codec"] == "gif"
             assert row["n_frames"] == 6
             assert row["width"] == m["meta_width"]
+
+
+def test_phash64_dct_properties():
+    import numpy as np
+
+    from bento_ray.multimodal import _phash64_dct
+    from bento_ray.textops.dedup import _popcount64
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+    # identical thumbs hash identically; a tiny perturbation moves few
+    # bits; an unrelated image moves many
+    b = a.copy()
+    b[0, 0] += 1.0
+    c = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+    ha, hb, hc = (_phash64_dct(x) for x in (a, b, c))
+    d_ab = int(_popcount64(np.array([ha ^ hb], np.uint64))[0])
+    d_ac = int(_popcount64(np.array([ha ^ hc], np.uint64))[0])
+    assert ha == _phash64_dct(a)
+    assert d_ab <= 3
+    assert d_ac > 10
+
+
+def test_image_near_dups_exact_at_hamming3():
+    import io  # noqa: F401
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from bento_ray import mediacodec as mc
+    from bento_ray.multimodal import (ImagePHash, _luma, _phash64_dct,
+                                      image_near_dups)
+    from bento_ray.textops.dedup import _popcount64
+
+    rng = np.random.default_rng(9)
+    payloads = []
+    # 6 smooth base images (structured, so near-dups stay near), each
+    # with a lightly-perturbed copy; plus 4 unrelated images
+    for i in range(6):
+        base = np.zeros((48, 64, 3), np.uint8)
+        gx = np.linspace(0, 255, 64)[None, :]
+        gy = np.linspace(0, 255, 48)[:, None]
+        base[..., 0] = (gx + i * 20) % 256
+        base[..., 1] = (gy * (i + 1) / 6) % 256
+        base[..., 2] = ((gx + gy) / 2) % 256
+        dup = base.copy()
+        dup[:2, :2] ^= 3  # tiny corner change
+        payloads += [mc.encode_png(base), mc.encode_png(dup)]
+    for _ in range(4):
+        payloads.append(mc.encode_png(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)))
+    tbl = pa.table({
+        "media_id": pa.array(range(len(payloads)), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = image_near_dups(ds, max_hamming=3).to_pandas()
+    got = sorted(zip(out["media_a"], out["media_b"], out["hamming"]))
+
+    # brute-force truth with the same stage's decode + hash
+    st = ImagePHash()
+    hashes = [np.uint64(_phash64_dct(_luma(st._decode(p)[0])))
+              for p in payloads]
+    want = []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = int(_popcount64(np.array([hashes[i] ^ hashes[j]],
+                                         np.uint64))[0])
+            if d <= 3:
+                want.append((i, j, d))
+    assert got == sorted(want)
+    # the laced duplicates must actually be found
+    assert len(got) >= 3
