@@ -3166,6 +3166,60 @@ ORDER BY a.user_id, first_event_id
 """
 
 
+# fixed merge list for the tokenization oracle (training is pinned
+# separately in pytest; a literal list lets BOTH engines apply the
+# identical merges)
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+               ("a", "n"), ("r", "e"), ("o", "n"), ("an", "d"),
+               ("o", "r"), ("e", "n"), ("a", "t"), ("i", "t")]
+
+
+def q_bpe_tokenize(sf_dir: str):
+    """Distributed BPE tokenization (the apply step after training):
+    per-doc token counts under a fixed merge list, computed by the
+    broadcast-merge actor stage (distinct-word dedup + per-actor
+    cache). The oracle simulates the same left-to-right merge passes
+    in SQL over separator-wrapped characters."""
+    from bento_ray.textops import bpe_tokenize
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bpe_tokenize(ds, _BPE_MERGES).select_columns(
+        ["doc_id", "n_bpe_tokens"])
+    return out.sort("doc_id")
+
+
+def _bpe_tokenize_sql() -> str:
+    """Each token is rendered ``RS tok US`` (ASCII 30/31 — absent from
+    the printable-ASCII corpus), so a merge (a, b) is EXACTLY the
+    non-overlapping left-to-right replace of ``RS a US RS b US`` with
+    ``RS ab US`` — the same single pass per merge as bpe_encode_word
+    (false prefix/suffix boundaries can't match through the
+    wrappers). Token count = RS count."""
+    rs, us = "\x1e", "\x1f"
+    expr = f"regexp_replace(w, '(.)', '{rs}\\1{us}', 'g')"
+    for a, b in _BPE_MERGES:
+        expr = (f"replace({expr}, '{rs}{a}{us}{rs}{b}{us}', "
+                f"'{rs}{a}{b}{us}')")
+    return f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+toks AS (
+  SELECT doc_id,
+         length({expr}) - length(replace({expr}, '{rs}', '')) AS n
+  FROM words
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(t.n), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_cep_absence(sf_dir: str):
     """CEP negation / timeout (Flink `notFollowedBy` within a bound):
     signups with NO purchase by the same user in the following 6 h.
@@ -3355,6 +3409,7 @@ QUERIES = {
     "q_cep_sequence": (q_cep_sequence, SQL_CEP_SEQUENCE),
     "q_cep_followed_by": (q_cep_followed_by, SQL_CEP_FOLLOWED_BY),
     "q_cep_absence": (q_cep_absence, SQL_CEP_ABSENCE),
+    "q_bpe_tokenize": (q_bpe_tokenize, _bpe_tokenize_sql()),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

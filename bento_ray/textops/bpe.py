@@ -141,3 +141,105 @@ def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         s = out
     return s
+
+
+class _BpeTokenizer:
+    """Actor-pool tokenization stage: merges resolved ONCE per actor
+    (rank table + per-actor word→tokens cache — web text is Zipfian,
+    so nearly every word in a batch is a dict hit after warmup).
+    Per batch: one Arrow split pass, np.unique over the batch's words
+    (tokenize each distinct word once), then a vectorized
+    inverse-index expansion back to docs."""
+
+    def __init__(self, merges_ref, col: str):
+        import ray
+
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, list) \
+            else merges_ref
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.col = col
+        self.cache: dict[str, list[str]] = {}
+
+    def _encode(self, word: str) -> list[str]:
+        """Rank-greedy BPE (GPT-2 style): repeatedly merge the
+        lowest-rank adjacent pair — provably equivalent to applying
+        the merge list in order (pinned against bpe_encode_word in
+        pytest)."""
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        s = list(word)
+        ranks = self.ranks
+        while len(s) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            # merge EVERY occurrence of the chosen pair left-to-right
+            a, b = s[best_i], s[best_i + 1]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        if len(self.cache) < 1_000_000:   # bound actor RAM
+            self.cache[word] = s
+        return s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from bento_ray.textops.terms import _split_words
+
+        flat, lens = _split_words(t.column(self.col))
+        words = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(words, return_inverse=True) if len(words) \
+            else (np.array([], object), np.array([], np.int64))
+        toks = [self._encode(str(w)) for w in uniq]
+        ntok = np.array([len(x) for x in toks], np.int64)
+        per_word = ntok[inv] if len(words) else np.array([], np.int64)
+        doc_ids = np.repeat(np.arange(len(lens)), lens)
+        n_bpe = np.bincount(doc_ids, weights=per_word,
+                            minlength=len(lens)).astype(np.int64) \
+            if len(lens) else np.array([], np.int64)
+        # per-doc token lists, rebuilt with Arrow list offsets (no
+        # per-doc Python joins)
+        flat_tokens = pa.array(
+            [tok for i in inv for tok in toks[i]] if len(words) else [],
+            pa.string())
+        word_tok_offsets = np.concatenate([[0], np.cumsum(per_word)])
+        doc_word_offsets = np.concatenate([[0], np.cumsum(lens)])
+        doc_tok_offsets = word_tok_offsets[doc_word_offsets]
+        tokens = pa.ListArray.from_arrays(
+            pa.array(doc_tok_offsets, pa.int32()), flat_tokens)
+        t = t.append_column("bpe_tokens", tokens)
+        return t.append_column("n_bpe_tokens", pa.array(n_bpe))
+
+
+def bpe_tokenize(ds, merges: list[tuple[str, str]], col: str = "text",
+                 concurrency: int | None = None, batch_size: int = 256):
+    """Distributed corpus tokenization with a trained merge list
+    (the apply step after ``bpe_train``): merges broadcast once via
+    ``ray.put``, actor pool tokenizes batches (distinct-word dedup +
+    per-actor cache), appending ``bpe_tokens`` (list<string>) and
+    ``n_bpe_tokens`` per row. No shuffle at all — the stage is
+    embarrassingly parallel."""
+    import ray
+
+    from bento_ray.util import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
+    ref = ray.put([tuple(p) for p in merges])
+    return ds.map_batches(
+        _BpeTokenizer, fn_constructor_args=(ref, col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+__all__.append("bpe_tokenize")

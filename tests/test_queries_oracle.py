@@ -33,6 +33,7 @@ SUBSET = [
     "q_topk_per_group",
     "q_window_topk",
     "q_rolling_avg",
+    "q_bpe_tokenize",
 ]
 
 

@@ -1490,3 +1490,46 @@ def test_fix_mojibake_double_encoded():
     out = fix_mojibake(rd.from_items(
         [{"doc_id": 0, "text": f"menu {twice} here"}])).to_pandas()
     assert out.iloc[0]["fixed_text"] == "menu café here"
+
+
+def test_bpe_tokenize_rank_greedy_equals_sequential():
+    """The actor stage's rank-greedy encode must equal applying the
+    merge list in order (bpe_encode_word) for arbitrary words."""
+    import numpy as np
+
+    from bento_ray.textops import bpe_encode_word
+    from bento_ray.textops.bpe import _BpeTokenizer
+
+    rng = np.random.default_rng(2)
+    alpha = "abcd"
+    corpus_words = ["".join(rng.choice(list(alpha), size=rng.integers(1, 9)))
+                    for _ in range(60)]
+    # derive a plausible merge list by training on the words
+    import ray.data as rd
+
+    ds = rd.from_items([{"text": " ".join(corpus_words)}])
+    from bento_ray.textops import bpe_train
+
+    merges = bpe_train(ds, num_merges=12)
+    tok = _BpeTokenizer(merges, "text")
+    for w in corpus_words + ["", "a", "dcba", "aaaaaaaa"]:
+        assert tok._encode(w) == bpe_encode_word(w, merges), w
+
+
+def test_bpe_tokenize_distributed_counts_and_lists():
+    import ray.data as rd
+
+    from bento_ray.textops import bpe_encode_word, bpe_tokenize, bpe_train
+
+    rows = [{"doc_id": 0, "text": "low lower lowest"},
+            {"doc_id": 1, "text": "new newer newest"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "low low low"}]
+    ds = rd.from_items(rows)
+    merges = bpe_train(ds, num_merges=10)
+    out = bpe_tokenize(ds, merges).to_pandas().sort_values("doc_id")
+    for _, r in out.iterrows():
+        words = [w for w in rows[int(r["doc_id"])]["text"].split(" ") if w]
+        want = [t for w in words for t in bpe_encode_word(w, merges)]
+        assert list(r["bpe_tokens"]) == want
+        assert r["n_bpe_tokens"] == len(want)
