@@ -3166,6 +3166,39 @@ ORDER BY a.user_id, first_event_id
 """
 
 
+def q_asof_join(sf_dir: str):
+    """Distributed LARGE-LARGE as-of join (attribution: every
+    purchase joins the latest click at-or-before it by the same
+    user; purchases with no prior click keep nulls). Shuffle
+    merge-rank partition scans — no broadcast side; the oracle is the
+    explicit latest-row window rule with the same (ts, id) tie
+    resolution."""
+    from bento_ray.stages.join import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id",
+                               "event_type"])
+    buys = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join(buys, clicks, key_col="user_id",
+                    left_ts="ts", right_ts="ts",
+                    left_id_col="event_id", right_id_col="event_id",
+                    left_out="purchase_id", right_out="click_id")
+    return out.sort(["user_id", "purchase_id"])
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(c.ts) AS right_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
+ORDER BY p.user_id, purchase_id
+"""
+
+
 # fixed merge list for the tokenization oracle (training is pinned
 # separately in pytest; a literal list lets BOTH engines apply the
 # identical merges)
@@ -3410,6 +3443,7 @@ QUERIES = {
     "q_cep_followed_by": (q_cep_followed_by, SQL_CEP_FOLLOWED_BY),
     "q_cep_absence": (q_cep_absence, SQL_CEP_ABSENCE),
     "q_bpe_tokenize": (q_bpe_tokenize, _bpe_tokenize_sql()),
+    "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

@@ -392,3 +392,95 @@ def interval_join(left, right, *, key_col: str,
 
     return both.groupby("part").map_groups(
         lambda t: _scan(t), batch_format="pyarrow")
+
+
+def asof_join(left, right, *, key_col: str,
+              left_ts: str, right_ts: str,
+              left_id_col: str, right_id_col: str,
+              left_out: str = "left_id", right_out: str = "right_id",
+              num_parts: int | None = None):
+    """Distributed LARGE-LARGE as-of join (the shuffle counterpart of
+    broadcast_join_versioned, for dimension sides too big to ship):
+    for every left row, the LATEST right row of the same key with
+    ``right.ts ≤ left.ts`` (ties on ts resolve to the largest right
+    id — a deterministic total order). Emits
+    (key, left_out, right_out, right_ts_us, lag_us); left rows with
+    no qualifying right are emitted with nulls (left join).
+
+    Shape: identical to interval_join — project both sides to
+    (key, ts, id), ONE hash exchange on key, per-partition merge-rank:
+    ``_rank_in_sorted(side='right')`` gives each left row the count of
+    rights at-or-below its (key, ts); index−1 is the as-of match. No
+    composite-key overflow, no per-key loop."""
+    from bento_ray.util import cluster_cpus, stable_hash
+
+    P = num_parts or max(4, cluster_cpus())
+
+    def _project(ts_col: str, id_col: str, side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            h = (stable_hash(t.column(key_col))
+                 % np.uint64(P)).astype(np.int64)
+            return pa.table({
+                "k": t.column(key_col).cast(pa.int64()),
+                "t": t.column(ts_col).cast(pa.int64()),
+                "i": t.column(id_col).cast(pa.int64()),
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "part": pa.array(h),
+            })
+        return _f
+
+    both = (left.map_batches(_project(left_ts, left_id_col, 0),
+                             batch_format="pyarrow")
+            .union(right.map_batches(_project(right_ts, right_id_col, 1),
+                                     batch_format="pyarrow")))
+
+    def _scan(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("side")
+        lg = g.filter(pc.equal(side, 0))
+        rg = g.filter(pc.equal(side, 1))
+        nl = len(lg)
+        if nl == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                left_out: pa.array([], pa.int64()),
+                right_out: pa.array([], pa.int64()),
+                "right_ts_us": pa.array([], pa.int64()),
+                "lag_us": pa.array([], pa.int64()),
+            })
+        lk = lg.column("k").to_numpy()
+        lt = lg.column("t").to_numpy()
+        li = lg.column("i").to_numpy()
+        if len(rg) == 0:
+            null = pa.nulls(nl, pa.int64())
+            return pa.table({
+                key_col: pa.array(lk, pa.int64()),
+                left_out: pa.array(li, pa.int64()),
+                right_out: null, "right_ts_us": null, "lag_us": null,
+            })
+        rk = rg.column("k").to_numpy()
+        rt = rg.column("t").to_numpy()
+        ri = rg.column("i").to_numpy()
+        # sort rights by (key, ts, id): at equal ts the LAST row (the
+        # largest id) is the rank−1 match — the documented tie rule
+        r_order = np.lexsort((ri, rt, rk))
+        rk, rt, ri = rk[r_order], rt[r_order], ri[r_order]
+        pos = _rank_in_sorted(rk, rt, lk, lt, "right") - 1
+        safe = np.maximum(pos, 0)
+        valid = (pos >= 0) & (rk[safe] == lk)
+        mask = ~valid
+        rid = pa.array(np.where(valid, ri[safe], 0), pa.int64(),
+                       mask=mask)
+        rts = pa.array(np.where(valid, rt[safe], 0), pa.int64(),
+                       mask=mask)
+        lag = pa.array(np.where(valid, lt - rt[safe], 0), pa.int64(),
+                       mask=mask)
+        return pa.table({
+            key_col: pa.array(lk, pa.int64()),
+            left_out: pa.array(li, pa.int64()),
+            right_out: rid, "right_ts_us": rts, "lag_us": lag,
+        })
+
+    return both.groupby("part").map_groups(
+        lambda t: _scan(t), batch_format="pyarrow")

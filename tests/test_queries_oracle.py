@@ -34,6 +34,7 @@ SUBSET = [
     "q_window_topk",
     "q_rolling_avg",
     "q_bpe_tokenize",
+    "q_asof_join",
 ]
 
 

@@ -264,3 +264,49 @@ def test_match_absence_timeout_pattern():
                         within_us=30 * US).to_pandas()
     got = sorted(zip(out["user_id"], out["first_event_id"]))
     assert got == [(1, 3), (2, 5)]
+
+
+# ------------------------------------------------------------------- as-of
+
+
+def test_asof_join_brute_force():
+    from bento_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(13)
+    n = 300
+    mk = lambda off: [{"user_id": int(rng.integers(0, 10)),
+                       "ts": int(rng.integers(0, 200)),
+                       "event_id": off + i} for i in range(n)]
+    lrows, rrows = mk(0), mk(10_000)
+    out = asof_join(rd.from_items(lrows), rd.from_items(rrows),
+                    key_col="user_id", left_ts="ts", right_ts="ts",
+                    left_id_col="event_id", right_id_col="event_id"
+                    ).to_pandas()
+    got = {int(r.left_id): (None if np.isnan(r.right_id)
+                            else int(r.right_id))
+           for r in out.itertuples()}
+    assert len(got) == n
+    for l in lrows:
+        cands = [r for r in rrows
+                 if r["user_id"] == l["user_id"] and r["ts"] <= l["ts"]]
+        want = max(cands, key=lambda r: (r["ts"], r["event_id"]))["event_id"] \
+            if cands else None
+        assert got[l["event_id"]] == want, l
+
+
+def test_asof_join_no_right_side_for_key():
+    from bento_ray.stages.join import asof_join
+
+    left = rd.from_items([{"user_id": 1, "ts": 10, "event_id": 1},
+                          {"user_id": 2, "ts": 10, "event_id": 2}])
+    right = rd.from_items([{"user_id": 1, "ts": 5, "event_id": 7},
+                           {"user_id": 1, "ts": 10, "event_id": 8},
+                           {"user_id": 1, "ts": 11, "event_id": 9}])
+    out = asof_join(left, right, key_col="user_id", left_ts="ts",
+                    right_ts="ts", left_id_col="event_id",
+                    right_id_col="event_id").to_pandas() \
+        .sort_values("left_id")
+    # equal-ts right (id 8) matches; key 2 has no right → null
+    assert list(out["left_id"]) == [1, 2]
+    assert out.iloc[0]["right_id"] == 8 and out.iloc[0]["lag_us"] == 0
+    assert np.isnan(out.iloc[1]["right_id"])
