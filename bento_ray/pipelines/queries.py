@@ -3166,6 +3166,54 @@ ORDER BY a.user_id, first_event_id
 """
 
 
+def q_pq_encode(sf_dir: str):
+    """Product-quantization encode (Jégou et al. — the 10^12-vector
+    ANN scale path): every 64-dim embedding compresses to 4 per-
+    subspace nearest-codeword ids under a FIXED deterministic
+    codebook (the 8 smallest vec_ids' subvectors) — fixed codebooks
+    make the assignment SQL-expressible per subspace, exactly like
+    q_kmeans_assign. The distributed trainer (pq_fit moment combiner)
+    and the ADC search (pq_topk) are pinned separately in pytest."""
+    from bento_ray.textops import pq_encode
+
+    V, _ = _query_vectors(sf_dir, 8)
+    m, dsub = 4, V.shape[1] // 4
+    C = np.stack([V[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_encode(ds, C)
+    return out.select_columns(
+        ["vec_id", "code_0", "code_1", "code_2", "code_3"]).sort("vec_id")
+
+
+SQL_PQ_ENCODE = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+subs AS (SELECT unnest(range(4)) AS s),
+d AS (
+  SELECT e.vec_id, subs.s, c.cidx,
+         list_distance(
+           CAST(list_slice(e.embedding, 1 + subs.s * 16,
+                           (subs.s + 1) * 16) AS DOUBLE[]),
+           CAST(list_slice(c.embedding, 1 + subs.s * 16,
+                           (subs.s + 1) * 16) AS DOUBLE[])) AS raw
+  FROM embeddings e CROSS JOIN subs CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, s, cidx FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY raw ASC, cidx) = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN s = 0 THEN cidx END) AS BIGINT) AS code_0,
+       CAST(MAX(CASE WHEN s = 1 THEN cidx END) AS BIGINT) AS code_1,
+       CAST(MAX(CASE WHEN s = 2 THEN cidx END) AS BIGINT) AS code_2,
+       CAST(MAX(CASE WHEN s = 3 THEN cidx END) AS BIGINT) AS code_3
+FROM best GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def q_asof_join(sf_dir: str):
     """Distributed LARGE-LARGE as-of join (attribution: every
     purchase joins the latest click at-or-before it by the same
@@ -3444,6 +3492,7 @@ QUERIES = {
     "q_cep_absence": (q_cep_absence, SQL_CEP_ABSENCE),
     "q_bpe_tokenize": (q_bpe_tokenize, _bpe_tokenize_sql()),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "q_pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

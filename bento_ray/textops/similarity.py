@@ -659,3 +659,182 @@ def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
                 newC[c] = -C[0]
         C = _normalize(newC)
     return C
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the 10^12-vector ANN scale path: 64-dim float
+# vectors compress to m uint8 codes; search scans codes with per-query
+# lookup tables instead of touching raw vectors)
+# ---------------------------------------------------------------------------
+
+def pq_fit(ds, *, m: int = 4, ks: int = 8, iters: int = 5,
+           vec_col: str = "embedding",
+           init: np.ndarray | None = None) -> np.ndarray:
+    """Train per-subspace EUCLIDEAN k-means codebooks (Jégou et al.
+    2011 product quantization): the d-dim space splits into ``m``
+    contiguous subspaces; each learns ``ks`` centroids. Distributed
+    shape mirrors ``kmeans_fit``: per iteration the codebooks
+    broadcast once, every batch emits m×ks moment rows (per-(sub,
+    cell) vector sum + count), ONE m×ks-row groupby reduces them, the
+    driver recenters. Corpus vectors never shuffle. Returns
+    (m, ks, d/m) float64.
+
+    ``init`` defaults to the subvectors of the dataset's first ks
+    rows — deterministic, like kmeans_fit."""
+    if init is None:
+        head = ds.limit(ks).to_pandas()
+        init = np.array(head[vec_col].tolist(), np.float64)
+    V0 = np.asarray(init, np.float64)
+    d = V0.shape[1]
+    if d % m:
+        raise ValueError("vector dim must divide into m subspaces")
+    dsub = d // m
+    C = np.stack([V0[:ks, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)          # (m, ks, dsub)
+            vm = _stack(t.column(vec_col)).astype(np.float64)
+            subs, cells, sums, ns = [], [], [], []
+            for s in range(Cm.shape[0]):
+                x = vm[:, s * dsub:(s + 1) * dsub]
+                d2 = ((x[:, None, :] - Cm[s][None, :, :]) ** 2).sum(2)
+                cell = np.argmin(d2, axis=1)
+                vsum = np.zeros((Cm.shape[1], dsub), np.float64)
+                np.add.at(vsum, cell, x)
+                cnt = np.bincount(cell, minlength=Cm.shape[1])
+                subs.append(np.full(Cm.shape[1], s, np.int64))
+                cells.append(np.arange(Cm.shape[1], dtype=np.int64))
+                sums.append(vsum)
+                ns.append(cnt.astype(np.int64))
+            return pa.table({
+                "sub": pa.array(np.concatenate(subs)),
+                "cell": pa.array(np.concatenate(cells)),
+                "vsum": pa.array(list(np.concatenate(sums))),
+                "n": pa.array(np.concatenate(ns)),
+            })
+
+        agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby(["sub", "cell"]).map_groups(
+                lambda g: pd.DataFrame({
+                    "sub": [g["sub"].iloc[0]],
+                    "cell": [g["cell"].iloc[0]],
+                    "vsum": [np.sum(np.array(g["vsum"].tolist()), axis=0)],
+                    "n": [int(g["n"].sum())],
+                }), batch_format="pandas").to_pandas()
+        newC = C.copy()
+        for _, row in agg.iterrows():
+            if row["n"] > 0:
+                newC[int(row["sub"]), int(row["cell"])] = \
+                    np.asarray(row["vsum"], np.float64) / row["n"]
+        C = newC
+    return C
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
+              concurrency: int | None = None):
+    """Encode every vector to its per-subspace nearest codeword
+    (squared-L2 argmin, ties → smallest code): appends integer columns
+    ``code_0 … code_{m-1}``. Codebooks broadcast ONCE via ray.put;
+    per batch one (N × ks) distance matrix per subspace. At scale the
+    output is the 8-byte-per-vector code table the ADC search scans."""
+    C = np.asarray(codebooks, np.float64)
+    m, ks, dsub = C.shape
+    c_ref = ray.put(C)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        vm = _stack(t.column(vec_col)).astype(np.float64)
+        for s in range(m):
+            x = vm[:, s * dsub:(s + 1) * dsub]
+            d2 = ((x[:, None, :] - Cm[s][None, :, :]) ** 2).sum(2)
+            t = t.append_column(
+                f"code_{s}", pa.array(np.argmin(d2, 1).astype(np.int64)))
+        return t
+
+    return ds.map_batches(_enc, batch_format="pyarrow",
+                          concurrency=_conc(concurrency))
+
+
+class _AdcScorer:
+    """Actor stage for PQ-ADC search: per-query distance tables
+    (nq × m × ks — each entry ‖q_sub − codeword‖²) built ONCE per
+    actor; per batch the vectors encode to codes and approximate
+    distances are m table gathers + a sum. Emits each batch's local
+    top-k per query (≤ k × nq rows per block into the final
+    exchange)."""
+
+    def __init__(self, cb_ref, q_ref, k: int, vec_col: str,
+                 id_col: str):
+        C = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
+        Q, qids = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) \
+            else q_ref
+        self.C = np.asarray(C, np.float64)
+        self.m, self.ks, self.dsub = self.C.shape
+        self.Q = np.asarray(Q, np.float64)
+        self.qids = np.asarray(qids, np.int64)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+        nq = self.Q.shape[0]
+        self.T = np.zeros((nq, self.m, self.ks), np.float64)
+        for s in range(self.m):
+            qs = self.Q[:, s * self.dsub:(s + 1) * self.dsub]
+            self.T[:, s, :] = (
+                (qs[:, None, :] - self.C[s][None, :, :]) ** 2).sum(2)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vm = _stack(t.column(self.vec_col)).astype(np.float64)
+        ids = t.column(self.id_col).to_numpy()
+        n = len(ids)
+        codes = np.empty((n, self.m), np.int64)
+        for s in range(self.m):
+            x = vm[:, s * self.dsub:(s + 1) * self.dsub]
+            codes[:, s] = np.argmin(
+                ((x[:, None, :] - self.C[s][None, :, :]) ** 2).sum(2), 1)
+        # adc[q, v] = Σ_s T[q, s, codes[v, s]]
+        adc = np.zeros((self.Q.shape[0], n), np.float64)
+        for s in range(self.m):
+            adc += self.T[:, s, codes[:, s]]
+        k = min(self.k, n)
+        part = np.argpartition(adc, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        vidx = part.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(ids[vidx], pa.int64()),
+            "adc_dist": pa.array(
+                np.take_along_axis(adc, part, 1).reshape(-1)),
+        })
+
+
+def pq_topk(ds, codebooks: np.ndarray, query_matrix: np.ndarray,
+            query_ids, k: int = 5, *, vec_col: str = "embedding",
+            id_col: str = "vec_id", concurrency: int | None = None):
+    """Approximate nearest neighbours by PQ asymmetric-distance
+    computation: block-local ADC top-k (combiner — ≤ k rows per query
+    per block move) → one small groupby reduces to the global top-k
+    per query. Ties on distance resolve by vec_id. With codebooks
+    rich enough to reconstruct every vector exactly, ADC equals exact
+    squared L2 (the pytest exactness gate)."""
+    cb_ref = ray.put(np.asarray(codebooks, np.float64))
+    q_ref = ray.put((np.asarray(query_matrix, np.float64),
+                     np.asarray(query_ids, np.int64)))
+    partials = ds.map_batches(
+        _AdcScorer, fn_constructor_args=(cb_ref, q_ref, k, vec_col,
+                                         id_col),
+        batch_format="pyarrow", concurrency=_conc(concurrency))
+
+    def _final(g: pa.Table) -> pa.Table:
+        d = g.column("adc_dist").to_numpy()
+        v = g.column("vec_id").to_numpy()
+        order = np.lexsort((v, d))[:k]
+        return pa.table({
+            "query_id": g.column("query_id").take(pa.array(order)),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "adc_dist": pa.array(d[order]),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow")

@@ -35,6 +35,7 @@ SUBSET = [
     "q_rolling_avg",
     "q_bpe_tokenize",
     "q_asof_join",
+    "q_pq_encode",
 ]
 
 

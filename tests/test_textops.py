@@ -1533,3 +1533,87 @@ def test_bpe_tokenize_distributed_counts_and_lists():
         want = [t for w in words for t in bpe_encode_word(w, merges)]
         assert list(r["bpe_tokens"]) == want
         assert r["n_bpe_tokens"] == len(want)
+
+
+def test_pq_fit_matches_local_lloyd():
+    import numpy as np
+
+    import ray.data as rd
+
+    from bento_ray.textops import pq_fit
+
+    rng = np.random.default_rng(21)
+    V = rng.normal(0, 1, size=(200, 16)).astype(np.float64)
+    ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, v))}
+                        for i, v in enumerate(V)]).repartition(6)
+    m, ks, iters = 2, 4, 4
+    got = pq_fit(ds, m=m, ks=ks, iters=iters)
+
+    # local reference: same init (first ks rows), same Lloyd updates
+    dsub = V.shape[1] // m
+    C = np.stack([V[:ks, s * dsub:(s + 1) * dsub] for s in range(m)])
+    for _ in range(iters):
+        newC = C.copy()
+        for s in range(m):
+            x = V[:, s * dsub:(s + 1) * dsub]
+            d2 = ((x[:, None, :] - C[s][None, :, :]) ** 2).sum(2)
+            cell = np.argmin(d2, 1)
+            for c in range(ks):
+                if (cell == c).any():
+                    newC[s, c] = x[cell == c].mean(0)
+        C = newC
+    assert np.allclose(got, C, atol=1e-9)
+
+
+def test_pq_topk_exact_at_reconstructing_codebook():
+    """With ks ≥ distinct subvectors the quantizer reconstructs every
+    vector exactly, so ADC distances equal true squared L2 and the
+    PQ top-k must equal brute force."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from bento_ray.textops import pq_topk
+
+    rng = np.random.default_rng(8)
+    # 12 distinct vectors, 16-dim, m=2: codebooks = all subvectors
+    V = rng.normal(0, 1, size=(12, 16))
+    m, dsub = 2, 8
+    C = np.stack([V[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, v))}
+                        for i, v in enumerate(V)]).repartition(4)
+    Q = V[:2] + 0.01 * rng.normal(size=(2, 16))
+    out = pq_topk(ds, C, Q, [100, 101], k=3).to_pandas()
+    for qi, qid in enumerate([100, 101]):
+        d2 = ((V - Q[qi]) ** 2).sum(1)
+        want = list(np.lexsort((np.arange(len(V)), d2))[:3])
+        got = list(out[out["query_id"] == qid].sort_values("adc_dist")
+                   ["vec_id"])
+        assert got == want, (qid, got, want)
+
+
+def test_pq_topk_recall_on_trained_codebooks():
+    import numpy as np
+
+    import ray.data as rd
+
+    from bento_ray.textops import pq_fit, pq_topk
+
+    rng = np.random.default_rng(30)
+    # clustered corpus so PQ cells carry signal
+    centers = rng.normal(0, 5, size=(6, 32))
+    V = np.concatenate([c + rng.normal(0, 0.5, size=(50, 32))
+                        for c in centers])
+    ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, v))}
+                        for i, v in enumerate(V)]).repartition(8)
+    C = pq_fit(ds, m=4, ks=16, iters=4)
+    Q = V[:5] + 0.05 * rng.normal(size=(5, 32))
+    k = 10
+    out = pq_topk(ds, C, Q, list(range(5)), k=k).to_pandas()
+    recalls = []
+    for qid in range(5):
+        d2 = ((V - Q[qid]) ** 2).sum(1)
+        truth = set(np.argsort(d2)[:k])
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        recalls.append(len(got & truth) / k)
+    assert np.mean(recalls) >= 0.5, recalls
