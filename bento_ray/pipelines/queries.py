@@ -3166,6 +3166,54 @@ ORDER BY a.user_id, first_event_id
 """
 
 
+def q_window_cumulate(sf_dir: str):
+    """Flink CUMULATE windows (early-firing cumulative aggregates):
+    windows share a 2 h cycle and grow in 30 min steps, so each event
+    lands in every step-aligned window from its first end through the
+    cycle end — the fourth window kind next to tumbling / sliding /
+    session. Vectorized expansion (repeat + arange offsets) feeds the
+    same two-phase aggregate; the oracle expands with
+    generate_series under the identical ceil-alignment."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    TWO_H = 2 * HOUR_US
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e0 = ((ts + HALF_HOUR_US - 1) // HALF_HOUR_US) * HALF_HOUR_US
+        ce = ((ts + TWO_H - 1) // TWO_H) * TWO_H
+        counts = ((ce - e0) // HALF_HOUR_US + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), counts)
+        starts = np.cumsum(counts) - counts
+        step_i = np.arange(counts.sum()) - np.repeat(starts, counts)
+        ends = np.repeat(e0, counts) + step_i * HALF_HOUR_US
+        out = t.take(pa.array(idx))
+        return out.append_column(
+            "window_end", pa.array(ends, pa.timestamp("us")))
+
+    ds = ds.map_batches(_assign, batch_format="pyarrow")
+    out = ds.groupby(["window_end", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"))
+    return _round_cols(out, ["sum_value"])
+
+
+SQL_WINDOW_CUMULATE = f"""
+SELECT make_timestamp(we) AS window_end, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT event_type, value,
+         unnest(generate_series(
+           ((epoch_us(ts) + {HALF_HOUR_US - 1}) // {HALF_HOUR_US})
+             * {HALF_HOUR_US},
+           ((epoch_us(ts) + {2 * HOUR_US - 1}) // {2 * HOUR_US})
+             * {2 * HOUR_US},
+           {HALF_HOUR_US})) AS we
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 def q_pq_encode(sf_dir: str):
     """Product-quantization encode (Jégou et al. — the 10^12-vector
     ANN scale path): every 64-dim embedding compresses to 4 per-
@@ -3493,6 +3541,7 @@ QUERIES = {
     "q_bpe_tokenize": (q_bpe_tokenize, _bpe_tokenize_sql()),
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "q_window_cumulate": (q_window_cumulate, SQL_WINDOW_CUMULATE),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

@@ -36,6 +36,7 @@ SUBSET = [
     "q_bpe_tokenize",
     "q_asof_join",
     "q_pq_encode",
+    "q_window_cumulate",
 ]
 
 
