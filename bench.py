@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "q_nation_revenue",
     "q_bloblang_revenue",
     "q_json_extract",
+    # round-4 session-3 operators
+    "q_interval_join",
+    "q_asof_join",
+    "q_cep_followed_by",
 ]
 
 
