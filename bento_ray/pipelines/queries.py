@@ -3166,6 +3166,46 @@ ORDER BY a.user_id, first_event_id
 """
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct users per (1h tumbling window, event_type) —
+    the streaming cardinality metric, two-phase: every block first
+    dedupes its own (window, type, user) triples (combiner — the
+    shuffle moves ≤ one row per distinct triple per block), then one
+    exchange groups (window, type) and counts the surviving uniques.
+    (The HLL sketch variant is q_distinct_users_hll; this is the
+    exact windowed form.)"""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def _local_unique(t: pa.Table) -> pa.Table:
+        t = _tumble_naive(t, "ts", HOUR_US)
+        return t.select(["window_end", "event_type", "user_id"]) \
+            .group_by(["window_end", "event_type", "user_id"]) \
+            .aggregate([])
+
+    uniq = ds.map_batches(_local_unique, batch_format="pyarrow")
+
+    def _count(g: pa.Table) -> pa.Table:
+        users = g.column("user_id").to_numpy()
+        return pa.table({
+            "window_end": g.column("window_end")[:1],
+            "event_type": g.column("event_type")[:1],
+            "n_users": pa.array([len(np.unique(users))], pa.int64()),
+        })
+
+    out = uniq.groupby(["window_end", "event_type"]).map_groups(
+        _count, batch_format="pyarrow")
+    return out.sort(["window_end", "event_type"])
+
+
+SQL_WINDOW_DISTINCT = f"""
+SELECT make_timestamp(((epoch_us(ts) + {HOUR_US - 1}) // {HOUR_US})
+                      * {HOUR_US}) AS window_end,
+       event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+ORDER BY window_end, event_type
+"""
+
+
 def q_window_cumulate(sf_dir: str):
     """Flink CUMULATE windows (early-firing cumulative aggregates):
     windows share a 2 h cycle and grow in 30 min steps, so each event
@@ -3542,6 +3582,7 @@ QUERIES = {
     "q_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "q_pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "q_window_cumulate": (q_window_cumulate, SQL_WINDOW_CUMULATE),
+    "q_window_distinct": (q_window_distinct, SQL_WINDOW_DISTINCT),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

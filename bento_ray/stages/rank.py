@@ -36,6 +36,11 @@ def _group_topk_table(t: pa.Table, group_cols: list[str],
     if n == 0:
         return t
     order = t.column(order_col).to_numpy(zero_copy_only=False)
+    if descending and not np.issubdtype(order.dtype, np.signedinteger) \
+            and not np.issubdtype(order.dtype, np.floating):
+        raise TypeError(
+            f"descending top-k needs a signed-numeric order column; "
+            f"got {order.dtype} (negate-based sort would wrap/fail)")
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     gcols = [t.column(c).to_numpy(zero_copy_only=False)
              for c in group_cols]

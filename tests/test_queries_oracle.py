@@ -37,6 +37,7 @@ SUBSET = [
     "q_asof_join",
     "q_pq_encode",
     "q_window_cumulate",
+    "q_window_distinct",
 ]
 
 
