@@ -1029,6 +1029,65 @@ ORDER BY d.doc_id
 """
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Order-2 LM quality signal (stupid backoff), trained on the
+    ENGLISH subset and scoring EVERY doc — so out-of-domain docs
+    exercise the backoff and OOV branches on the hash-checked path.
+    Same integer micro-nat discipline as q_unigram_logprob; the SQL
+    replays the identical cost arithmetic (seen-bigram ln(c2/c1(a)),
+    unseen ln(0.4)+unigram, OOV floor ln(1/N))."""
+    from bento_ray.textops import bigram_logprob
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    train = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), pa.scalar("en"))),
+        batch_format="pyarrow")
+    return bigram_logprob(ds, train=train).sort("doc_id")
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(words) AS w,
+               unnest(range(1, len(words) + 1)) AS i FROM d),
+ttr AS (SELECT * FROM tok WHERE lang = 'en'),
+trans_tr AS (SELECT a.doc_id, a.w AS a, b.w AS b
+             FROM ttr a JOIN ttr b
+               ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+vocab AS (SELECT w, count(*) AS c FROM ttr GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+oov AS (SELECT CAST(ROUND(ln(1.0 / n) * 1000000) AS BIGINT) AS m
+        FROM tot),
+q1 AS (SELECT w, CAST(ROUND(ln(c / n) * 1000000) AS BIGINT) AS micro
+       FROM vocab, tot),
+big AS (SELECT a, b, count(*) AS c2 FROM trans_tr GROUP BY a, b),
+q2 AS (SELECT big.a, big.b,
+              CAST(ROUND(ln(big.c2 / v.c) * 1000000) AS BIGINT) AS micro
+       FROM big JOIN vocab v ON v.w = big.a),
+trans AS (SELECT a.doc_id, a.w AS a, b.w AS b
+          FROM tok a JOIN tok b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+costs AS (
+  SELECT f.doc_id, COALESCE(q1.micro, (SELECT m FROM oov)) AS micro
+  FROM (SELECT doc_id, w FROM tok WHERE i = 1) f
+  LEFT JOIN q1 ON q1.w = f.w
+  UNION ALL
+  SELECT t.doc_id,
+         COALESCE(q2.micro,
+                  -916291 + COALESCE(q1b.micro, (SELECT m FROM oov)))
+  FROM trans t LEFT JOIN q2 ON q2.a = t.a AND q2.b = t.b
+               LEFT JOIN q1 q1b ON q1b.w = t.b
+),
+s AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS sm, count(*) AS cnt
+      FROM costs GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.cnt, 0) AS n_words,
+       COALESCE(ROUND(-s.sm / 1000000.0 / s.cnt, 6), 0.0) AS neg_logprob2
+FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
     hashed unigram+bigram bucket distributions fit on the full corpus
@@ -3583,6 +3642,7 @@ QUERIES = {
     "q_pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "q_window_cumulate": (q_window_cumulate, SQL_WINDOW_CUMULATE),
     "q_window_distinct": (q_window_distinct, SQL_WINDOW_DISTINCT),
+    "q_bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "q_interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "q_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "q_window_topk": (q_window_topk, SQL_WINDOW_TOPK),

@@ -1110,3 +1110,136 @@ def sequence_packing(ds, seq_len: int = 512, col: str = "text",
 
     return counts.map_batches(_add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(_within, batch_format="pyarrow")
+
+
+class _BigramScorer:
+    """Per-doc mean negative log-probability under the broadcast
+    BIGRAM LM with stupid backoff. The LM ships as three aligned
+    structures: (vocab Arrow array, unigram micro-nat costs,
+    sorted packed bigram keys + bigram micro-nat costs). Per batch:
+    one ``pc.index_in`` vocab pass, one searchsorted over the packed
+    bigram keys, one integer bincount — order-independent and
+    bit-identical to the SQL oracle's integer SUM."""
+
+    BACKOFF_MICRO = -916291          # round(ln(0.4) * 1e6)
+
+    def __init__(self, lm_ref, col: str):
+        import ray as _ray
+
+        lm = _ray.get(lm_ref) if isinstance(lm_ref, _ray.ObjectRef) \
+            else lm_ref
+        (self.words, self.uni_micro, self.bi_keys, self.bi_micro,
+         self.oov_micro) = lm
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from bento_ray.util import duckdb_round
+
+        flat, lens = _split_words(t.column(self.col))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(flat)
+        if n:
+            idx = pc.index_in(flat, value_set=self.words) \
+                .fill_null(-1).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            V = np.int64(len(self.words))
+            first = np.zeros(n, bool)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            first[starts[lens > 0]] = True
+            def _uni(i: np.ndarray) -> np.ndarray:
+                # out-of-vocabulary tokens (possible when the LM is
+                # trained on a subset) pay the OOV floor cost
+                return np.where(i >= 0, self.uni_micro[np.maximum(i, 0)],
+                                self.oov_micro)
+
+            cost = np.empty(n, np.int64)
+            cost[first] = _uni(idx[first])
+            trans = ~first
+            a, b = idx[np.flatnonzero(trans) - 1], idx[trans]
+            # OOV on either side can never be a seen bigram; b == -1
+            # would otherwise alias key (a-1)*V + (V-1)
+            known = (a >= 0) & (b >= 0)
+            key = np.where(known, a * V + np.maximum(b, 0), -1)
+            if len(self.bi_keys):
+                pos = np.searchsorted(self.bi_keys, key)
+                pos_safe = np.minimum(pos, len(self.bi_keys) - 1)
+                hit = known & (self.bi_keys[pos_safe] == key)
+                bi_cost = self.bi_micro[pos_safe]
+            else:
+                hit = np.zeros(len(key), bool)
+                bi_cost = np.zeros(len(key), np.int64)
+            cost[trans] = np.where(
+                hit, bi_cost, self.BACKOFF_MICRO + _uni(b))
+            sums = np.bincount(doc_of, weights=cost, minlength=len(lens))
+        else:
+            sums = np.zeros(len(lens), np.float64)
+        score = np.where(
+            lens > 0,
+            duckdb_round(-sums / 1e6 / np.maximum(lens, 1), 6), 0.0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(lens.astype(np.int64), pa.int64()),
+            "neg_logprob2": pa.array(score, pa.float64()),
+        })
+
+
+def bigram_logprob(ds, col: str = "text", train=None):
+    """Order-2 upgrade of :func:`unigram_logprob` (the CCNet-style
+    quality signal): score every doc with a self-trained BIGRAM LM
+    under stupid backoff (Brants et al. 2007) —
+    cost(w_i | w_{i-1}) = ln(c2(a,b)/c1(a)) when the bigram was seen,
+    else ln(0.4) + ln(c1(b)/N); the first token pays its unigram
+    cost. All costs quantized to integer micro-nats on the driver
+    (same discipline as the unigram LM) so both engines reduce an
+    identical integer sum.
+
+    ``train`` (default: ``ds`` itself) is the corpus the LM fits on —
+    pass a subset (e.g. one language) to score out-of-domain docs;
+    out-of-vocabulary tokens then pay the OOV floor cost
+    round(ln(1/N)·1e6) and unseen bigrams take the backoff branch.
+
+    Plan: TWO combiner passes (term_counts + bigram_counts — both
+    vocab-bounded shuffles) → the LM collected once, packed to
+    (sorted a·V+b int64 keys, micro costs) and broadcast via ray.put
+    → one stateless scoring pass (index_in + searchsorted + bincount,
+    no shuffle). Swap the broadcast for a shuffle_join on the packed
+    key when the bigram table outgrows worker RAM."""
+    from bento_ray.util import duckdb_round
+
+    if train is None:
+        train = ds
+    vocab = term_counts(train, col).to_pandas().sort_values("word") \
+        .reset_index(drop=True)
+    cnts = vocab["cnt"].to_numpy(np.int64)
+    n_total = float(cnts.sum())
+    uni_micro = duckdb_round(
+        np.log(cnts / n_total) * 1e6, 0).astype(np.int64) \
+        if len(cnts) else np.empty(0, np.int64)
+    words = pa.array(vocab["word"].tolist(), pa.string())
+    w2i = {w: i for i, w in enumerate(vocab["word"].tolist())}
+
+    big = bigram_counts(train, col).to_pandas()
+    V = np.int64(len(words))
+    if len(big):
+        parts = big["bigram"].str.split(" ", n=1, expand=True)
+        a = parts[0].map(w2i).to_numpy(np.int64)
+        b = parts[1].map(w2i).to_numpy(np.int64)
+        c2 = big["cnt"].to_numpy(np.int64)
+        micro2 = duckdb_round(
+            np.log(c2 / cnts[a].astype(np.float64)) * 1e6, 0) \
+            .astype(np.int64)
+        keys = a * V + b
+        order = np.argsort(keys)
+        bi_keys, bi_micro = keys[order], micro2[order]
+    else:
+        bi_keys = np.empty(0, np.int64)
+        bi_micro = np.empty(0, np.int64)
+
+    oov_micro = int(duckdb_round(
+        np.array([np.log(1.0 / max(n_total, 1.0)) * 1e6]), 0)[0])
+    lm_ref = ray.put((words, uni_micro, bi_keys, bi_micro, oov_micro))
+    return ds.map_batches(
+        _BigramScorer, fn_constructor_args=(lm_ref, col),
+        batch_format="pyarrow", concurrency=(1, 8))

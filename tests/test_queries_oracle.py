@@ -38,6 +38,7 @@ SUBSET = [
     "q_pq_encode",
     "q_window_cumulate",
     "q_window_distinct",
+    "q_bigram_logprob",
 ]
 
 

@@ -1617,3 +1617,28 @@ def test_pq_topk_recall_on_trained_codebooks():
         got = set(out[out["query_id"] == qid]["vec_id"])
         recalls.append(len(got & truth) / k)
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_bigram_logprob_backoff_and_oov_branches():
+    """Hand-checkable LM: train on one doc, score another that hits
+    every branch — seen bigram, unseen bigram (backoff), OOV token."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from bento_ray.textops import bigram_logprob
+    from bento_ray.util import duckdb_round
+
+    train = rd.from_items([{"doc_id": 0, "text": "a b a b"}])
+    score = rd.from_items([{"doc_id": 1, "text": "a b b z"}])
+    out = bigram_logprob(score, train=train).to_pandas()
+    # LM: c1(a)=2, c1(b)=2, N=4; bigrams: (a,b)=2, (b,a)=1
+    m = lambda x: float(duckdb_round(np.array([np.log(x) * 1e6]), 0)[0])
+    u_a, u_b = m(2 / 4), m(2 / 4)
+    oov = m(1 / 4)
+    bo = -916291
+    # tokens: a | (a,b) seen | (b,b) backoff→u_b | (b,z) backoff→oov
+    total = u_a + m(2 / 2) + (bo + u_b) + (bo + oov)
+    want = float(duckdb_round(np.array([-total / 1e6 / 4]), 6)[0])
+    assert out.iloc[0]["n_words"] == 4
+    assert out.iloc[0]["neg_logprob2"] == want
