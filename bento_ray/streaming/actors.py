@@ -456,3 +456,147 @@ class SessionWorker:
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
+
+
+@ray.remote
+class CepWorker:
+    """Streaming CEP: strict-contiguity pattern matching over the
+    live stream (the streaming form of stages.cep.match_event_sequence,
+    same output schema and semantics). Partitioned by hash(key).
+
+    Finality rule: after a flush at watermark W, every later-accepted
+    event has ts > W (the late-drop rule) — so adjacency between
+    events with ts ≤ W can never change, and a match is emitted
+    exactly when its LAST event's ts ≤ W. Matches whose tail is still
+    above W wait in state.
+
+    State per key after a flush = all events with ts > W plus the
+    last (pattern_len − 1) events at-or-below W (the only ones a
+    boundary-crossing match can still use — and, being fewer than a
+    full pattern, they can never re-emit an old match). Memory is
+    bounded by out-of-window arrivals + (k−1) × active keys.
+
+    Every flush is one lexsort + the same shifted-comparison scan as
+    the batch operator — no per-event Python."""
+
+    def __init__(self, part_id: int, pattern: list[str],
+                 within_us: int):
+        if len(pattern) < 2:
+            raise ValueError("pattern needs at least two steps")
+        self.part_id = part_id
+        self.pattern = list(pattern)
+        self.within_us = within_us
+        self._raw: list[tuple] = []
+        self._kept = (np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, object), np.empty(0, np.int64))
+        self.max_ts = -(1 << 62)
+        self.frontier = -(1 << 62)
+        self.metrics = {"rows_in": 0, "matches_emitted": 0,
+                        "late_dropped": 0}
+
+    def ingest(self, ts: np.ndarray, eids: np.ndarray,
+               keys: np.ndarray, types: np.ndarray) -> int:
+        self.metrics["rows_in"] += len(ts)
+        if len(ts):
+            self.max_ts = max(self.max_ts, int(ts.max()))
+        self._raw.append((ts, eids, keys, types))
+        return len(ts)
+
+    def get_max_ts(self) -> int:
+        return self.max_ts
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        k = len(self.pattern)
+        kts, keid, kkey, ktyp = self._kept
+        if self._raw:
+            ts = np.concatenate([c[0] for c in self._raw]).astype(np.int64)
+            eid = np.concatenate([c[1] for c in self._raw]).astype(np.int64)
+            key = np.concatenate([c[2] for c in self._raw]).astype(np.int64)
+            typ = np.concatenate([c[3] for c in self._raw]).astype(object)
+            self._raw = []
+            on_time = ts > self.frontier
+            n_late = int(len(ts) - on_time.sum())
+            if n_late:
+                self.metrics["late_dropped"] += n_late
+                ts, eid = ts[on_time], eid[on_time]
+                key, typ = key[on_time], typ[on_time]
+            ts = np.concatenate([kts, ts])
+            eid = np.concatenate([keid, eid])
+            key = np.concatenate([kkey.astype(np.int64), key])
+            typ = np.concatenate([ktyp, typ])
+        else:
+            ts, eid, key, typ = kts, keid, kkey.astype(np.int64), ktyp
+        order = np.lexsort((eid, ts, key))
+        ts, eid, key, typ = ts[order], eid[order], key[order], typ[order]
+        n = len(ts)
+
+        rows = {"key": np.empty(0, np.int64),
+                "first_event_id": np.empty(0, np.int64),
+                "last_event_id": np.empty(0, np.int64),
+                "span_us": np.empty(0, np.int64)}
+        if n >= k:
+            m = np.ones(n - k + 1, bool)
+            for j, want in enumerate(self.pattern):
+                m &= typ[j:n - k + 1 + j] == want
+            m &= key[k - 1:] == key[:n - k + 1]
+            span = ts[k - 1:] - ts[:n - k + 1]
+            m &= span <= self.within_us
+            m &= ts[k - 1:] <= watermark_us     # tail is final
+            idx = np.flatnonzero(m)
+            rows = {"key": key[idx],
+                    "first_event_id": eid[idx],
+                    "last_event_id": eid[idx + k - 1],
+                    "span_us": span[idx]}
+            self.metrics["matches_emitted"] += len(idx)
+
+        # retention: events above W entirely; at/below W only each
+        # key's last (k-1) — vectorized over key segments
+        if n:
+            seg_start = np.zeros(n, np.int64)
+            new_key = np.ones(n, bool)
+            new_key[1:] = key[1:] != key[:-1]
+            seg_start = np.maximum.accumulate(
+                np.where(new_key, np.arange(n), 0))
+            below = ts <= watermark_us
+            # per position: count of ≤W rows in this key segment up to
+            # and including it (≤W rows precede >W rows within a key)
+            cum_below = np.cumsum(below)
+            below_before_seg = np.concatenate(
+                [[0], cum_below])[seg_start]
+            below_in_seg_upto = cum_below - below_before_seg
+            # total ≤W rows in the segment = value at the segment's
+            # last ≤W row; propagate segment totals via segment ends
+            seg_id = np.cumsum(new_key) - 1
+            totals = np.zeros(seg_id[-1] + 1, np.int64)
+            np.maximum.at(totals, seg_id, below_in_seg_upto)
+            keep = (~below) | (below_in_seg_upto >
+                               totals[seg_id] - (k - 1))
+            self._kept = (ts[keep], eid[keep], key[keep], typ[keep])
+        else:
+            self._kept = (ts, eid, key, typ)
+        self.frontier = max(self.frontier, watermark_us)
+        return pa.table({
+            "key": pa.array(rows["key"], pa.int64()),
+            "first_event_id": pa.array(rows["first_event_id"],
+                                       pa.int64()),
+            "last_event_id": pa.array(rows["last_event_id"], pa.int64()),
+            "span_us": pa.array(rows["span_us"], pa.int64()),
+        })
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
+                             "frontier": self.frontier,
+                             "metrics": self.metrics})
+
+    def restore(self, blobs) -> None:
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        st = pickle.loads(blobs[-1])
+        self._kept = st["kept"]
+        self.max_ts = st["max_ts"]
+        self.frontier = st["frontier"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)

@@ -623,3 +623,129 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
         "partitions_written": written, "partitions_skipped": skipped,
         "worker_metrics": agg, "out_dir": out_dir,
     }
+
+
+@ray.remote
+def _feed_cep_file(path: str, workers: list, partitions: int,
+                   key_col: str, ts_col: str, id_col: str,
+                   type_col: str, batch_rows: int) -> tuple[int, int]:
+    """CEP-stream feeder: one raw task per file, partitioned by
+    hash(key) so every key's event sequence lives in one worker."""
+    import pyarrow.parquet as pq
+
+    rows, max_ts = 0, -(1 << 62)
+    pf = pq.ParquetFile(path)
+    refs = []
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[key_col, ts_col, id_col,
+                                       type_col]):
+        t = pa.Table.from_batches([rb])
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        eid = t.column(id_col).cast(pa.int64()).to_numpy()
+        keys = t.column(key_col).cast(pa.int64()).to_numpy()
+        typ = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
+        for p in range(partitions):
+            m = part == p
+            if m.any():
+                refs.append(workers[p].ingest.remote(
+                    ts[m], eid[m], keys[m], typ[m]))
+        rows += len(t)
+        if len(ts):
+            max_ts = max(max_ts, int(ts.max()))
+    ray.get(refs)
+    return rows, max_ts
+
+
+def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
+                   within_us: int, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   type_col: str = "event_type",
+                   partitions: int = 8, files_per_epoch: int = 2,
+                   allowed_lateness_us: int = 0,
+                   resume: bool = True) -> dict:
+    """Streaming CEP (strict contiguity) with the same epoch /
+    watermark / exactly-once / snapshot-resume machinery as
+    run_session_stream: per epoch the watermark advances to
+    max-event-time − allowed_lateness, each CepWorker emits exactly
+    the matches whose tail the watermark has passed, and the bounded
+    per-key state (events above the watermark + pattern_len−1 below
+    it) snapshots per epoch. Output rows are FINAL per partition —
+    they commit directly through the idempotent sink."""
+    from bento_ray.streaming.actors import CepWorker
+
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    epochs = [files[i:i + files_per_epoch]
+              for i in range(0, len(files), files_per_epoch)]
+
+    sink = ExactlyOnceParquetSink(out_dir)
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    workers = [CepWorker.options(num_cpus=0.05).remote(
+        p, pattern, within_us) for p in range(partitions)]
+
+    start_epoch = 0
+    written = skipped = 0
+    if resume:
+        last_done = sink.last_done_epoch()
+        if last_done >= 0:
+            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
+            blobs = []
+            for p in range(partitions):
+                with open(os.path.join(snap_dir, f"part={p}.pkl"),
+                          "rb") as fh:
+                    blobs.append(fh.read())
+            ray.get([w.restore.remote(b)
+                     for w, b in zip(workers, blobs)])
+            start_epoch = last_done + 1
+
+    t0 = time.perf_counter()
+    rows_total = 0
+    global_max_ts = -(1 << 62)
+    if resume and start_epoch > 0:
+        global_max_ts = max(ray.get(
+            [w.get_max_ts.remote() for w in workers]))
+    for e in range(start_epoch, len(epochs)):
+        summary = _submit_in_waves(
+            lambda f: _feed_cep_file.remote(f, workers, partitions,
+                                            key_col, ts_col, id_col,
+                                            type_col, 16384),
+            epochs[e])
+        rows_total += sum(r for r, _ in summary)
+        if summary:
+            global_max_ts = max(global_max_ts,
+                                max(mt for _, mt in summary))
+        final = e == len(epochs) - 1
+        watermark = (global_max_ts + within_us + 1 if final
+                     else global_max_ts - allowed_lateness_us)
+        lineage = {"input_files": epochs[e], "watermark": int(watermark),
+                   "epoch": e}
+        tables = ray.get([w.flush.remote(watermark) for w in workers])
+        for p, tbl in enumerate(tables):
+            if sink.write_partition(e, p, tbl, lineage=lineage):
+                written += 1
+            else:
+                skipped += 1
+        snap_dir = os.path.join(state_dir, f"epoch={e}")
+        os.makedirs(snap_dir, exist_ok=True)
+        blobs = ray.get([w.snapshot.remote() for w in workers])
+        for p, b in enumerate(blobs):
+            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b)
+            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        sink.finish_epoch(e, {"watermark": int(watermark)})
+
+    metrics = ray.get([w.get_metrics.remote() for w in workers])
+    agg = {k: sum(m[k] for m in metrics)
+           for k in metrics[0]} if metrics else {}
+    for w in workers:
+        ray.kill(w)
+    return {
+        "epochs": len(epochs), "start_epoch": start_epoch,
+        "rows_fed": rows_total, "elapsed_sec": time.perf_counter() - t0,
+        "partitions_written": written, "partitions_skipped": skipped,
+        "worker_metrics": agg, "out_dir": out_dir,
+    }
