@@ -600,3 +600,135 @@ class CepWorker:
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
+
+
+@ray.remote
+class IntervalJoinWorker:
+    """Streaming stream-stream interval join: same-key (left, right)
+    pairs with ``right.ts − left.ts ∈ [lower_us, upper_us]`` over two
+    live streams (the streaming form of stages.join.interval_join,
+    same pair semantics and lag column). Partitioned by hash(key).
+
+    Finality rule: after a flush at watermark W every later-accepted
+    event has ts > W, so a pair emits exactly at the first flush where
+    the LATER of its two timestamps is ≤ W — both members must already
+    be present then (a later arrival at-or-below W would be dropped as
+    late), and re-emission is excluded by masking pairs whose max-ts
+    the previous frontier already passed.
+
+    State per side after a flush is bounded by the join span: a left
+    row is dropped once ``max(ts, ts + upper_us) ≤ W`` (no retained or
+    future right can pair with it and all its pairs are final); a
+    right row once ``max(ts, ts − lower_us) ≤ W``. Memory is the
+    in-span tail of each stream, independent of stream length.
+
+    Every flush is one lexsort per side + two merge-rank passes
+    (stages.join._rank_in_sorted) and pairs expand by repeat +
+    cumulative offsets — no per-event Python."""
+
+    def __init__(self, part_id: int, lower_us: int, upper_us: int):
+        if lower_us > upper_us:
+            raise ValueError("lower_us must be <= upper_us")
+        self.part_id = part_id
+        self.lower_us = int(lower_us)
+        self.upper_us = int(upper_us)
+        self._raw: list[tuple] = []          # (side, ts, eid, key)
+        empty = lambda: (np.empty(0, np.int64), np.empty(0, np.int64),
+                         np.empty(0, np.int64))
+        self._kept = [empty(), empty()]      # per side: (ts, eid, key)
+        self.max_ts = [-(1 << 62), -(1 << 62)]
+        self.frontier = -(1 << 62)
+        self.metrics = {"rows_in_left": 0, "rows_in_right": 0,
+                        "pairs_emitted": 0, "late_dropped": 0}
+
+    def ingest(self, side: int, ts: np.ndarray, eids: np.ndarray,
+               keys: np.ndarray) -> int:
+        self.metrics["rows_in_left" if side == 0 else
+                     "rows_in_right"] += len(ts)
+        if len(ts):
+            self.max_ts[side] = max(self.max_ts[side], int(ts.max()))
+        self._raw.append((side, ts, eids, keys))
+        return len(ts)
+
+    def get_max_ts(self) -> list[int]:
+        return list(self.max_ts)
+
+    def _merge_side(self, side: int) -> tuple:
+        kts, keid, kkey = self._kept[side]
+        chunks = [c for c in self._raw if c[0] == side]
+        if not chunks:
+            return kts, keid, kkey
+        ts = np.concatenate([c[1] for c in chunks]).astype(np.int64)
+        eid = np.concatenate([c[2] for c in chunks]).astype(np.int64)
+        key = np.concatenate([c[3] for c in chunks]).astype(np.int64)
+        on_time = ts > self.frontier
+        n_late = int(len(ts) - on_time.sum())
+        if n_late:
+            self.metrics["late_dropped"] += n_late
+            ts, eid, key = ts[on_time], eid[on_time], key[on_time]
+        return (np.concatenate([kts, ts]), np.concatenate([keid, eid]),
+                np.concatenate([kkey, key]))
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        from bento_ray.stages.join import _rank_in_sorted
+
+        lt, li, lk = self._merge_side(0)
+        rt, ri, rk = self._merge_side(1)
+        self._raw = []
+
+        out = {"key": np.empty(0, np.int64),
+               "left_id": np.empty(0, np.int64),
+               "right_id": np.empty(0, np.int64),
+               "lag_us": np.empty(0, np.int64)}
+        if len(lt) and len(rt):
+            r_order = np.lexsort((ri, rt, rk))
+            rt, ri, rk = rt[r_order], ri[r_order], rk[r_order]
+            lo = _rank_in_sorted(rk, rt, lk, lt + self.lower_us, "left")
+            hi = _rank_in_sorted(rk, rt, lk, lt + self.upper_us, "right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total:
+                lrep = np.repeat(np.arange(len(lk)), counts)
+                starts = np.cumsum(counts) - counts
+                rpos = np.repeat(lo, counts) + (
+                    np.arange(total) - np.repeat(starts, counts))
+                lt_p, rt_p = lt[lrep], rt[rpos]
+                pair_max = np.maximum(lt_p, rt_p)
+                emit = (pair_max > self.frontier) & \
+                       (pair_max <= watermark_us)
+                idx = np.flatnonzero(emit)
+                out = {"key": lk[lrep][idx],
+                       "left_id": li[lrep][idx],
+                       "right_id": ri[rpos][idx],
+                       "lag_us": (rt_p - lt_p)[idx]}
+                self.metrics["pairs_emitted"] += len(idx)
+
+        keep_l = np.maximum(lt, lt + self.upper_us) > watermark_us
+        keep_r = np.maximum(rt, rt - self.lower_us) > watermark_us
+        self._kept = [(lt[keep_l], li[keep_l], lk[keep_l]),
+                      (rt[keep_r], ri[keep_r], rk[keep_r])]
+        self.frontier = max(self.frontier, watermark_us)
+        return pa.table({
+            "key": pa.array(out["key"], pa.int64()),
+            "left_id": pa.array(out["left_id"], pa.int64()),
+            "right_id": pa.array(out["right_id"], pa.int64()),
+            "lag_us": pa.array(out["lag_us"], pa.int64()),
+        })
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
+                             "frontier": self.frontier,
+                             "metrics": self.metrics})
+
+    def restore(self, blobs) -> None:
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        st = pickle.loads(blobs[-1])
+        self._kept = st["kept"]
+        self.max_ts = st["max_ts"]
+        self.frontier = st["frontier"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)

@@ -749,3 +749,142 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
         "partitions_written": written, "partitions_skipped": skipped,
         "worker_metrics": agg, "out_dir": out_dir,
     }
+
+
+@ray.remote
+def _feed_join_file(path: str, side: int, workers: list,
+                    partitions: int, key_col: str, ts_col: str,
+                    id_col: str, batch_rows: int) -> tuple[int, int]:
+    """Interval-join feeder: one raw task per (file, side),
+    partitioned by hash(key) so every key's rows from BOTH streams
+    land on the same worker."""
+    import pyarrow.parquet as pq
+
+    rows, max_ts = 0, -(1 << 62)
+    pf = pq.ParquetFile(path)
+    refs = []
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[key_col, ts_col, id_col]):
+        t = pa.Table.from_batches([rb])
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        eid = t.column(id_col).cast(pa.int64()).to_numpy()
+        keys = t.column(key_col).cast(pa.int64()).to_numpy()
+        part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
+        for p in range(partitions):
+            m = part == p
+            if m.any():
+                refs.append(workers[p].ingest.remote(
+                    side, ts[m], eid[m], keys[m]))
+        rows += len(t)
+        if len(ts):
+            max_ts = max(max_ts, int(ts.max()))
+    ray.get(refs)
+    return rows, max_ts
+
+
+def run_interval_join_stream(left_path: str, right_path: str,
+                             out_dir: str, *, key_col: str,
+                             lower_us: int, upper_us: int,
+                             ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             partitions: int = 8,
+                             files_per_epoch: int = 2,
+                             allowed_lateness_us: int = 0,
+                             resume: bool = True) -> dict:
+    """Streaming stream-stream interval join with the same epoch /
+    watermark / exactly-once / snapshot-resume machinery as the other
+    stream drivers. The watermark is the MINIMUM of the two input
+    streams' event-time frontiers minus the allowed lateness (Flink's
+    two-input watermark rule) — a pair emits exactly when that
+    watermark passes the later of its two timestamps, and each
+    IntervalJoinWorker retains only the in-span tail of each stream.
+    Output rows are FINAL per partition and commit through the
+    idempotent sink."""
+    from bento_ray.streaming.actors import IntervalJoinWorker
+
+    lf = sorted(glob.glob(os.path.join(left_path, "*.parquet")))
+    rf = sorted(glob.glob(os.path.join(right_path, "*.parquet")))
+    if not lf or not rf:
+        raise FileNotFoundError(
+            f"no parquet files under {left_path!r} / {right_path!r}")
+    lchunks = [lf[i:i + files_per_epoch]
+               for i in range(0, len(lf), files_per_epoch)]
+    rchunks = [rf[i:i + files_per_epoch]
+               for i in range(0, len(rf), files_per_epoch)]
+    n_epochs = max(len(lchunks), len(rchunks))
+    epochs = [(lchunks[e] if e < len(lchunks) else [],
+               rchunks[e] if e < len(rchunks) else [])
+              for e in range(n_epochs)]
+
+    sink = ExactlyOnceParquetSink(out_dir)
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    workers = [IntervalJoinWorker.options(num_cpus=0.05).remote(
+        p, lower_us, upper_us) for p in range(partitions)]
+
+    start_epoch = 0
+    written = skipped = 0
+    if resume:
+        last_done = sink.last_done_epoch()
+        if last_done >= 0:
+            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
+            blobs = []
+            for p in range(partitions):
+                with open(os.path.join(snap_dir, f"part={p}.pkl"),
+                          "rb") as fh:
+                    blobs.append(fh.read())
+            ray.get([w.restore.remote(b)
+                     for w, b in zip(workers, blobs)])
+            start_epoch = last_done + 1
+
+    t0 = time.perf_counter()
+    rows_total = 0
+    gmax = [-(1 << 62), -(1 << 62)]
+    if resume and start_epoch > 0:
+        per_worker = ray.get([w.get_max_ts.remote() for w in workers])
+        gmax = [max(m[0] for m in per_worker),
+                max(m[1] for m in per_worker)]
+    span = max(abs(int(lower_us)), abs(int(upper_us)))
+    for e in range(start_epoch, len(epochs)):
+        lfiles, rfiles = epochs[e]
+        work = [(f, 0) for f in lfiles] + [(f, 1) for f in rfiles]
+        summary = _submit_in_waves(
+            lambda fs: _feed_join_file.remote(
+                fs[0], fs[1], workers, partitions, key_col, ts_col,
+                id_col, 16384),
+            work)
+        rows_total += sum(r for r, _ in summary)
+        for (_, side), (_, mt) in zip(work, summary):
+            gmax[side] = max(gmax[side], mt)
+        final = e == len(epochs) - 1
+        watermark = (max(gmax) + span + 1 if final
+                     else min(gmax) - allowed_lateness_us)
+        lineage = {"left_files": lfiles, "right_files": rfiles,
+                   "watermark": int(watermark), "epoch": e}
+        tables = ray.get([w.flush.remote(watermark) for w in workers])
+        for p, tbl in enumerate(tables):
+            if sink.write_partition(e, p, tbl, lineage=lineage):
+                written += 1
+            else:
+                skipped += 1
+        snap_dir = os.path.join(state_dir, f"epoch={e}")
+        os.makedirs(snap_dir, exist_ok=True)
+        blobs = ray.get([w.snapshot.remote() for w in workers])
+        for p, b in enumerate(blobs):
+            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b)
+            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        sink.finish_epoch(e, {"watermark": int(watermark)})
+
+    metrics = ray.get([w.get_metrics.remote() for w in workers])
+    agg = {k: sum(m[k] for m in metrics)
+           for k in metrics[0]} if metrics else {}
+    for w in workers:
+        ray.kill(w)
+    return {
+        "epochs": len(epochs), "start_epoch": start_epoch,
+        "rows_fed": rows_total, "elapsed_sec": time.perf_counter() - t0,
+        "partitions_written": written, "partitions_skipped": skipped,
+        "worker_metrics": agg, "out_dir": out_dir,
+    }

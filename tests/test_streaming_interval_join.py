@@ -1,0 +1,197 @@
+"""Streaming interval join (IntervalJoinWorker / run_interval_join_stream)
+vs the batch operator and the exactly-once/resume machinery."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bento_ray.streaming import ExactlyOnceParquetSink
+from bento_ray.streaming.engine import run_interval_join_stream
+
+LOWER_US = 1
+UPPER_US = 7_200_000_000  # 2h, matches q_interval_join
+
+
+@pytest.fixture(scope="module")
+def streams_dir(tmp_path_factory):
+    """Split sf0.001 events into a click stream and a purchase stream,
+    each as 4 time-ordered files (the stream's arrival order)."""
+    root = tmp_path_factory.mktemp("ij_stream")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["ts", "user_id", "event_id", "event_type"])
+    df = t.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    dirs = {}
+    for side, etype in (("left", "click"), ("right", "purchase")):
+        d = str(root / side)
+        os.makedirs(d)
+        part = df[df["event_type"] == etype].reset_index(drop=True)
+        n = len(part)
+        for i in range(4):
+            chunk = part.iloc[i * n // 4:(i + 1) * n // 4]
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                os.path.join(d, f"ev-{i:02d}.parquet"))
+        dirs[side] = d
+    return dirs
+
+
+def _batch_truth(streams_dir) -> pd.DataFrame:
+    import ray.data as rd
+
+    from bento_ray.stages.join import interval_join
+
+    clicks = rd.read_parquet(
+        sorted(glob.glob(os.path.join(streams_dir["left"], "*.parquet"))))
+    buys = rd.read_parquet(
+        sorted(glob.glob(os.path.join(streams_dir["right"], "*.parquet"))))
+    out = interval_join(
+        clicks, buys, key_col="user_id", left_ts="ts", right_ts="ts",
+        left_id_col="event_id", right_id_col="event_id",
+        left_out="left_id", right_out="right_id",
+        lower_us=LOWER_US, upper_us=UPPER_US).to_pandas()
+    out = out.rename(columns={"user_id": "key"})
+    return out[["key", "left_id", "right_id", "lag_us"]] \
+        .sort_values(["key", "left_id", "right_id"]).reset_index(drop=True)
+
+
+def _stream_result(out_dir) -> pd.DataFrame:
+    df = ExactlyOnceParquetSink(out_dir).read().to_pandas()
+    return df[["key", "left_id", "right_id", "lag_us"]] \
+        .sort_values(["key", "left_id", "right_id"]).reset_index(drop=True)
+
+
+def test_interval_join_stream_matches_batch_operator(streams_dir, tmp_path):
+    out = str(tmp_path / "ij_out")
+    m = run_interval_join_stream(
+        streams_dir["left"], streams_dir["right"], out,
+        key_col="user_id", lower_us=LOWER_US, upper_us=UPPER_US,
+        partitions=4, files_per_epoch=1)
+    got = _stream_result(out)
+    want = _batch_truth(streams_dir)
+    pd.testing.assert_frame_equal(got, want)
+    assert m["worker_metrics"]["pairs_emitted"] == len(want)
+
+
+def test_interval_join_stream_boundary_pair_emits_once(tmp_path):
+    """A pair whose members arrive in different epochs emits exactly
+    once, at the flush whose watermark passes the later timestamp."""
+    US = 1_000_000
+    ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ld), os.makedirs(rd_)
+    # left stream: click at 100s (epoch 0), a dummy late click at 400s
+    # (epoch 1) that advances the left frontier past the pair
+    pq.write_table(pa.table({
+        "ts": pa.array([100 * US], pa.timestamp("us")),
+        "user_id": pa.array([7], pa.int64()),
+        "event_id": pa.array([1], pa.int64()),
+    }), os.path.join(ld, "l0.parquet"))
+    pq.write_table(pa.table({
+        "ts": pa.array([400 * US], pa.timestamp("us")),
+        "user_id": pa.array([8], pa.int64()),
+        "event_id": pa.array([3], pa.int64()),
+    }), os.path.join(ld, "l1.parquet"))
+    # right stream: purchase at 150s arrives only in epoch 1
+    pq.write_table(pa.table({
+        "ts": pa.array([90 * US], pa.timestamp("us")),
+        "user_id": pa.array([9], pa.int64()),
+        "event_id": pa.array([4], pa.int64()),
+    }), os.path.join(rd_, "r0.parquet"))
+    pq.write_table(pa.table({
+        "ts": pa.array([150 * US], pa.timestamp("us")),
+        "user_id": pa.array([7], pa.int64()),
+        "event_id": pa.array([2], pa.int64()),
+    }), os.path.join(rd_, "r1.parquet"))
+    out = str(tmp_path / "out")
+    m = run_interval_join_stream(
+        ld, rd_, out, key_col="user_id",
+        lower_us=LOWER_US, upper_us=UPPER_US,
+        partitions=2, files_per_epoch=1)
+    got = _stream_result(out)
+    assert len(got) == 1
+    assert (got.iloc[0]["left_id"], got.iloc[0]["right_id"],
+            got.iloc[0]["lag_us"]) == (1, 2, 50 * US)
+    assert m["worker_metrics"]["pairs_emitted"] == 1
+
+
+def test_interval_join_stream_negative_bounds(tmp_path):
+    """lower_us < 0: rights BEFORE the left qualify; right-side
+    retention must hold rows until watermark > ts - lower."""
+    US = 1_000_000
+    ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ld), os.makedirs(rd_)
+    # right (purchase) at 100s arrives first; left (click) at 160s
+    # arrives an epoch later — pair valid for lag in [-120s, 0)
+    pq.write_table(pa.table({
+        "ts": pa.array([100 * US], pa.timestamp("us")),
+        "user_id": pa.array([5], pa.int64()),
+        "event_id": pa.array([11], pa.int64()),
+    }), os.path.join(rd_, "r0.parquet"))
+    pq.write_table(pa.table({
+        "ts": pa.array([200 * US], pa.timestamp("us")),
+        "user_id": pa.array([6], pa.int64()),
+        "event_id": pa.array([12], pa.int64()),
+    }), os.path.join(rd_, "r1.parquet"))
+    pq.write_table(pa.table({
+        "ts": pa.array([90 * US], pa.timestamp("us")),
+        "user_id": pa.array([4], pa.int64()),
+        "event_id": pa.array([13], pa.int64()),
+    }), os.path.join(ld, "l0.parquet"))
+    pq.write_table(pa.table({
+        "ts": pa.array([160 * US], pa.timestamp("us")),
+        "user_id": pa.array([5], pa.int64()),
+        "event_id": pa.array([14], pa.int64()),
+    }), os.path.join(ld, "l1.parquet"))
+    out = str(tmp_path / "out")
+    run_interval_join_stream(
+        ld, rd_, out, key_col="user_id",
+        lower_us=-120 * US, upper_us=0,
+        partitions=2, files_per_epoch=1)
+    got = _stream_result(out)
+    assert len(got) == 1
+    assert (got.iloc[0]["left_id"], got.iloc[0]["right_id"],
+            got.iloc[0]["lag_us"]) == (14, 11, -60 * US)
+
+
+def test_interval_join_stream_rerun_skips_done_epochs(streams_dir, tmp_path):
+    out = str(tmp_path / "ij_resume")
+    kw = dict(key_col="user_id", lower_us=LOWER_US, upper_us=UPPER_US,
+              partitions=4, files_per_epoch=1)
+    run_interval_join_stream(streams_dir["left"], streams_dir["right"],
+                             out, **kw)
+    got1 = _stream_result(out)
+    m2 = run_interval_join_stream(streams_dir["left"],
+                                  streams_dir["right"], out, **kw)
+    assert m2["partitions_written"] == 0
+    pd.testing.assert_frame_equal(_stream_result(out), got1)
+
+
+def test_interval_join_stream_incremental_files_resume(streams_dir,
+                                                       tmp_path):
+    """Process the first half of both streams, then the full streams:
+    the second run restores worker state from the snapshot and only
+    runs the new epochs — results identical to one continuous run."""
+    half = {s: str(tmp_path / f"half_{s}") for s in ("left", "right")}
+    files = {s: sorted(glob.glob(os.path.join(streams_dir[s],
+                                              "*.parquet")))
+             for s in ("left", "right")}
+    for s in ("left", "right"):
+        os.makedirs(half[s])
+        for f in files[s][:2]:
+            shutil.copy(f, half[s])
+    out = str(tmp_path / "out_inc")
+    kw = dict(key_col="user_id", lower_us=LOWER_US, upper_us=UPPER_US,
+              partitions=4, files_per_epoch=1)
+    run_interval_join_stream(half["left"], half["right"], out, **kw)
+    for s in ("left", "right"):
+        for f in files[s][2:]:
+            shutil.copy(f, half[s])
+    m2 = run_interval_join_stream(half["left"], half["right"], out, **kw)
+    assert m2["start_epoch"] == 2
+    got = _stream_result(out)
+    want = _batch_truth(streams_dir)
+    pd.testing.assert_frame_equal(got, want)
