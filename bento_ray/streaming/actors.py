@@ -732,3 +732,138 @@ class IntervalJoinWorker:
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
+
+
+@ray.remote
+class AsofJoinWorker:
+    """Streaming as-of join: every left row emits exactly once with
+    the LATEST same-key right row at-or-before its timestamp (ties on
+    ts → largest right id — the batch operator's documented rule;
+    left-join nulls when no right qualifies). The streaming form of
+    stages.join.asof_join, same output schema. Partitioned by
+    hash(key).
+
+    Finality rule: a left row's match is final at the first flush
+    whose watermark W reaches its timestamp — every right at-or-below
+    l.ts has either arrived or will be dropped as late (ts ≤ W), so
+    the emitted match can never be superseded.
+
+    State per side after a flush: left rows with ts > W (not yet
+    emitted); rights with ts > W plus, per key, the single
+    lexicographically-last right at-or-below W — the only row below
+    the watermark a FUTURE left (ts > W) can still match. Memory is
+    the in-flight tail of both streams + one row per active key
+    (the same shape as the session/dedupe state, TTL-able the same
+    way if key cardinality is unbounded).
+
+    Every flush is one lexsort per side + one merge-rank pass
+    (stages.join._rank_in_sorted) — no per-event Python."""
+
+    def __init__(self, part_id: int):
+        self.part_id = part_id
+        empty = lambda: (np.empty(0, np.int64), np.empty(0, np.int64),
+                         np.empty(0, np.int64))
+        self._raw: list[tuple] = []          # (side, ts, eid, key)
+        self._kept = [empty(), empty()]      # per side: (ts, eid, key)
+        self.max_ts = [-(1 << 62), -(1 << 62)]
+        self.frontier = -(1 << 62)
+        self.metrics = {"rows_in_left": 0, "rows_in_right": 0,
+                        "rows_emitted": 0, "late_dropped": 0}
+
+    def ingest(self, side: int, ts: np.ndarray, eids: np.ndarray,
+               keys: np.ndarray) -> int:
+        self.metrics["rows_in_left" if side == 0 else
+                     "rows_in_right"] += len(ts)
+        if len(ts):
+            self.max_ts[side] = max(self.max_ts[side], int(ts.max()))
+        self._raw.append((side, ts, eids, keys))
+        return len(ts)
+
+    def get_max_ts(self) -> list[int]:
+        return list(self.max_ts)
+
+    def _merge_side(self, side: int) -> tuple:
+        kts, keid, kkey = self._kept[side]
+        chunks = [c for c in self._raw if c[0] == side]
+        if not chunks:
+            return kts, keid, kkey
+        ts = np.concatenate([c[1] for c in chunks]).astype(np.int64)
+        eid = np.concatenate([c[2] for c in chunks]).astype(np.int64)
+        key = np.concatenate([c[3] for c in chunks]).astype(np.int64)
+        on_time = ts > self.frontier
+        n_late = int(len(ts) - on_time.sum())
+        if n_late:
+            self.metrics["late_dropped"] += n_late
+            ts, eid, key = ts[on_time], eid[on_time], key[on_time]
+        return (np.concatenate([kts, ts]), np.concatenate([keid, eid]),
+                np.concatenate([kkey, key]))
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        from bento_ray.stages.join import _rank_in_sorted
+
+        lt, li, lk = self._merge_side(0)
+        rt, ri, rk = self._merge_side(1)
+        self._raw = []
+
+        r_order = np.lexsort((ri, rt, rk))
+        rt, ri, rk = rt[r_order], ri[r_order], rk[r_order]
+
+        emit = lt <= watermark_us
+        le_t, le_i, le_k = lt[emit], li[emit], lk[emit]
+        # deterministic output order within the partition
+        l_order = np.lexsort((le_i, le_t, le_k))
+        le_t, le_i, le_k = le_t[l_order], le_i[l_order], le_k[l_order]
+        if len(rt):
+            pos = _rank_in_sorted(rk, rt, le_k, le_t, "right") - 1
+            safe = np.maximum(pos, 0)
+            valid = (pos >= 0) & (rk[safe] == le_k)
+        else:
+            safe = np.zeros(len(le_k), np.int64)
+            valid = np.zeros(len(le_k), bool)
+        mask = ~valid
+        rid = pa.array(np.where(valid, ri[safe] if len(rt) else 0, 0),
+                       pa.int64(), mask=mask)
+        rts = pa.array(np.where(valid, rt[safe] if len(rt) else 0, 0),
+                       pa.int64(), mask=mask)
+        lag = pa.array(
+            np.where(valid, le_t - (rt[safe] if len(rt) else 0), 0),
+            pa.int64(), mask=mask)
+        self.metrics["rows_emitted"] += len(le_k)
+
+        # retention — left: unemitted rows; right: rows above W plus
+        # each key's lexicographically-last row at-or-below W
+        keep_l = ~emit
+        below = rt <= watermark_us
+        keep_r = ~below
+        if below.any():
+            bidx = np.flatnonzero(below)
+            bk = rk[bidx]
+            seg_last = np.ones(len(bidx), bool)
+            seg_last[:-1] = bk[1:] != bk[:-1]
+            keep_r[bidx[seg_last]] = True
+        self._kept = [(lt[keep_l], li[keep_l], lk[keep_l]),
+                      (rt[keep_r], ri[keep_r], rk[keep_r])]
+        self.frontier = max(self.frontier, watermark_us)
+        return pa.table({
+            "key": pa.array(le_k, pa.int64()),
+            "left_id": pa.array(le_i, pa.int64()),
+            "right_id": rid, "right_ts_us": rts, "lag_us": lag,
+        })
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
+                             "frontier": self.frontier,
+                             "metrics": self.metrics})
+
+    def restore(self, blobs) -> None:
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        st = pickle.loads(blobs[-1])
+        self._kept = st["kept"]
+        self.max_ts = st["max_ts"]
+        self.frontier = st["frontier"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)

@@ -545,7 +545,8 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
                        ts_col: str, value_col: str, gap_us: int,
                        partitions: int = 8, files_per_epoch: int = 2,
                        allowed_lateness_us: int = 0,
-                       resume: bool = True) -> dict:
+                       resume: bool = True,
+                       drain: bool = True) -> dict:
     """Streaming session windows with the same epoch/watermark/
     exactly-once machinery as run_stream. Sessions are partition-local
     (keyed partitioning), so worker outputs are FINAL — each epoch's
@@ -592,7 +593,7 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
         rows_total += sum(r for r, _ in summary)
         if summary:
             global_max_ts = max(global_max_ts, max(mt for _, mt in summary))
-        final = e == len(epochs) - 1
+        final = drain and e == len(epochs) - 1
         watermark = (global_max_ts + gap_us + 1 if final
                      else global_max_ts - allowed_lateness_us)
         lineage = {"input_files": epochs[e], "watermark": int(watermark),
@@ -663,7 +664,7 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
                    type_col: str = "event_type",
                    partitions: int = 8, files_per_epoch: int = 2,
                    allowed_lateness_us: int = 0,
-                   resume: bool = True) -> dict:
+                   resume: bool = True, drain: bool = True) -> dict:
     """Streaming CEP (strict contiguity) with the same epoch /
     watermark / exactly-once / snapshot-resume machinery as
     run_session_stream: per epoch the watermark advances to
@@ -717,7 +718,7 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
         if summary:
             global_max_ts = max(global_max_ts,
                                 max(mt for _, mt in summary))
-        final = e == len(epochs) - 1
+        final = drain and e == len(epochs) - 1
         watermark = (global_max_ts + within_us + 1 if final
                      else global_max_ts - allowed_lateness_us)
         lineage = {"input_files": epochs[e], "watermark": int(watermark),
@@ -782,26 +783,17 @@ def _feed_join_file(path: str, side: int, workers: list,
     return rows, max_ts
 
 
-def run_interval_join_stream(left_path: str, right_path: str,
-                             out_dir: str, *, key_col: str,
-                             lower_us: int, upper_us: int,
-                             ts_col: str = "ts",
-                             id_col: str = "event_id",
-                             partitions: int = 8,
-                             files_per_epoch: int = 2,
-                             allowed_lateness_us: int = 0,
-                             resume: bool = True) -> dict:
-    """Streaming stream-stream interval join with the same epoch /
-    watermark / exactly-once / snapshot-resume machinery as the other
-    stream drivers. The watermark is the MINIMUM of the two input
-    streams' event-time frontiers minus the allowed lateness (Flink's
-    two-input watermark rule) — a pair emits exactly when that
-    watermark passes the later of its two timestamps, and each
-    IntervalJoinWorker retains only the in-span tail of each stream.
-    Output rows are FINAL per partition and commit through the
-    idempotent sink."""
-    from bento_ray.streaming.actors import IntervalJoinWorker
-
+def _run_two_stream(make_worker, left_path: str, right_path: str,
+                    out_dir: str, *, key_col: str, ts_col: str,
+                    id_col: str, final_span_us: int, partitions: int,
+                    files_per_epoch: int, allowed_lateness_us: int,
+                    resume: bool, drain: bool) -> dict:
+    """Shared epoch loop for the two-input stream joins: the watermark
+    is the MINIMUM of the two input streams' event-time frontiers
+    minus the allowed lateness (Flink's two-input watermark rule); the
+    final epoch flushes with max-frontier + final_span_us + 1 so every
+    pending emission drains. Same exactly-once sink + per-epoch
+    snapshot/restore protocol as run_cep_stream."""
     lf = sorted(glob.glob(os.path.join(left_path, "*.parquet")))
     rf = sorted(glob.glob(os.path.join(right_path, "*.parquet")))
     if not lf or not rf:
@@ -819,8 +811,7 @@ def run_interval_join_stream(left_path: str, right_path: str,
     sink = ExactlyOnceParquetSink(out_dir)
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
-    workers = [IntervalJoinWorker.options(num_cpus=0.05).remote(
-        p, lower_us, upper_us) for p in range(partitions)]
+    workers = [make_worker(p) for p in range(partitions)]
 
     start_epoch = 0
     written = skipped = 0
@@ -844,7 +835,7 @@ def run_interval_join_stream(left_path: str, right_path: str,
         per_worker = ray.get([w.get_max_ts.remote() for w in workers])
         gmax = [max(m[0] for m in per_worker),
                 max(m[1] for m in per_worker)]
-    span = max(abs(int(lower_us)), abs(int(upper_us)))
+    span = int(final_span_us)
     for e in range(start_epoch, len(epochs)):
         lfiles, rfiles = epochs[e]
         work = [(f, 0) for f in lfiles] + [(f, 1) for f in rfiles]
@@ -856,7 +847,7 @@ def run_interval_join_stream(left_path: str, right_path: str,
         rows_total += sum(r for r, _ in summary)
         for (_, side), (_, mt) in zip(work, summary):
             gmax[side] = max(gmax[side], mt)
-        final = e == len(epochs) - 1
+        final = drain and e == len(epochs) - 1
         watermark = (max(gmax) + span + 1 if final
                      else min(gmax) - allowed_lateness_us)
         lineage = {"left_files": lfiles, "right_files": rfiles,
@@ -888,3 +879,59 @@ def run_interval_join_stream(left_path: str, right_path: str,
         "partitions_written": written, "partitions_skipped": skipped,
         "worker_metrics": agg, "out_dir": out_dir,
     }
+
+
+def run_interval_join_stream(left_path: str, right_path: str,
+                             out_dir: str, *, key_col: str,
+                             lower_us: int, upper_us: int,
+                             ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             partitions: int = 8,
+                             files_per_epoch: int = 2,
+                             allowed_lateness_us: int = 0,
+                             resume: bool = True,
+                             drain: bool = True) -> dict:
+    """Streaming stream-stream interval join: a pair emits exactly
+    when the two-input watermark passes the later of its two
+    timestamps, and each IntervalJoinWorker retains only the in-span
+    tail of each stream (see the worker docstring for the finality /
+    retention proofs). Output rows are FINAL per partition and commit
+    through the idempotent sink."""
+    from bento_ray.streaming.actors import IntervalJoinWorker
+
+    return _run_two_stream(
+        lambda p: IntervalJoinWorker.options(num_cpus=0.05).remote(
+            p, lower_us, upper_us),
+        left_path, right_path, out_dir, key_col=key_col, ts_col=ts_col,
+        id_col=id_col,
+        final_span_us=max(abs(int(lower_us)), abs(int(upper_us))),
+        partitions=partitions, files_per_epoch=files_per_epoch,
+        allowed_lateness_us=allowed_lateness_us, resume=resume,
+        drain=drain)
+
+
+def run_asof_join_stream(left_path: str, right_path: str,
+                         out_dir: str, *, key_col: str,
+                         ts_col: str = "ts",
+                         id_col: str = "event_id",
+                         partitions: int = 8,
+                         files_per_epoch: int = 2,
+                         allowed_lateness_us: int = 0,
+                         resume: bool = True,
+                         drain: bool = True) -> dict:
+    """Streaming as-of join (the live form of stages.join.asof_join):
+    every left row emits exactly once — when the two-input watermark
+    reaches its timestamp — carrying the latest same-key right row
+    at-or-before it (ties → largest right id; left-join nulls). Right
+    state collapses to one row per key behind the watermark. Output
+    rows are FINAL per partition and commit through the idempotent
+    sink."""
+    from bento_ray.streaming.actors import AsofJoinWorker
+
+    return _run_two_stream(
+        lambda p: AsofJoinWorker.options(num_cpus=0.05).remote(p),
+        left_path, right_path, out_dir, key_col=key_col, ts_col=ts_col,
+        id_col=id_col, final_span_us=0,
+        partitions=partitions, files_per_epoch=files_per_epoch,
+        allowed_lateness_us=allowed_lateness_us, resume=resume,
+        drain=drain)

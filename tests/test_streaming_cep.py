@@ -120,8 +120,11 @@ def test_cep_stream_incremental_files_resume(events_dir, tmp_path):
     for f in files[:2]:
         shutil.copy(f, half)
     out = str(tmp_path / "out_inc")
+    # drain=False = pause (not end-of-stream): the frontier stays at
+    # the normal watermark so the appended files aren't late-dropped
     run_cep_stream(half, out, pattern=["click", "purchase"],
-                   within_us=WITHIN_US, partitions=4, files_per_epoch=1)
+                   within_us=WITHIN_US, partitions=4, files_per_epoch=1,
+                   drain=False)
     for f in files[2:]:
         shutil.copy(f, half)
     m2 = run_cep_stream(half, out, pattern=["click", "purchase"],

@@ -186,7 +186,10 @@ def test_interval_join_stream_incremental_files_resume(streams_dir,
     out = str(tmp_path / "out_inc")
     kw = dict(key_col="user_id", lower_us=LOWER_US, upper_us=UPPER_US,
               partitions=4, files_per_epoch=1)
-    run_interval_join_stream(half["left"], half["right"], out, **kw)
+    # drain=False = pause (not end-of-stream): no frontier jump, so the
+    # appended files are on time and boundary-crossing pairs still form
+    run_interval_join_stream(half["left"], half["right"], out,
+                             drain=False, **kw)
     for s in ("left", "right"):
         for f in files[s][2:]:
             shutil.copy(f, half[s])
