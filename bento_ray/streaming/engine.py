@@ -72,6 +72,11 @@ class StreamConfig:
     # ~16 B × distinct urls per partition fleet-wide).
     dedupe_ttl_us: int | None = DEDUPE_TTL_AUTO
     feeder_batch_size: int = 8192
+    # True = bounded input, final epoch closes every pane (end of
+    # stream). False = PAUSE: the final flush keeps the normal
+    # watermark, so appending files and re-running (snapshot resume)
+    # is byte-identical to one continuous run.
+    drain: bool = True
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -388,7 +393,7 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
             global_max_ts = max(global_max_ts,
                                 max(x[1] for x in summary))
 
-        final = e == len(epochs) - 1
+        final = cfg.drain and e == len(epochs) - 1
         if final:
             # bounded input: close every pane
             watermark = global_max_ts + cfg.window_size_us + cfg.allowed_lateness_us

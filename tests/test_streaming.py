@@ -355,3 +355,31 @@ def test_resume_reseeds_watermark_nonmonotone(tmp_path):
         run_stream(d, cfg(crash=(1, 0)), crash_out, dim_versions=None)
     run_stream(d, cfg(), crash_out, dim_versions=None, resume=True)
     pd.testing.assert_frame_equal(read(crash_out), clean)
+
+
+def test_pause_append_resume_matches_continuous(pages_small, stream_out,
+                                                tmp_path):
+    """drain=False = pause, not end-of-stream: run the first 4 files,
+    pause (open panes stay pending, frontier at the normal watermark),
+    append the last 2 files and re-run — the resumed stream's output is
+    byte-identical to the continuous run over all 6 files."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(pages_small, "*.parquet")))
+    grow = str(tmp_path / "grow")
+    os.makedirs(grow)
+    for f in files[:4]:
+        shutil.copy(f, grow)
+    out = str(tmp_path / "paused")
+    cfg = StreamConfig(window_size_us=10_000_000,
+                       allowed_lateness_us=2_000_000,
+                       partitions=4, out_partitions=4,
+                       files_per_epoch=2, drain=False)
+    m1 = run_stream(grow, cfg, out, dim_versions=dim_versions_table())
+    for f in files[4:]:
+        shutil.copy(f, grow)
+    m2 = flagship_streaming(grow, out, partitions=4, files_per_epoch=2,
+                            resume=True)
+    assert m2["start_epoch"] == m1["epochs"]     # only the new epoch ran
+    out1, _ = stream_out                         # continuous run, same cfg
+    pd.testing.assert_frame_equal(_read_sink(out), _read_sink(out1))
