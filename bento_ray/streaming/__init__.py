@@ -1,4 +1,19 @@
 from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-from bento_ray.streaming.engine import StreamConfig, run_stream
+from bento_ray.streaming.engine import (
+    StreamConfig,
+    run_asof_join_stream,
+    run_cep_stream,
+    run_interval_join_stream,
+    run_session_stream,
+    run_stream,
+)
 
-__all__ = ["StreamConfig", "run_stream", "ExactlyOnceParquetSink"]
+__all__ = [
+    "StreamConfig",
+    "run_stream",
+    "run_session_stream",
+    "run_cep_stream",
+    "run_interval_join_stream",
+    "run_asof_join_stream",
+    "ExactlyOnceParquetSink",
+]

@@ -198,3 +198,45 @@ def test_interval_join_stream_incremental_files_resume(streams_dir,
     got = _stream_result(out)
     want = _batch_truth(streams_dir)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_interval_join_stream_crash_replays_only_unacked(streams_dir,
+                                                         tmp_path):
+    """Crash after 2 of 4 partitions of epoch 1 committed → resume
+    restores the epoch-0 snapshot, replays epoch 1, skips exactly the
+    committed partitions (idempotent sink), and the final output is
+    identical to a clean run."""
+    kw = dict(key_col="user_id", lower_us=LOWER_US, upper_us=UPPER_US,
+              partitions=4, files_per_epoch=1)
+    clean_out = str(tmp_path / "clean")
+    run_interval_join_stream(streams_dir["left"], streams_dir["right"],
+                             clean_out, **kw)
+    clean = _stream_result(clean_out)
+
+    out = str(tmp_path / "crash")
+    orig = ExactlyOnceParquetSink.write_partition
+
+    def boom(self, epoch, part, table, lineage=None):
+        if epoch == 1 and part == 2:
+            raise RuntimeError("injected crash")
+        return orig(self, epoch, part, table, lineage=lineage)
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(ExactlyOnceParquetSink, "write_partition", boom)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_interval_join_stream(streams_dir["left"],
+                                     streams_dir["right"], out, **kw)
+    finally:
+        mp.undo()
+
+    sink = ExactlyOnceParquetSink(out)
+    assert sink.last_done_epoch() == 0
+    assert sink.committed(1, 0) and sink.committed(1, 1)
+    assert not sink.committed(1, 2)
+
+    m = run_interval_join_stream(streams_dir["left"],
+                                 streams_dir["right"], out, **kw)
+    assert m["start_epoch"] == 1
+    assert m["partitions_skipped"] == 2        # parts 0-1 of epoch 1
+    pd.testing.assert_frame_equal(_stream_result(out), clean)
