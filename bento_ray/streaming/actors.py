@@ -867,3 +867,121 @@ class AsofJoinWorker:
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
+
+
+@ray.remote
+class AbsenceWorker:
+    """Streaming CEP negation / timeout (Flink `notFollowedBy` within a
+    bound — the alerting shape: "signup with NO purchase inside the
+    window"): the streaming form of stages.cep.match_absence, same
+    output schema and (ts, id)-order semantics. Partitioned by
+    hash(key).
+
+    This is the watermark-fired timeout timer made explicit: a
+    ``first``-type event's verdict is final exactly when the watermark
+    reaches ``ts + within_us`` — every ``absent``-type event that
+    could suppress it has either arrived or will be dropped as late —
+    and it emits at that flush iff no same-key ``absent`` event lies
+    strictly after it (in (ts, id) order) within the bound.
+
+    State after a flush at W is every retained event with
+    ``ts > W − within_us`` (pending starts and the only absent events
+    a pending or future start can still see) — bounded by the timeout
+    span, independent of stream length.
+
+    Every flush is one lexsort + ONE suffix-min next-occurrence pass —
+    the same vectorized scan as the batch operator."""
+
+    def __init__(self, part_id: int, first: str, absent: str,
+                 within_us: int):
+        self.part_id = part_id
+        self.first = first
+        self.absent = absent
+        self.within_us = int(within_us)
+        self._raw: list[tuple] = []
+        self._kept = (np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, object), np.empty(0, np.int64))
+        self.max_ts = -(1 << 62)
+        self.frontier = -(1 << 62)
+        self.metrics = {"rows_in": 0, "alerts_emitted": 0,
+                        "late_dropped": 0}
+
+    def ingest(self, ts: np.ndarray, eids: np.ndarray,
+               keys: np.ndarray, types: np.ndarray) -> int:
+        self.metrics["rows_in"] += len(ts)
+        if len(ts):
+            self.max_ts = max(self.max_ts, int(ts.max()))
+        self._raw.append((ts, eids, keys, types))
+        return len(ts)
+
+    def get_max_ts(self) -> int:
+        return self.max_ts
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        kts, keid, kkey, ktyp = self._kept
+        if self._raw:
+            ts = np.concatenate([c[0] for c in self._raw]).astype(np.int64)
+            eid = np.concatenate([c[1] for c in self._raw]).astype(np.int64)
+            key = np.concatenate([c[2] for c in self._raw]).astype(np.int64)
+            typ = np.concatenate([c[3] for c in self._raw]).astype(object)
+            self._raw = []
+            on_time = ts > self.frontier
+            relevant = (typ == self.first) | (typ == self.absent)
+            keep_new = on_time & relevant
+            n_late = int(len(ts) - on_time.sum())
+            if n_late:
+                self.metrics["late_dropped"] += n_late
+            ts = np.concatenate([kts, ts[keep_new]])
+            eid = np.concatenate([keid, eid[keep_new]])
+            key = np.concatenate([kkey.astype(np.int64), key[keep_new]])
+            typ = np.concatenate([ktyp, typ[keep_new]])
+        else:
+            ts, eid, key, typ = kts, keid, kkey.astype(np.int64), ktyp
+        order = np.lexsort((eid, ts, key))
+        ts, eid, key, typ = ts[order], eid[order], key[order], typ[order]
+        n = len(ts)
+
+        out_key = np.empty(0, np.int64)
+        out_id = np.empty(0, np.int64)
+        if n:
+            pos_if = np.where(typ == self.absent, np.arange(n), n)
+            suffmin = np.minimum.accumulate(pos_if[::-1])[::-1]
+            nxt = np.concatenate([suffmin[1:], [n]])
+            starts = np.flatnonzero(typ == self.first)
+            if len(starts):
+                landed = nxt[starts]
+                safe = np.minimum(landed, n - 1)
+                present = (landed < n) & (key[safe] == key[starts]) & \
+                    (ts[safe] - ts[starts] <= self.within_us)
+                expire = ts[starts] + self.within_us
+                emit = (~present) & (expire > self.frontier) & \
+                    (expire <= watermark_us)
+                idx = starts[emit]
+                out_key, out_id = key[idx], eid[idx]
+                self.metrics["alerts_emitted"] += len(idx)
+
+        keep = ts > watermark_us - self.within_us
+        self._kept = (ts[keep], eid[keep], key[keep], typ[keep])
+        self.frontier = max(self.frontier, watermark_us)
+        return pa.table({
+            "key": pa.array(out_key, pa.int64()),
+            "first_event_id": pa.array(out_id, pa.int64()),
+        })
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
+                             "frontier": self.frontier,
+                             "metrics": self.metrics})
+
+    def restore(self, blobs) -> None:
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        st = pickle.loads(blobs[-1])
+        self._kept = st["kept"]
+        self.max_ts = st["max_ts"]
+        self.frontier = st["frontier"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)

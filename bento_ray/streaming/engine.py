@@ -663,23 +663,18 @@ def _feed_cep_file(path: str, workers: list, partitions: int,
     return rows, max_ts
 
 
-def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
-                   within_us: int, key_col: str = "user_id",
-                   ts_col: str = "ts", id_col: str = "event_id",
-                   type_col: str = "event_type",
-                   partitions: int = 8, files_per_epoch: int = 2,
-                   allowed_lateness_us: int = 0,
-                   resume: bool = True, drain: bool = True) -> dict:
-    """Streaming CEP (strict contiguity) with the same epoch /
-    watermark / exactly-once / snapshot-resume machinery as
-    run_session_stream: per epoch the watermark advances to
-    max-event-time − allowed_lateness, each CepWorker emits exactly
-    the matches whose tail the watermark has passed, and the bounded
-    per-key state (events above the watermark + pattern_len−1 below
-    it) snapshots per epoch. Output rows are FINAL per partition —
-    they commit directly through the idempotent sink."""
-    from bento_ray.streaming.actors import CepWorker
-
+def _run_typed_event_stream(make_worker, input_path: str, out_dir: str,
+                            *, key_col: str, ts_col: str, id_col: str,
+                            type_col: str, final_span_us: int,
+                            partitions: int, files_per_epoch: int,
+                            allowed_lateness_us: int, resume: bool,
+                            drain: bool) -> dict:
+    """Shared epoch loop for the single-input typed-event stream
+    workers (CEP sequence matching, absence timers): per epoch the
+    watermark advances to max-event-time − allowed_lateness; the final
+    epoch (when ``drain``) flushes with max + final_span_us + 1 so
+    every pending emission resolves. Same exactly-once sink +
+    per-epoch snapshot/restore protocol as run_session_stream."""
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_path}")
@@ -689,8 +684,7 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
     sink = ExactlyOnceParquetSink(out_dir)
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
-    workers = [CepWorker.options(num_cpus=0.05).remote(
-        p, pattern, within_us) for p in range(partitions)]
+    workers = [make_worker(p) for p in range(partitions)]
 
     start_epoch = 0
     written = skipped = 0
@@ -724,7 +718,7 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
             global_max_ts = max(global_max_ts,
                                 max(mt for _, mt in summary))
         final = drain and e == len(epochs) - 1
-        watermark = (global_max_ts + within_us + 1 if final
+        watermark = (global_max_ts + final_span_us + 1 if final
                      else global_max_ts - allowed_lateness_us)
         lineage = {"input_files": epochs[e], "watermark": int(watermark),
                    "epoch": e}
@@ -755,6 +749,57 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
         "partitions_written": written, "partitions_skipped": skipped,
         "worker_metrics": agg, "out_dir": out_dir,
     }
+
+
+def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
+                   within_us: int, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   type_col: str = "event_type",
+                   partitions: int = 8, files_per_epoch: int = 2,
+                   allowed_lateness_us: int = 0,
+                   resume: bool = True, drain: bool = True) -> dict:
+    """Streaming CEP (strict contiguity): each CepWorker emits exactly
+    the matches whose tail the watermark has passed, with bounded
+    per-key state (events above the watermark + pattern_len−1 below
+    it) — see the worker docstring. Output rows are FINAL per
+    partition and commit through the idempotent sink."""
+    from bento_ray.streaming.actors import CepWorker
+
+    return _run_typed_event_stream(
+        lambda p: CepWorker.options(num_cpus=0.05).remote(
+            p, pattern, within_us),
+        input_path, out_dir, key_col=key_col, ts_col=ts_col,
+        id_col=id_col, type_col=type_col, final_span_us=within_us,
+        partitions=partitions, files_per_epoch=files_per_epoch,
+        allowed_lateness_us=allowed_lateness_us, resume=resume,
+        drain=drain)
+
+
+def run_absence_stream(input_path: str, out_dir: str, *, first: str,
+                       absent: str, within_us: int,
+                       key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       partitions: int = 8, files_per_epoch: int = 2,
+                       allowed_lateness_us: int = 0,
+                       resume: bool = True, drain: bool = True) -> dict:
+    """Streaming CEP negation / timeout (Flink `notFollowedBy` — the
+    live form of stages.cep.match_absence): a ``first``-type event
+    emits an alert exactly when the watermark fires its
+    ``ts + within_us`` timeout with no same-key ``absent``-type event
+    strictly after it (in (ts, id) order) within the bound; state is
+    bounded by the timeout span. Output rows are FINAL per partition
+    and commit through the idempotent sink."""
+    from bento_ray.streaming.actors import AbsenceWorker
+
+    return _run_typed_event_stream(
+        lambda p: AbsenceWorker.options(num_cpus=0.05).remote(
+            p, first, absent, within_us),
+        input_path, out_dir, key_col=key_col, ts_col=ts_col,
+        id_col=id_col, type_col=type_col, final_span_us=within_us,
+        partitions=partitions, files_per_epoch=files_per_epoch,
+        allowed_lateness_us=allowed_lateness_us, resume=resume,
+        drain=drain)
 
 
 @ray.remote
