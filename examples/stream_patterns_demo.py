@@ -78,6 +78,50 @@ def main() -> None:
     print(top.to_pandas().sort_values(["event_type", "event_id"])
           .head(6).to_string(index=False))
 
+    # ---- the LIVE forms: same semantics over an unbounded stream ----
+    # (watermark-final emission, exactly-once sink, snapshot resume;
+    # each batch operator above has a streaming twin in
+    # bento_ray.streaming — pytest pins byte parity between the two)
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bento_ray.streaming import (ExactlyOnceParquetSink,
+                                     run_absence_stream)
+
+    print("\n== STREAMING absence: the watermark-fired timeout timer")
+    work = tempfile.mkdtemp(prefix="stream_demo_")
+    src = os.path.join(SF, "events.parquet")
+    t = pq.read_table(src, columns=["ts", "user_id", "event_id",
+                                    "event_type"])
+    df = t.to_pandas().sort_values(["ts", "event_id"])
+    n = len(df)
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    for i in range(4):                      # 4 arrival files = 4 epochs
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i * n // 4:(i + 1) * n // 4],
+                                 preserve_index=False),
+            os.path.join(feed, f"arrivals-{i:02d}.parquet"))
+    out = os.path.join(work, "alerts")
+    m = run_absence_stream(feed, out, first="click", absent="purchase",
+                           within_us=6 * 3_600_000_000,
+                           partitions=4, files_per_epoch=1)
+    alerts = ExactlyOnceParquetSink(out).read().to_pandas()
+    print(f"{len(alerts)} lapsed signups across {m['epochs']} epochs; "
+          f"metrics: {m['worker_metrics']}")
+    # re-run over the same sink: every epoch already committed
+    m2 = run_absence_stream(feed, out, first="click", absent="purchase",
+                            within_us=6 * 3_600_000_000,
+                            partitions=4, files_per_epoch=1)
+    print(f"re-run wrote {m2['partitions_written']} partitions — the "
+          f"sink manifest showed epochs 0..{m2['start_epoch'] - 1} "
+          f"already done, so it resumed past the whole stream")
+    shutil.rmtree(work, ignore_errors=True)
+
     ray.shutdown()
 
 
