@@ -676,32 +676,56 @@ class IntervalJoinWorker:
         rt, ri, rk = self._merge_side(1)
         self._raw = []
 
-        out = {"key": np.empty(0, np.int64),
-               "left_id": np.empty(0, np.int64),
-               "right_id": np.empty(0, np.int64),
-               "lag_us": np.empty(0, np.int64)}
+        outs = []
         if len(lt) and len(rt):
             r_order = np.lexsort((ri, rt, rk))
             rt, ri, rk = rt[r_order], ri[r_order], rk[r_order]
-            lo = _rank_in_sorted(rk, rt, lk, lt + self.lower_us, "left")
-            hi = _rank_in_sorted(rk, rt, lk, lt + self.upper_us, "right")
-            counts = hi - lo
-            total = int(counts.sum())
-            if total:
-                lrep = np.repeat(np.arange(len(lk)), counts)
+            # A pair with max(l.ts, r.ts) ≤ frontier was emitted at an
+            # earlier flush, so enumerate only pairs with a NEW member
+            # (ts > frontier): (new lefts × all rights) ∪ (old lefts ×
+            # new rights). Per-flush work is then proportional to the
+            # newly-formable pairs, not the whole in-span backlog —
+            # without this, a span/epoch ratio of K re-scans every
+            # surviving pair K times.
+            l_new = lt > self.frontier
+            r_new = rt > self.frontier
+            for lsel, rsel in (
+                    (l_new, slice(None)),
+                    (~l_new, r_new)):
+                ls_t, ls_i, ls_k = lt[lsel], li[lsel], lk[lsel]
+                rs_t, rs_i, rs_k = rt[rsel], ri[rsel], rk[rsel]
+                if not len(ls_t) or not len(rs_t):
+                    continue
+                lo = _rank_in_sorted(rs_k, rs_t, ls_k,
+                                     ls_t + self.lower_us, "left")
+                hi = _rank_in_sorted(rs_k, rs_t, ls_k,
+                                     ls_t + self.upper_us, "right")
+                counts = hi - lo
+                total = int(counts.sum())
+                if not total:
+                    continue
+                lrep = np.repeat(np.arange(len(ls_k)), counts)
                 starts = np.cumsum(counts) - counts
                 rpos = np.repeat(lo, counts) + (
                     np.arange(total) - np.repeat(starts, counts))
-                lt_p, rt_p = lt[lrep], rt[rpos]
+                lt_p, rt_p = ls_t[lrep], rs_t[rpos]
                 pair_max = np.maximum(lt_p, rt_p)
                 emit = (pair_max > self.frontier) & \
                        (pair_max <= watermark_us)
                 idx = np.flatnonzero(emit)
-                out = {"key": lk[lrep][idx],
-                       "left_id": li[lrep][idx],
-                       "right_id": ri[rpos][idx],
-                       "lag_us": (rt_p - lt_p)[idx]}
+                outs.append((ls_k[lrep][idx], ls_i[lrep][idx],
+                             rs_i[rpos][idx], (rt_p - lt_p)[idx]))
                 self.metrics["pairs_emitted"] += len(idx)
+        if outs:
+            out = {"key": np.concatenate([o[0] for o in outs]),
+                   "left_id": np.concatenate([o[1] for o in outs]),
+                   "right_id": np.concatenate([o[2] for o in outs]),
+                   "lag_us": np.concatenate([o[3] for o in outs])}
+        else:
+            out = {"key": np.empty(0, np.int64),
+                   "left_id": np.empty(0, np.int64),
+                   "right_id": np.empty(0, np.int64),
+                   "lag_us": np.empty(0, np.int64)}
 
         keep_l = np.maximum(lt, lt + self.upper_us) > watermark_us
         keep_r = np.maximum(rt, rt - self.lower_us) > watermark_us
