@@ -4,6 +4,7 @@ from bento_ray.streaming.engine import (
     run_absence_stream,
     run_asof_join_stream,
     run_cep_stream,
+    run_followed_by_stream,
     run_interval_join_stream,
     run_session_stream,
     run_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "run_session_stream",
     "run_cep_stream",
     "run_absence_stream",
+    "run_followed_by_stream",
     "run_interval_join_stream",
     "run_asof_join_stream",
     "ExactlyOnceParquetSink",

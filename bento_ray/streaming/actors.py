@@ -1009,3 +1009,141 @@ class AbsenceWorker:
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
+
+
+@ray.remote
+class FollowedByWorker:
+    """Streaming relaxed-contiguity CEP (Flink `followedBy` /
+    skip-till-next): the live form of stages.cep.match_followed_by,
+    same chain rule (every ``pattern[0]`` event chains to the EARLIEST
+    later occurrence of each next step, same key, total span ≤
+    within_us) and output schema. Partitioned by hash(key).
+
+    Finality: a chain is EAGERLY final at the first flush whose
+    watermark W reaches its tail — any event that could change an
+    earliest-next link would have to sort before an existing node
+    (ts ≤ tail ≤ W) and such an arrival is dropped as late after this
+    flush. Chains whose tail the previous frontier already passed were
+    identical then (later arrivals are all later than their nodes) and
+    were emitted then, so the emission mask
+    ``frontier < tail_ts ≤ W`` is exactly-once. A start with no
+    completed chain resolves silently once W ≥ start_ts + within_us.
+
+    State: every retained event has ``ts > W − within_us`` — pending
+    starts and every candidate an unresolved chain can still reach —
+    bounded by the pattern span, independent of stream length.
+
+    Every flush is one lexsort + one suffix-min pass per distinct
+    pattern step + len(pattern) vectorized landing rounds — the same
+    scan as the batch operator."""
+
+    def __init__(self, part_id: int, pattern: list[str],
+                 within_us: int):
+        if len(pattern) < 2:
+            raise ValueError("pattern needs at least two steps")
+        self.part_id = part_id
+        self.pattern = list(pattern)
+        self.within_us = int(within_us)
+        self._raw: list[tuple] = []
+        self._kept = (np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, object), np.empty(0, np.int64))
+        self.max_ts = -(1 << 62)
+        self.frontier = -(1 << 62)
+        self.metrics = {"rows_in": 0, "matches_emitted": 0,
+                        "late_dropped": 0}
+
+    def ingest(self, ts: np.ndarray, eids: np.ndarray,
+               keys: np.ndarray, types: np.ndarray) -> int:
+        self.metrics["rows_in"] += len(ts)
+        if len(ts):
+            self.max_ts = max(self.max_ts, int(ts.max()))
+        self._raw.append((ts, eids, keys, types))
+        return len(ts)
+
+    def get_max_ts(self) -> int:
+        return self.max_ts
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        kts, keid, kkey, ktyp = self._kept
+        if self._raw:
+            ts = np.concatenate([c[0] for c in self._raw]).astype(np.int64)
+            eid = np.concatenate([c[1] for c in self._raw]).astype(np.int64)
+            key = np.concatenate([c[2] for c in self._raw]).astype(np.int64)
+            typ = np.concatenate([c[3] for c in self._raw]).astype(object)
+            self._raw = []
+            on_time = ts > self.frontier
+            relevant = np.isin(typ, list(set(self.pattern)))
+            keep_new = on_time & relevant
+            n_late = int(len(ts) - on_time.sum())
+            if n_late:
+                self.metrics["late_dropped"] += n_late
+            ts = np.concatenate([kts, ts[keep_new]])
+            eid = np.concatenate([keid, eid[keep_new]])
+            key = np.concatenate([kkey.astype(np.int64), key[keep_new]])
+            typ = np.concatenate([ktyp, typ[keep_new]])
+        else:
+            ts, eid, key, typ = kts, keid, kkey.astype(np.int64), ktyp
+        order = np.lexsort((eid, ts, key))
+        ts, eid, key, typ = ts[order], eid[order], key[order], typ[order]
+        n = len(ts)
+
+        out_key = np.empty(0, np.int64)
+        out_first = np.empty(0, np.int64)
+        out_last = np.empty(0, np.int64)
+        out_span = np.empty(0, np.int64)
+        if n >= len(self.pattern):
+            nxt = {}
+            for want in set(self.pattern[1:]):
+                pos_if = np.where(typ == want, np.arange(n), n)
+                suffmin = np.minimum.accumulate(pos_if[::-1])[::-1]
+                nxt[want] = np.concatenate([suffmin[1:], [n]])
+            cur = np.flatnonzero(typ == self.pattern[0])
+            starts = cur
+            alive = np.ones(len(cur), bool)
+            for want in self.pattern[1:]:
+                landed = nxt[want][np.minimum(cur, n - 1)]
+                landed[cur >= n] = n
+                alive &= landed < n
+                safe = np.minimum(landed, n - 1)
+                alive &= key[safe] == key[np.minimum(starts, n - 1)]
+                cur = np.where(alive, landed, n)
+            ok = np.flatnonzero(alive)
+            if len(ok):
+                first, last = starts[ok], cur[ok]
+                span = ts[last] - ts[first]
+                tail = ts[last]
+                emit = (span <= self.within_us) & \
+                       (tail > self.frontier) & (tail <= watermark_us)
+                first, last = first[emit], last[emit]
+                out_key = key[first]
+                out_first, out_last = eid[first], eid[last]
+                out_span = ts[last] - ts[first]
+                self.metrics["matches_emitted"] += len(first)
+
+        keep = ts > watermark_us - self.within_us
+        self._kept = (ts[keep], eid[keep], key[keep], typ[keep])
+        self.frontier = max(self.frontier, watermark_us)
+        return pa.table({
+            "key": pa.array(out_key, pa.int64()),
+            "first_event_id": pa.array(out_first, pa.int64()),
+            "last_event_id": pa.array(out_last, pa.int64()),
+            "span_us": pa.array(out_span, pa.int64()),
+        })
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
+                             "frontier": self.frontier,
+                             "metrics": self.metrics})
+
+    def restore(self, blobs) -> None:
+        if isinstance(blobs, (bytes, bytearray)):
+            blobs = [blobs]
+        st = pickle.loads(blobs[-1])
+        self._kept = st["kept"]
+        self.max_ts = st["max_ts"]
+        self.frontier = st["frontier"]
+        self.metrics = st["metrics"]
+        self._raw = []
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)

@@ -775,6 +775,34 @@ def run_cep_stream(input_path: str, out_dir: str, *, pattern: list[str],
         drain=drain)
 
 
+def run_followed_by_stream(input_path: str, out_dir: str, *,
+                           pattern: list[str], within_us: int,
+                           key_col: str = "user_id",
+                           ts_col: str = "ts", id_col: str = "event_id",
+                           type_col: str = "event_type",
+                           partitions: int = 8, files_per_epoch: int = 2,
+                           allowed_lateness_us: int = 0,
+                           resume: bool = True,
+                           drain: bool = True) -> dict:
+    """Streaming relaxed-contiguity CEP (Flink `followedBy` — the live
+    form of stages.cep.match_followed_by): every start event chains to
+    the earliest next-step occurrences; a completed chain emits EAGERLY
+    at the first flush whose watermark passes its tail (not at the
+    start's timeout), and state is bounded by the pattern span behind
+    the watermark. Output rows are FINAL per partition and commit
+    through the idempotent sink."""
+    from bento_ray.streaming.actors import FollowedByWorker
+
+    return _run_typed_event_stream(
+        lambda p: FollowedByWorker.options(num_cpus=0.05).remote(
+            p, pattern, within_us),
+        input_path, out_dir, key_col=key_col, ts_col=ts_col,
+        id_col=id_col, type_col=type_col, final_span_us=within_us,
+        partitions=partitions, files_per_epoch=files_per_epoch,
+        allowed_lateness_us=allowed_lateness_us, resume=resume,
+        drain=drain)
+
+
 def run_absence_stream(input_path: str, out_dir: str, *, first: str,
                        absent: str, within_us: int,
                        key_col: str = "user_id",
