@@ -193,6 +193,17 @@ def _await_chunk_counters(workers, expected, base, timeout_sec: float = 120.0):
         time.sleep(0.01)
 
 
+
+def _ts_us_int64(col: "pa.ChunkedArray") -> np.ndarray:
+    """Event-time column → int64 MICROSECONDS regardless of the
+    parquet timestamp unit (s/ms/us/ns all appear in the wild; a raw
+    int64 cast of a ns column would silently scale every watermark,
+    window and join bound by 1000)."""
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        col = col.cast(pa.timestamp("us", tz=col.type.tz))
+    return col.cast(pa.int64()).to_numpy()
+
+
 def _submit_in_waves(submit, items, max_inflight: int | None = None) -> list:
     """Submit remote tasks with a bounded in-flight window. Submitting a
     whole epoch at once makes the raylet pre-start one worker process
@@ -531,7 +542,7 @@ def _feed_session_file(path: str, workers: list, partitions: int,
     for rb in pf.iter_batches(batch_size=batch_rows,
                               columns=[key_col, ts_col, value_col]):
         t = pa.Table.from_batches([rb])
-        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        ts = _ts_us_int64(t.column(ts_col))
         keys = np.asarray(t.column(key_col).to_pylist(), dtype=object)
         vals = t.column(value_col).cast(pa.float64()).to_numpy()
         part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
@@ -646,7 +657,7 @@ def _feed_cep_file(path: str, workers: list, partitions: int,
                               columns=[key_col, ts_col, id_col,
                                        type_col]):
         t = pa.Table.from_batches([rb])
-        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        ts = _ts_us_int64(t.column(ts_col))
         eid = t.column(id_col).cast(pa.int64()).to_numpy()
         keys = t.column(key_col).cast(pa.int64()).to_numpy()
         typ = np.asarray(t.column(type_col).to_pylist(), dtype=object)
@@ -845,7 +856,7 @@ def _feed_join_file(path: str, side: int, workers: list,
     for rb in pf.iter_batches(batch_size=batch_rows,
                               columns=[key_col, ts_col, id_col]):
         t = pa.Table.from_batches([rb])
-        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        ts = _ts_us_int64(t.column(ts_col))
         eid = t.column(id_col).cast(pa.int64()).to_numpy()
         keys = t.column(key_col).cast(pa.int64()).to_numpy()
         part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
