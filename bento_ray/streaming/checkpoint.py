@@ -108,6 +108,18 @@ class ExactlyOnceParquetSink:
         )
 
     # -- introspection ------------------------------------------------
+    def epoch_lineage(self, epoch: int) -> dict:
+        """The lineage dict recorded for a committed epoch (every
+        partition of an epoch carries the same lineage; the first
+        commit record found is returned). {} when nothing committed."""
+        d = os.path.join(self.manifest_dir, f"epoch={epoch}")
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.startswith("part="):
+                    with open(os.path.join(d, f)) as fh:
+                        return json.load(fh).get("lineage", {})
+        return {}
+
     def lineage(self) -> list[dict]:
         out = []
         for ed in sorted(os.listdir(self.manifest_dir)):

@@ -204,6 +204,38 @@ def _ts_us_int64(col: "pa.ChunkedArray") -> np.ndarray:
     return col.cast(pa.int64()).to_numpy()
 
 
+def _resume_chunks(files: list[str], files_per_epoch: int, sink,
+                   last_done: int, key: str = "input_files") -> list[list[str]]:
+    """Epoch chunking for an append-resume run.
+
+    Re-chunking the GROWN file listing from scratch misassigns
+    appended files into already-committed epoch indices whenever the
+    paused run's file count was not a multiple of files_per_epoch —
+    start_epoch = last_done + 1 would then silently never feed them
+    (data loss). Instead, reconstruct epochs 0..last_done from the
+    sink's recorded lineage (authoritative: those files ARE consumed)
+    and chunk only the not-yet-consumed files into the epochs after
+    last_done. Fails fast if a lineage-recorded file is missing from
+    the current listing (the input directory was mutated, not just
+    appended to — silent refeeding would duplicate data)."""
+    committed: list[list[str]] = []
+    seen: set[str] = set()
+    for e in range(last_done + 1):
+        lin = sink.epoch_lineage(e).get(key, [])
+        committed.append(list(lin))
+        seen.update(lin)
+    missing = seen - set(files)
+    if missing:
+        raise ValueError(
+            f"resume: {len(missing)} file(s) recorded in committed epoch "
+            f"lineage are absent from the current input listing (e.g. "
+            f"{sorted(missing)[:3]}); refusing to re-chunk — the input "
+            f"directory must only be appended to between runs")
+    remaining = [f for f in files if f not in seen]
+    return committed + [remaining[i:i + files_per_epoch]
+                        for i in range(0, len(remaining), files_per_epoch)]
+
+
 def _submit_in_waves(submit, items, max_inflight: int | None = None) -> list:
     """Submit remote tasks with a bounded in-flight window. Submitting a
     whole epoch at once makes the raylet pre-start one worker process
@@ -306,12 +338,20 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_path}")
-    epochs = [files[i:i + cfg.files_per_epoch]
-              for i in range(0, len(files), cfg.files_per_epoch)]
 
     sink = ExactlyOnceParquetSink(out_dir)
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
+
+    last_done = sink.last_done_epoch() if resume else -1
+    if last_done >= 0:
+        # pause/append-resume: committed epochs come from lineage, the
+        # rest re-chunks — see _resume_chunks for why naive re-chunking
+        # of a grown listing loses appended files
+        epochs = _resume_chunks(files, cfg.files_per_epoch, sink, last_done)
+    else:
+        epochs = [files[i:i + cfg.files_per_epoch]
+                  for i in range(0, len(files), cfg.files_per_epoch)]
 
     # num_cpus=0.05: ingest/flush work is tiny (appends + one groupby per
     # epoch); reserving real CPU slices for the pool starves the feed
@@ -326,18 +366,16 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     start_epoch = 0
     replayed_partitions = 0
     skipped_partitions = 0
-    if resume:
-        last_done = sink.last_done_epoch()
-        if last_done >= 0:
-            # snapshots are incremental — restore the chain 0..last_done
-            chains: list[list[bytes]] = [[] for _ in range(cfg.partitions)]
-            for e in range(last_done + 1):
-                snap_dir = os.path.join(state_dir, f"epoch={e}")
-                for p in range(cfg.partitions):
-                    with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
-                        chains[p].append(fh.read())
-            ray.get([w.restore.remote(c) for w, c in zip(workers, chains)])
-            start_epoch = last_done + 1
+    if last_done >= 0:
+        # snapshots are incremental — restore the chain 0..last_done
+        chains: list[list[bytes]] = [[] for _ in range(cfg.partitions)]
+        for e in range(last_done + 1):
+            snap_dir = os.path.join(state_dir, f"epoch={e}")
+            for p in range(cfg.partitions):
+                with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
+                    chains[p].append(fh.read())
+        ray.get([w.restore.remote(c) for w, c in zip(workers, chains)])
+        start_epoch = last_done + 1
 
     t0 = time.perf_counter()
     rows_total = 0
@@ -572,27 +610,29 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_path}")
-    epochs = [files[i:i + files_per_epoch]
-              for i in range(0, len(files), files_per_epoch)]
 
     sink = ExactlyOnceParquetSink(out_dir)
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
+    last_done = sink.last_done_epoch() if resume else -1
+    if last_done >= 0:
+        epochs = _resume_chunks(files, files_per_epoch, sink, last_done)
+    else:
+        epochs = [files[i:i + files_per_epoch]
+                  for i in range(0, len(files), files_per_epoch)]
     workers = [SessionWorker.options(num_cpus=0.05).remote(p, gap_us)
                for p in range(partitions)]
 
     start_epoch = 0
     written = skipped = 0
-    if resume:
-        last_done = sink.last_done_epoch()
-        if last_done >= 0:
-            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
-            blobs = []
-            for p in range(partitions):
-                with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
-                    blobs.append(fh.read())
-            ray.get([w.restore.remote(b) for w, b in zip(workers, blobs)])
-            start_epoch = last_done + 1
+    if last_done >= 0:
+        snap_dir = os.path.join(state_dir, f"epoch={last_done}")
+        blobs = []
+        for p in range(partitions):
+            with open(os.path.join(snap_dir, f"part={p}.pkl"), "rb") as fh:
+                blobs.append(fh.read())
+        ray.get([w.restore.remote(b) for w, b in zip(workers, blobs)])
+        start_epoch = last_done + 1
 
     t0 = time.perf_counter()
     rows_total = 0
@@ -689,28 +729,30 @@ def _run_typed_event_stream(make_worker, input_path: str, out_dir: str,
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_path}")
-    epochs = [files[i:i + files_per_epoch]
-              for i in range(0, len(files), files_per_epoch)]
 
     sink = ExactlyOnceParquetSink(out_dir)
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
+    last_done = sink.last_done_epoch() if resume else -1
+    if last_done >= 0:
+        epochs = _resume_chunks(files, files_per_epoch, sink, last_done)
+    else:
+        epochs = [files[i:i + files_per_epoch]
+                  for i in range(0, len(files), files_per_epoch)]
     workers = [make_worker(p) for p in range(partitions)]
 
     start_epoch = 0
     written = skipped = 0
-    if resume:
-        last_done = sink.last_done_epoch()
-        if last_done >= 0:
-            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
-            blobs = []
-            for p in range(partitions):
-                with open(os.path.join(snap_dir, f"part={p}.pkl"),
-                          "rb") as fh:
-                    blobs.append(fh.read())
-            ray.get([w.restore.remote(b)
-                     for w, b in zip(workers, blobs)])
-            start_epoch = last_done + 1
+    if last_done >= 0:
+        snap_dir = os.path.join(state_dir, f"epoch={last_done}")
+        blobs = []
+        for p in range(partitions):
+            with open(os.path.join(snap_dir, f"part={p}.pkl"),
+                      "rb") as fh:
+                blobs.append(fh.read())
+        ray.get([w.restore.remote(b)
+                 for w, b in zip(workers, blobs)])
+        start_epoch = last_done + 1
 
     t0 = time.perf_counter()
     rows_total = 0
@@ -844,10 +886,15 @@ def run_absence_stream(input_path: str, out_dir: str, *, first: str,
 @ray.remote
 def _feed_join_file(path: str, side: int, workers: list,
                     partitions: int, key_col: str, ts_col: str,
-                    id_col: str, batch_rows: int) -> tuple[int, int]:
+                    id_col: str, batch_rows: int) -> tuple[int, int, int]:
     """Interval-join feeder: one raw task per (file, side),
     partitioned by hash(key) so every key's rows from BOTH streams
-    land on the same worker."""
+    land on the same worker. Returns (side, rows, max_ts) — the side
+    tag travels WITH the result because _submit_in_waves yields
+    results in completion order once the in-flight window fills, so
+    zipping against the submission list would misattribute each
+    side's event-time frontier and let the two-input watermark
+    min(gmax) advance past the lagging stream."""
     import pyarrow.parquet as pq
 
     rows, max_ts = 0, -(1 << 62)
@@ -869,7 +916,7 @@ def _feed_join_file(path: str, side: int, workers: list,
         if len(ts):
             max_ts = max(max_ts, int(ts.max()))
     ray.get(refs)
-    return rows, max_ts
+    return side, rows, max_ts
 
 
 def _run_two_stream(make_worker, left_path: str, right_path: str,
@@ -888,34 +935,40 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
     if not lf or not rf:
         raise FileNotFoundError(
             f"no parquet files under {left_path!r} / {right_path!r}")
-    lchunks = [lf[i:i + files_per_epoch]
-               for i in range(0, len(lf), files_per_epoch)]
-    rchunks = [rf[i:i + files_per_epoch]
-               for i in range(0, len(rf), files_per_epoch)]
-    n_epochs = max(len(lchunks), len(rchunks))
-    epochs = [(lchunks[e] if e < len(lchunks) else [],
-               rchunks[e] if e < len(rchunks) else [])
-              for e in range(n_epochs)]
 
     sink = ExactlyOnceParquetSink(out_dir)
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
+    last_done = sink.last_done_epoch() if resume else -1
+    if last_done >= 0:
+        # each side re-chunks independently against its own lineage key
+        lchunks = _resume_chunks(lf, files_per_epoch, sink, last_done,
+                                 key="left_files")
+        rchunks = _resume_chunks(rf, files_per_epoch, sink, last_done,
+                                 key="right_files")
+    else:
+        lchunks = [lf[i:i + files_per_epoch]
+                   for i in range(0, len(lf), files_per_epoch)]
+        rchunks = [rf[i:i + files_per_epoch]
+                   for i in range(0, len(rf), files_per_epoch)]
+    n_epochs = max(len(lchunks), len(rchunks))
+    epochs = [(lchunks[e] if e < len(lchunks) else [],
+               rchunks[e] if e < len(rchunks) else [])
+              for e in range(n_epochs)]
     workers = [make_worker(p) for p in range(partitions)]
 
     start_epoch = 0
     written = skipped = 0
-    if resume:
-        last_done = sink.last_done_epoch()
-        if last_done >= 0:
-            snap_dir = os.path.join(state_dir, f"epoch={last_done}")
-            blobs = []
-            for p in range(partitions):
-                with open(os.path.join(snap_dir, f"part={p}.pkl"),
-                          "rb") as fh:
-                    blobs.append(fh.read())
-            ray.get([w.restore.remote(b)
-                     for w, b in zip(workers, blobs)])
-            start_epoch = last_done + 1
+    if last_done >= 0:
+        snap_dir = os.path.join(state_dir, f"epoch={last_done}")
+        blobs = []
+        for p in range(partitions):
+            with open(os.path.join(snap_dir, f"part={p}.pkl"),
+                      "rb") as fh:
+                blobs.append(fh.read())
+        ray.get([w.restore.remote(b)
+                 for w, b in zip(workers, blobs)])
+        start_epoch = last_done + 1
 
     t0 = time.perf_counter()
     rows_total = 0
@@ -933,8 +986,8 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
                 fs[0], fs[1], workers, partitions, key_col, ts_col,
                 id_col, 16384),
             work)
-        rows_total += sum(r for r, _ in summary)
-        for (_, side), (_, mt) in zip(work, summary):
+        rows_total += sum(r for _, r, _ in summary)
+        for side, _, mt in summary:
             gmax[side] = max(gmax[side], mt)
         final = drain and e == len(epochs) - 1
         watermark = (max(gmax) + span + 1 if final

@@ -32,11 +32,18 @@ def _word_buffers(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     n = len(flat)
-    offs = np.frombuffer(flat.buffers()[1], np.int32, count=n + 1)
+    # a sliced array shares its parent's buffers; index the offsets
+    # from flat.offset and rebase the data window to offs[0], else the
+    # word-boundary mask misaligns (same guard as dedup._flat_packed)
+    offs = np.frombuffer(flat.buffers()[1], np.int32,
+                         count=flat.offset + n + 1)[flat.offset:]
     data_buf = flat.buffers()[2]
-    data = np.frombuffer(data_buf, np.uint8, count=offs[-1]) \
-        if data_buf is not None else np.empty(0, np.uint8)
-    return data, offs
+    if data_buf is None:
+        data = np.empty(0, np.uint8)
+    else:
+        data = np.frombuffer(data_buf, np.uint8,
+                             count=int(offs[-1]))[int(offs[0]):]
+    return data, (offs - offs[0]).astype(np.int32)
 
 
 def bpe_pair_counts(ds, col: str = "text", k: int = 20):

@@ -383,3 +383,55 @@ def test_pause_append_resume_matches_continuous(pages_small, stream_out,
     assert m2["start_epoch"] == m1["epochs"]     # only the new epoch ran
     out1, _ = stream_out                         # continuous run, same cfg
     pd.testing.assert_frame_equal(_read_sink(out), _read_sink(out1))
+
+
+def test_pause_append_resume_misaligned_chunking(pages_small, tmp_path):
+    """Regression (ADVICE r4, medium): pause with a file count NOT a
+    multiple of files_per_epoch (3 files, fpe=2 → epochs [f0,f1],[f2]),
+    append the remaining 3 and resume. Naive re-chunking of the grown
+    6-file listing would assign f3 into the already-committed epoch 1
+    and silently never feed it (data loss); the lineage-based re-chunk
+    feeds [f3,f4],[f5] and the result matches the batch oracle."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(pages_small, "*.parquet")))
+    assert len(files) >= 6
+    grow = str(tmp_path / "grow")
+    os.makedirs(grow)
+    for f in files[:3]:
+        shutil.copy(f, grow)
+    out = str(tmp_path / "paused")
+    cfg = StreamConfig(window_size_us=10_000_000,
+                       allowed_lateness_us=2_000_000,
+                       partitions=4, out_partitions=4,
+                       files_per_epoch=2, drain=False)
+    m1 = run_stream(grow, cfg, out, dim_versions=dim_versions_table())
+    assert m1["epochs"] == 2
+    for f in files[3:6]:
+        shutil.copy(f, grow)
+    m2 = flagship_streaming(grow, out, partitions=4, files_per_epoch=2,
+                            resume=True)
+    assert m2["start_epoch"] == 2 and m2["epochs"] == 4
+    pd.testing.assert_frame_equal(_read_sink(out), _oracle(grow))
+
+
+def test_resume_chunks_unit():
+    """_resume_chunks reconstructs committed epochs from lineage,
+    chunks only unconsumed files after them, and fails fast when a
+    lineage file vanished from the listing."""
+    from bento_ray.streaming.engine import _resume_chunks
+
+    class FakeSink:
+        def __init__(self, lineages):
+            self._l = lineages
+
+        def epoch_lineage(self, e):
+            return self._l[e]
+
+    sink = FakeSink([{"input_files": ["f0", "f1"]},
+                     {"input_files": ["f2"]}])
+    files = [f"f{i}" for i in range(6)]
+    assert _resume_chunks(files, 2, sink, 1) == [
+        ["f0", "f1"], ["f2"], ["f3", "f4"], ["f5"]]
+    with pytest.raises(ValueError, match="absent from the current"):
+        _resume_chunks(["f0", "f3"], 2, sink, 1)

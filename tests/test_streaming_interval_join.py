@@ -240,3 +240,87 @@ def test_interval_join_stream_crash_replays_only_unacked(streams_dir,
     assert m["start_epoch"] == 1
     assert m["partitions_skipped"] == 2        # parts 0-1 of epoch 1
     pd.testing.assert_frame_equal(_stream_result(out), clean)
+
+
+def _one_event_file(path, ts_s, user, eid):
+    US = 1_000_000
+    pq.write_table(pa.table({
+        "ts": pa.array([ts_s * US], pa.timestamp("us")),
+        "user_id": pa.array([user], pa.int64()),
+        "event_id": pa.array([eid], pa.int64()),
+    }), path)
+
+
+def test_two_stream_watermark_survives_completion_order(tmp_path,
+                                                        monkeypatch):
+    """Regression (ADVICE r4, high): _submit_in_waves yields results in
+    COMPLETION order once the in-flight window fills, so per-side
+    event-time frontiers must be folded from the side tag each feeder
+    returns — zipping against the submission list misattributes them
+    and min(gmax) can jump past the lagging stream (here: to 490s
+    instead of 20s), late-dropping the right member of a real pair.
+    Simulate the reordering deterministically by rotating every wave's
+    results; the output must be unaffected."""
+    from bento_ray.streaming import engine as eng
+
+    real = eng._submit_in_waves
+
+    def rotated(submit, items, max_inflight=None):
+        res = real(submit, items, max_inflight)
+        return res[1:] + res[:1] if len(res) > 1 else res
+
+    monkeypatch.setattr(eng, "_submit_in_waves", rotated)
+
+    ld, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ld), os.makedirs(rdir)
+    # epoch 0 (files_per_epoch=2): left frontier 1000s, right 20s
+    _one_event_file(os.path.join(ld, "l0.parquet"), 470, 7, 1)   # the click
+    _one_event_file(os.path.join(ld, "l1.parquet"), 1000, 99, 2)
+    _one_event_file(os.path.join(rdir, "r0.parquet"), 10, 98, 3)
+    _one_event_file(os.path.join(rdir, "r1.parquet"), 20, 97, 4)
+    # epoch 1: the matching purchase @480s — on time vs the true
+    # watermark (20s), late vs the misattributed one (490s)
+    _one_event_file(os.path.join(ld, "l2.parquet"), 1001, 96, 5)
+    _one_event_file(os.path.join(ld, "l3.parquet"), 1002, 95, 6)
+    _one_event_file(os.path.join(rdir, "r2.parquet"), 480, 7, 7)
+    _one_event_file(os.path.join(rdir, "r3.parquet"), 481, 94, 8)
+
+    out = str(tmp_path / "out")
+    m = run_interval_join_stream(
+        ld, rdir, out, key_col="user_id",
+        lower_us=LOWER_US, upper_us=UPPER_US,
+        partitions=2, files_per_epoch=2)
+    got = _stream_result(out)
+    assert m["worker_metrics"]["late_dropped"] == 0
+    assert len(got) == 1
+    assert (got.iloc[0]["left_id"], got.iloc[0]["right_id"],
+            got.iloc[0]["lag_us"]) == (1, 7, 10 * 1_000_000)
+
+
+def test_two_stream_pause_append_resume_misaligned(streams_dir, tmp_path):
+    """Regression (ADVICE r4, medium): pause with a per-side file count
+    NOT a multiple of files_per_epoch (3 of 4 files, fpe=2), then
+    append the 4th and resume — naive re-chunking of the grown listing
+    would place the appended file inside the already-committed epoch 1
+    and silently never feed it. The lineage-based re-chunk feeds it as
+    epoch 2 and the result matches the batch operator."""
+    grow_l = str(tmp_path / "gl")
+    grow_r = str(tmp_path / "gr")
+    os.makedirs(grow_l), os.makedirs(grow_r)
+    lf = sorted(glob.glob(os.path.join(streams_dir["left"], "*.parquet")))
+    rf = sorted(glob.glob(os.path.join(streams_dir["right"], "*.parquet")))
+    for f in lf[:3]:
+        shutil.copy(f, grow_l)
+    for f in rf[:3]:
+        shutil.copy(f, grow_r)
+    out = str(tmp_path / "out")
+    kw = dict(key_col="user_id", lower_us=LOWER_US, upper_us=UPPER_US,
+              partitions=4, files_per_epoch=2)
+    m1 = run_interval_join_stream(grow_l, grow_r, out, drain=False, **kw)
+    assert m1["epochs"] == 2                     # [f0,f1], [f2]
+    shutil.copy(lf[3], grow_l)
+    shutil.copy(rf[3], grow_r)
+    m2 = run_interval_join_stream(grow_l, grow_r, out, resume=True, **kw)
+    assert m2["start_epoch"] == 2 and m2["epochs"] == 3
+    pd.testing.assert_frame_equal(_stream_result(out),
+                                  _batch_truth(streams_dir))

@@ -1642,3 +1642,24 @@ def test_bigram_logprob_backoff_and_oov_branches():
     want = float(duckdb_round(np.array([-total / 1e6 / 4]), 6)[0])
     assert out.iloc[0]["n_words"] == 4
     assert out.iloc[0]["neg_logprob2"] == want
+
+
+def test_word_buffers_sliced_array():
+    """Regression (ADVICE r4, low): _word_buffers must honor
+    arr.offset — a sliced string array shares its parent's buffers,
+    so reading offsets/data from position 0 misaligns the word-
+    boundary mask."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bento_ray.textops.bpe import _word_buffers
+
+    full = pa.array(["aa", "bbb", "cccc", "dd"], pa.string())
+    sl = full.slice(1, 2)                 # ["bbb", "cccc"]
+    data, offs = _word_buffers(sl)
+    assert offs.tolist() == [0, 3, 7]
+    assert bytes(data[:7]) == b"bbbcccc"
+    # parity with the unsliced equivalent
+    d2, o2 = _word_buffers(pa.array(["bbb", "cccc"], pa.string()))
+    assert offs.tolist() == o2.tolist()
+    assert bytes(data[: offs[-1]]) == bytes(d2[: o2[-1]])
