@@ -59,11 +59,14 @@ def _coin(level: int, size: int) -> int:
     """Deterministic compaction offset in {0, 1} from a splitmix64
     finalizer of (level, size) — unbiased across levels/sizes, no RNG
     state to ship."""
-    z = (np.uint64(level) * np.uint64(0x9E3779B97F4A7C15)
-         + np.uint64(size) * np.uint64(0xBF58476D1CE4E5B9))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
-    return int(z & np.uint64(1))
+    # Python ints with an explicit 2^64 mask: the wraparound is
+    # intentional, and numpy uint64 scalar multiplies emit
+    # RuntimeWarning on overflow (keeps the suite -W error clean)
+    m = (1 << 64) - 1
+    z = (level * 0x9E3779B97F4A7C15 + size * 0xBF58476D1CE4E5B9) & m
+    z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & m
+    z = z ^ (z >> 31)
+    return z & 1
 
 
 class KllSketch:
