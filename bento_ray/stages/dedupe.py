@@ -22,10 +22,51 @@ Two scopes here:
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from bento_ray.util import to_table
+
+
+def _composite_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """EXACT per-row key codes (int64, < num_rows) via repeated
+    dictionary-encode — equal codes ⟺ equal key tuples, no hashing, no
+    collisions, and no pandas object conversion (the old
+    ``to_pandas().duplicated()`` materialized Python strings per batch
+    on the hot path). Nulls get their own code (pandas-duplicated
+    parity: null == null). Re-encoding after each column keeps
+    magnitudes < num_rows so the pairing multiply can't overflow."""
+    comp: np.ndarray | None = None
+    for c in key_cols:
+        col = t.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.combine_chunks() if col.num_chunks != 1
+                   else col.chunk(0))
+        if isinstance(col, pa.ChunkedArray):  # combine_chunks → 1 chunk
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        d = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+        card = len(d.dictionary)
+        idx = d.indices.fill_null(card).cast(pa.int64()).to_numpy()
+        if comp is None:
+            comp = idx
+        else:
+            pair = comp * np.int64(card + 1) + idx
+            comp = (pa.array(pair).dictionary_encode()
+                    .indices.cast(pa.int64()).to_numpy())
+    return comp if comp is not None else np.zeros(len(t), np.int64)
+
+
+def _first_mask(comp: np.ndarray, keep_last: bool) -> np.ndarray:
+    """Boolean mask of the first (or last) occurrence per code."""
+    mask = np.zeros(len(comp), bool)
+    if keep_last:
+        _, first = np.unique(comp[::-1], return_index=True)
+        mask[len(comp) - 1 - first] = True
+    else:
+        _, first = np.unique(comp, return_index=True)
+        mask[first] = True
+    return mask
 
 
 def dedupe_pane(t: pa.Table, key_cols: list[str], strategy: str = "FIFO") -> pa.Table:
@@ -33,22 +74,36 @@ def dedupe_pane(t: pa.Table, key_cols: list[str], strategy: str = "FIFO") -> pa.
     occurrence per key, LIFO keeps last; output preserves the original
     position of each kept row (processor_dedupe.go:165-201)."""
     t = to_table(t)
-    df = t.select(key_cols).to_pandas()
-    keep_last = strategy.upper() == "LIFO"
-    mask = ~df.duplicated(keep="last" if keep_last else "first")
-    return t.filter(pa.array(mask.to_numpy()))
+    if len(t) == 0:
+        return t
+    mask = _first_mask(_composite_codes(t, key_cols),
+                       strategy.upper() == "LIFO")
+    return t.filter(pa.array(mask))
 
 
 def _partial_dedupe(key_cols: list[str], order_cols: list[str] | None, keep: str):
     def _f(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        if len(t) == 0:
+            return t
+        comp = _composite_codes(t, key_cols)
         if order_cols:
-            asc = keep == "first"
-            df = df.sort_values(order_cols, ascending=asc, kind="stable")
-            df = df.drop_duplicates(subset=key_cols, keep="first")
+            # winner per key = extreme order value, earliest original
+            # row on full ties (the old stable pandas sort semantics);
+            # __rowidx forces the tie rule since sort stability isn't
+            # part of Arrow's contract
+            direction = "ascending" if keep == "first" else "descending"
+            tt = t.append_column(
+                "__rowidx", pa.array(np.arange(len(t), dtype=np.int64)))
+            si = pc.sort_indices(
+                tt, sort_keys=[(c, direction) for c in order_cols]
+                + [("__rowidx", "ascending")]).to_numpy().astype(np.int64)
+            _, first = np.unique(comp[si], return_index=True)
+            winners = np.sort(si[first])
+            mask = np.zeros(len(t), bool)
+            mask[winners] = True
         else:
-            df = df.drop_duplicates(subset=key_cols, keep=keep)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+            mask = _first_mask(comp, keep == "last")
+        return t.filter(pa.array(mask))
     return _f
 
 

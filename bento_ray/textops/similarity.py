@@ -26,7 +26,34 @@ import ray
 
 
 def _stack(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """(N, D) float64 matrix straight from the Arrow list-of-float
+    values buffer (one astype copy, no per-row Python) — to_pylist on
+    an embedding column materializes N×D Python floats per batch."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # some versions stay chunked
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], arr.type)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        flat = flat[arr.offset * d:(arr.offset + n) * d]
+        return flat.reshape(n, d).astype(np.float64)
+    lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+    d = int(lens[0]) if n else 0
+    if not np.all(lens == d):
+        return np.array(arr.to_pylist(), dtype=np.float64)  # ragged/null
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, d).astype(np.float64)
+
+
+def _ids_np(col) -> np.ndarray:
+    a = col.to_numpy(zero_copy_only=False) if isinstance(col, pa.Array) \
+        else col.to_numpy()
+    return np.asarray(a, np.int64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -45,21 +72,21 @@ class _BruteScorer:
         self.vec_col = vec_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         vm = _normalize(_stack(t.column(self.vec_col)))    # (N, D)
-        ids = np.asarray(t.column(self.id_col).to_pylist(), np.int64)
+        ids = _ids_np(t.column(self.id_col))
         scores = self.qm @ vm.T                            # (Q, N)
-        out_q, out_id, out_s = [], [], []
-        k = min(self.k + 1, scores.shape[1])  # +1 to survive self-match removal
-        for qi in range(scores.shape[0]):
-            row = scores[qi]
-            top = np.argpartition(-row, k - 1)[:k]
-            out_q.extend([self.qids[qi]] * len(top))
-            out_id.extend(ids[top].tolist())
-            out_s.extend(row[top].tolist())
+        k = min(self.k + 1, scores.shape[1])  # +1 survives self-match removal
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]   # (Q, k)
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(
+                np.repeat(np.asarray(self.qids, np.int64), k)),
+            "vec_id": pa.array(ids[top.reshape(-1)]),
+            "score": pa.array(
+                np.take_along_axis(scores, top, axis=1).reshape(-1)),
         })
 
 
@@ -75,16 +102,34 @@ def cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
         batch_format="pyarrow",
                           concurrency=_conc(concurrency))
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g["vec_id"] != g["query_id"]]
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["score"] = g["score"].round(6)
-        return g[["query_id", "vec_id", "rank", "score"]]
+    return cands.groupby("query_id").map_groups(
+        _topk_final(k, exclude_self=exclude_self), batch_format="pyarrow")
 
-    return cands.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+def _topk_final(k: int, exclude_self: bool = False, dedup: bool = False):
+    """Arrow-native per-query top-k combine: score desc, vec_id asc,
+    rank 1..k, score rounded to 6 after selection (same semantics as
+    the old pandas sort_values/head/round chain, no pandas)."""
+    def _final(g: pa.Table) -> pa.Table:
+        q = _ids_np(g.column("query_id"))
+        vid = _ids_np(g.column("vec_id"))
+        s = g.column("score").to_numpy()
+        if exclude_self:
+            m = vid != q
+            q, vid, s = q[m], vid[m], s[m]
+        if dedup:
+            # same (query, vec) candidate from several buckets/cells
+            # carries an identical score — keep any one
+            _, ix = np.unique(vid, return_index=True)
+            q, vid, s = q[ix], vid[ix], s[ix]
+        order = np.lexsort((vid, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "vec_id": pa.array(vid[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "score": pa.array(np.round(s[order], 6), pa.float64()),
+        })
+    return _final
 
 
 class _LshBucketer:
@@ -168,41 +213,37 @@ def lsh_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
                                      []).append(qi)
     qids = list(query_ids)
 
-    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["lsh_bucket"].iloc[0])
-        qis = by_bucket.get(b, [])
+    qids_np = np.asarray(qids, np.int64)
+
+    def _per_bucket(g: pa.Table) -> pa.Table:
+        qis = by_bucket.get(int(g.column("lsh_bucket")[0].as_py()), [])
         if not qis:
-            # typed empty frame — an untyped one shows up as a
+            # typed empty table — an untyped one shows up as a
             # schema-less RefBundle and trips Ray's schema-change warning
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "vec_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        vm = _normalize(np.array(g[vec_col].tolist(), np.float64))
-        ids = g[id_col].to_numpy()
-        out = []
-        for qi in qis:
-            row = qm[qi] @ vm.T
-            kk = min(k + 1, len(row))  # +1 survives self-match removal
-            top = np.argpartition(-row, kk - 1)[:kk]
-            for j in top:
-                if ids[j] == qids[qi]:
-                    continue
-                out.append((qids[qi], int(ids[j]), float(row[j])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+            return _empty_cands()
+        vm = _normalize(_stack(g.column(vec_col)))
+        ids = _ids_np(g.column(id_col))
+        rows = qm[qis] @ vm.T                       # (|qis|, n)
+        kk = min(k + 1, rows.shape[1])  # +1 survives self-match removal
+        top = np.argpartition(-rows, kk - 1, axis=1)[:, :kk]
+        qid = np.repeat(qids_np[qis], kk)
+        vid = ids[top.reshape(-1)]
+        sc = np.take_along_axis(rows, top, axis=1).reshape(-1)
+        m = vid != qid
+        return pa.table({"query_id": pa.array(qid[m]),
+                         "vec_id": pa.array(vid[m]),
+                         "score": pa.array(sc[m])})
 
     cands = bucketed.groupby("lsh_bucket").map_groups(_per_bucket,
-                                                      batch_format="pandas")
+                                                      batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(
+        _topk_final(k, dedup=True), batch_format="pyarrow")
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id") \
-             .sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["score"] = g["score"].round(6)
-        return g[["query_id", "vec_id", "rank", "score"]]
 
-    return cands.groupby("query_id").map_groups(_final,
-                                                batch_format="pandas")
+def _empty_cands() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())})
 
 
 # ---------------------------------------------------------------------------
@@ -229,8 +270,7 @@ class _AllPairsNearDup:
         tables = [t for t in ray.get(list(block_refs)) if t.num_rows]
         if tables:
             self.ids = np.concatenate(
-                [np.asarray(t.column(id_col).to_pylist(), np.int64)
-                 for t in tables])
+                [_ids_np(t.column(id_col)) for t in tables])
             self.mat = _normalize(np.concatenate(
                 [_stack(t.column(vec_col)) for t in tables]))
         else:
@@ -241,7 +281,7 @@ class _AllPairsNearDup:
         self.vec_col = vec_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bids = np.asarray(t.column(self.id_col).to_pylist(), np.int64)
+        bids = _ids_np(t.column(self.id_col))
         bm = _normalize(_stack(t.column(self.vec_col)))
         out_a, out_b = [], []
         for s in range(0, len(self.ids), self.CHUNK):
@@ -320,19 +360,20 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, num_planes: int = 8,
         _LshBucketer, fn_constructor_args=(planes_ref, vec_col),
         batch_format="pyarrow", concurrency=_conc(concurrency))
 
-    def _empty_pairs():
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "pair_part": pd.Series(dtype="int64")})
+    def _empty_pairs(with_part: bool = True) -> pa.Table:
+        cols = {"id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64())}
+        if with_part:
+            cols["pair_part"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
-    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def _per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
             return _empty_pairs()
-        ids = g[id_col].to_numpy(np.int64)
+        ids = _ids_np(g.column(id_col))
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        vm = _normalize(np.array(g[vec_col].to_numpy()[order].tolist(),
-                                 np.float64))
+        vm = _normalize(_stack(g.column(vec_col))[order])
         S = vm @ vm.T                       # bucket-local — LSH bounds m
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = S[ia, ib] >= thr
@@ -341,26 +382,28 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, num_planes: int = 8,
         packed = np.unique(
             ids[ia[keep]].astype(np.uint64) << np.uint64(32)
             | ids[ib[keep]].astype(np.uint64))
-        return pd.DataFrame({
-            "id_a": (packed >> np.uint64(32)).astype(np.int64),
-            "id_b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
-            "pair_part": (packed % np.uint64(P)).astype(np.int64)})
+        return pa.table({
+            "id_a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+            "id_b": pa.array(
+                (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "pair_part": pa.array((packed % np.uint64(P)).astype(np.int64))})
 
     pairs = bucketed.groupby("lsh_bucket").map_groups(
-        _per_bucket, batch_format="pandas")
+        _per_bucket, batch_format="pyarrow")
 
-    def _uniq(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return _empty_pairs()[["id_a", "id_b"]]
+    def _uniq(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_pairs(with_part=False)
         packed = np.unique(
-            g["id_a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
-            | g["id_b"].to_numpy(np.int64).astype(np.uint64))
-        return pd.DataFrame({
-            "id_a": (packed >> np.uint64(32)).astype(np.int64),
-            "id_b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+            _ids_np(g.column("id_a")).astype(np.uint64) << np.uint64(32)
+            | _ids_np(g.column("id_b")).astype(np.uint64))
+        return pa.table({
+            "id_a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+            "id_b": pa.array(
+                (packed & np.uint64(0xFFFFFFFF)).astype(np.int64))})
 
     return pairs.groupby("pair_part").map_groups(
-        _uniq, batch_format="pandas")
+        _uniq, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -435,37 +478,29 @@ def ivf_cosine_topk(ds, query_matrix: np.ndarray, query_ids, k: int = 5,
             by_cell.setdefault(int(c), []).append(qi)
     qids = list(query_ids)
 
-    def _per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        qis = by_cell.get(int(g["ivf_cell"].iloc[0]), [])
+    qids_np = np.asarray(qids, np.int64)
+
+    def _per_cell(g: pa.Table) -> pa.Table:
+        qis = by_cell.get(int(g.column("ivf_cell")[0].as_py()), [])
         if not qis:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "vec_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        vm = _normalize(np.array(g[vec_col].tolist(), np.float64))
-        ids = g[id_col].to_numpy()
-        out = []
-        for qi in qis:
-            row = qm[qi] @ vm.T
-            kk = min(k + 1, len(row))   # +1 survives self-match removal
-            for j in np.argpartition(-row, kk - 1)[:kk]:
-                if ids[j] == qids[qi]:
-                    continue
-                out.append((qids[qi], int(ids[j]), float(row[j])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+            return _empty_cands()
+        vm = _normalize(_stack(g.column(vec_col)))
+        ids = _ids_np(g.column(id_col))
+        rows = qm[qis] @ vm.T                       # (|qis|, n)
+        kk = min(k + 1, rows.shape[1])   # +1 survives self-match removal
+        top = np.argpartition(-rows, kk - 1, axis=1)[:, :kk]
+        qid = np.repeat(qids_np[qis], kk)
+        vid = ids[top.reshape(-1)]
+        sc = np.take_along_axis(rows, top, axis=1).reshape(-1)
+        m = vid != qid
+        return pa.table({"query_id": pa.array(qid[m]),
+                         "vec_id": pa.array(vid[m]),
+                         "score": pa.array(sc[m])})
 
     cands = assigned.groupby("ivf_cell").map_groups(
-        _per_cell, batch_format="pandas")
-
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id") \
-             .sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["score"] = g["score"].round(6)
-        return g[["query_id", "vec_id", "rank", "score"]]
-
-    return cands.groupby("query_id").map_groups(_final,
-                                                batch_format="pandas")
+        _per_cell, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(
+        _topk_final(k, dedup=True), batch_format="pyarrow")
 
 
 def semdedup(ds, threshold: float = 0.9, num_cells: int = 8,
@@ -512,13 +547,13 @@ def semdedup(ds, threshold: float = 0.9, num_cells: int = 8,
 
     thr = float(threshold)
 
-    def _per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy().astype(np.int64)
-        vm = _normalize(np.array(g[vec_col].tolist(), np.float64))
+    def _per_cell(g: pa.Table) -> pa.Table:
+        ids = _ids_np(g.column(id_col))
+        vm = _normalize(_stack(g.column(vec_col)))
         if keep == "min_id":
             order = np.argsort(ids, kind="stable")
         else:  # "far": ascending centroid-similarity, ties by id
-            cen = C[int(g["ivf_cell"].iloc[0])]
+            cen = C[int(g.column("ivf_cell")[0].as_py())]
             order = np.lexsort((ids, vm @ cen))
         ids_o, vm_o = ids[order], vm[order]
         n = len(ids_o)
@@ -536,10 +571,10 @@ def semdedup(ds, threshold: float = 0.9, num_cells: int = 8,
             dropped[s:e] = hit
         kept = ids_o[~dropped]
         kept.sort()
-        return pd.DataFrame({id_col: kept})
+        return pa.table({id_col: pa.array(kept, pa.int64())})
 
     return assigned.groupby("ivf_cell").map_groups(
-        _per_cell, batch_format="pandas")
+        _per_cell, batch_format="pyarrow")
 
 
 def embedding_dim_stats(ds, vec_col: str = "embedding"):
