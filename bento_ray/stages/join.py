@@ -250,19 +250,24 @@ def shuffle_join(left, right, on: str, how: str = "inner",
     right_payload = [c for c in rcols if c != on]
     left_only = [c for c in lcols if c != on]
 
+    _ARROW_HOW = {"inner": "inner", "left": "left outer",
+                  "right": "right outer", "outer": "full outer"}
+
     def _merge_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # split sides while still Arrow — converting the unioned table
-        # (with cross-side nulls) to pandas first would degrade int
-        # columns to float64
+        # split sides while still Arrow and join with Arrow's C++ hash
+        # join — no pandas round-trip (which would materialize object
+        # columns and degrade cross-side-null ints to float64)
         side = g.column("__side")
         lg = g.filter(pc.equal(side, 0)).select(
-            [on, *left_only]).to_pandas()
+            [on, *left_only]).combine_chunks()
         rg = g.filter(pc.equal(side, 1)).select(
-            [on, *right_payload]).to_pandas()
-        out = lg.merge(rg, on=on, how=how, sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+            [on, *right_payload]).combine_chunks()
+        out = lg.join(rg, keys=on, join_type=_ARROW_HOW[how],
+                      coalesce_keys=True)
+        # column order parity with the old pandas merge output
+        return out.select([on, *left_only, *right_payload])
 
     return both.groupby("__bucket").map_groups(
         _merge_bucket, batch_format="pyarrow")

@@ -36,6 +36,12 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
 
+# broadcast bound for the dup-hash set in dup_ngram_stats: 5M uint64
+# ≈ 40 MB shipped once per node via the object store — cheap next to
+# the hash-shuffle of the full inst table it replaces; beyond it the
+# classify step falls back to the co-bucketed shuffle join
+BROADCAST_MAX_DUP_HASHES = 5_000_000
+
 __all__ = [
     "term_counts",
     "bigram_counts",
@@ -273,17 +279,23 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
     polynomial hashes move; collision odds ~|ngrams|²/2⁶¹):
 
       docs → map_batches            (doc_id, ngh, inst) per-doc counts
+                                    + one (doc_id, −1, 0) row per doc so
+                                    zero-n-gram docs stay in the output
            → groupby(ngh).sum       document frequency  [vocab shuffle]
            → filter df ≥ 2          dup-hash table
-      inst ⋈ dup on ngh             [hash shuffle]
-           → groupby(doc_id).sum    per-doc dup instance counts
-      totals ⋈ dup-counts (left)    final stats
+      classify: when the dup-hash table is broadcast-sized (≤
+      BROADCAST_MAX_DUP_HASHES, known exactly — it's materialized),
+      ship the sorted hash array once via ray.put and mark each inst
+      row in place (searchsorted per batch, no join shuffle); the
+      per-doc totals fall out of the SAME pass (n_ngrams = Σ inst per
+      doc), so ONE groupby(doc_id).sum finishes the query. When the
+      dup table exceeds the broadcast bound (truly vocab-scale dup
+      sets) the classify step falls back to the co-bucketed
+      shuffle_join — same results, one extra exchange.
 
-    The per-(doc, hash) inst table is consumed twice (DF build + dup
-    join) and is object-store-materialized once — it is hash-sized,
-    a small fraction of the text bytes. The raw input is read twice
-    (inst + totals passes); re-reading the pruned parquet columns is
-    cheaper at scale than pinning a full-corpus projection."""
+    The per-(doc, hash) inst table is object-store-materialized once
+    — it is hash-sized, a small fraction of the text bytes — and the
+    input is read exactly once."""
     from ray.data.aggregate import Sum as _Sum
 
     from bento_ray.stages.join import shuffle_join
@@ -312,42 +324,38 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
         return ngh, inst_doc, ids, np.maximum(lens - n + 1, 0)
 
     def _inst(t: pa.Table) -> pa.Table:
-        ngh, inst_doc, _, _ = _explode(t)
+        ngh, inst_doc, ids, _ = _explode(t)
         tt = pa.table({"doc_id": pa.array(inst_doc, pa.int64()),
                        "ngh": pa.array(ngh, pa.int64())})
         agg = tt.group_by(["doc_id", "ngh"]).aggregate([("ngh", "count")])
+        # one sentinel row per doc (ngh = −1 is below every 61-bit
+        # hash) so docs with < n words reach the final per-doc sum
         return pa.table({
-            "doc_id": agg.column("doc_id"),
-            "ngh": agg.column("ngh"),
-            "inst": agg.column("ngh_count").cast(pa.int64()),
-        })
-
-    def _totals(t: pa.Table) -> pa.Table:
-        # needs only word counts — skip the word-hash pass entirely
-        _, lens = _split_words(t.column(col))
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        per_doc = np.maximum(lens - n + 1, 0)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_ngrams": pa.array(per_doc.astype(np.int64), pa.int64()),
+            "doc_id": pa.concat_arrays(
+                [agg.column("doc_id").combine_chunks(),
+                 pa.array(ids, pa.int64())]),
+            "ngh": pa.concat_arrays(
+                [agg.column("ngh").combine_chunks(),
+                 pa.array(np.full(len(ids), -1), pa.int64())]),
+            "inst": pa.concat_arrays(
+                [agg.column("ngh_count").cast(pa.int64()).combine_chunks(),
+                 pa.array(np.zeros(len(ids), np.int64))]),
         })
 
     inst = ds.map_batches(_inst, batch_format="pyarrow").materialize()
-    totals = ds.map_batches(_totals, batch_format="pyarrow")
 
     def _df_partial(t: pa.Table) -> pa.Table:
         # inst rows are distinct (doc, ngh) pairs → count per hash
+        t = t.filter(pc.greater_equal(t.column("ngh"), 0))  # drop sentinels
         agg = t.group_by("ngh").aggregate([("ngh", "count")])
         return pa.table({
             "ngh": agg.column("ngh"),
             "dfp": agg.column("ngh_count").cast(pa.int64()),
         })
 
-    # materialize the two tiny join right sides: the fallback join
-    # calls .schema() on each, which otherwise EXECUTES the whole
-    # sub-plan once for schema inference and again for the union
-    # (measured: 3.9s of duplicate work at sf0.1)
+    # materialized: the classify step needs its exact size (and the
+    # shuffle-join fallback calls .schema(), which otherwise EXECUTES
+    # the sub-plan twice — measured 3.9s of duplicate work at sf0.1)
     dup_hashes = (inst.map_batches(_df_partial, batch_format="pyarrow")
                   .groupby("ngh").aggregate(_Sum("dfp", alias_name="df"))
                   .map_batches(
@@ -355,21 +363,6 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
                           pc.greater_equal(t.column("df"), 2))
                       .select(["ngh"]),
                       batch_format="pyarrow")).materialize()
-
-    # Both right sides are SPARSE (dup hashes / docs-with-dups):
-    # Ray's Dataset.join aggregator builds schema-less empty tables
-    # for partitions that received no right-side blocks and pyarrow's
-    # join then fails on the missing key column, so take the portable
-    # co-bucketed fallback path — it projects both sides onto one
-    # combined schema up front and is immune to empty partitions.
-    dup_counts = (shuffle_join(inst, dup_hashes, on="ngh", how="inner",
-                               force_fallback=True)
-                  .groupby("doc_id")
-                  .aggregate(_Sum("inst", alias_name="n_dup_ngrams"))
-                  ).materialize()
-
-    out = shuffle_join(totals, dup_counts, on="doc_id", how="left",
-                       force_fallback=True)
 
     def _final(t: pa.Table) -> pa.Table:
         tot = t.column("n_ngrams").to_numpy(zero_copy_only=False) \
@@ -384,6 +377,57 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
             "dup_ngram_frac": pa.array(frac, pa.float64()),
         })
 
+    if dup_hashes.count() <= BROADCAST_MAX_DUP_HASHES:
+        # broadcast classify: one sorted uint64 array ships once; each
+        # inst batch marks dup membership by searchsorted and
+        # pre-combines per doc, so the ONLY remaining exchange is the
+        # per-doc sum (≤ one row per doc per block)
+        arr = np.sort(np.concatenate(
+            [b["ngh"] for b in
+             dup_hashes.iter_batches(batch_format="numpy")]
+            or [np.empty(0, np.int64)]).astype(np.int64))
+        dup_ref = ray.put(arr)
+
+        def _classify(t: pa.Table) -> pa.Table:
+            dup_arr = ray.get(dup_ref)
+            ngh = t.column("ngh").to_numpy(zero_copy_only=False)
+            cnt = t.column("inst").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dup_arr, ngh)
+            is_dup = (pos < len(dup_arr)) & (dup_arr[
+                np.minimum(pos, max(len(dup_arr) - 1, 0))] == ngh) \
+                if len(dup_arr) else np.zeros(len(ngh), bool)
+            tt = pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_ngrams": pa.array(cnt.astype(np.int64)),
+                "n_dup_ngrams": pa.array(
+                    np.where(is_dup, cnt, 0).astype(np.int64)),
+            })
+            agg = tt.group_by("doc_id").aggregate(
+                [("n_ngrams", "sum"), ("n_dup_ngrams", "sum")])
+            return pa.table({
+                "doc_id": agg.column("doc_id"),
+                "n_ngrams": agg.column("n_ngrams_sum"),
+                "n_dup_ngrams": agg.column("n_dup_ngrams_sum")})
+
+        out = (inst.map_batches(_classify, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(_Sum("n_ngrams", alias_name="n_ngrams"),
+                          _Sum("n_dup_ngrams",
+                               alias_name="n_dup_ngrams")))
+        return out.map_batches(_final, batch_format="pyarrow")
+
+    # vocab-scale dup set: co-bucketed shuffle join (the fallback
+    # path — Ray's Dataset.join aggregator mishandles sparse right
+    # sides, see stages/join.py)
+    dup_counts = (shuffle_join(
+        inst.filter(lambda r: r["ngh"] >= 0), dup_hashes, on="ngh",
+        how="inner", force_fallback=True)
+        .groupby("doc_id")
+        .aggregate(_Sum("inst", alias_name="n_dup_ngrams"))).materialize()
+    totals = (inst.groupby("doc_id")
+              .aggregate(_Sum("inst", alias_name="n_ngrams")))
+    out = shuffle_join(totals, dup_counts, on="doc_id", how="left",
+                       force_fallback=True)
     return out.map_batches(_final, batch_format="pyarrow")
 
 
