@@ -528,6 +528,59 @@ FROM documents
 """
 
 
+def q_warc_curation(sf_dir: str):
+    """Common-Crawl ingestion end-to-end: documents are reached ONLY
+    through a synthesized .warc.gz corpus (testgen/warcgen.py —
+    deterministic, cached) → gzip member decompress → ISO 28500
+    Content-Length record walk → typed parse → vectorized curation
+    (regex word counts, ≥10-word keep gate) → per-lang summary. The
+    oracle runs the same curation on the parquet directly, so the
+    whole WARC writer/scanner/reader chain sits on the
+    value-hash-checked path."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from bento_ray.sources.scanners import read_warc
+    from bento_ray.testgen.warcgen import ensure_warc_corpus
+
+    paths = ensure_warc_corpus(sf_dir)
+    ds = read_warc(paths, compression="gzip")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("warc_type"), "response"))
+        lang = pc.list_element(
+            pc.split_pattern(t.column("target_uri"), "/"), 3)
+        text = t.column("payload").cast(pa.string())
+        nw = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+        kept = pc.greater_equal(nw, 10).cast(pa.int64())
+        tt = pa.table({"lang": lang,
+                       "one": pa.array(np.ones(len(t), np.int64)),
+                       "kept": kept, "nw": nw})
+        agg = tt.group_by("lang").aggregate(
+            [("one", "sum"), ("kept", "sum"), ("nw", "sum")])
+        return pa.table({"lang": agg.column("lang"),
+                         "n_docs": agg.column("one_sum"),
+                         "n_kept": agg.column("kept_sum"),
+                         "total_words": agg.column("nw_sum")})
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(
+                _Sum("n_docs", alias_name="n_docs"),
+                _Sum("n_kept", alias_name="n_kept"),
+                _Sum("total_words", alias_name="total_words")))
+
+
+SQL_WARC_CURATION = r"""
+WITH s AS (
+  SELECT lang, LEN(regexp_extract_all(text, '\S+')) AS nw
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN nw >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(nw) AS BIGINT) AS total_words
+FROM s GROUP BY lang
+"""
+
+
 def q_token_count_by_lang(sf_dir: str):
     from bento_ray.textops import doc_stats
 
@@ -3582,6 +3635,7 @@ QUERIES = {
     "q_dedupe_first_event": (q_dedupe_first_event, SQL_DEDUPE_FIRST),
     "q_dedupe_last_event": (q_dedupe_last_event, SQL_DEDUPE_LAST),
     "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "q_warc_curation": (q_warc_curation, SQL_WARC_CURATION),
     "q_token_count_by_lang": (q_token_count_by_lang, SQL_TOKENS),
     "q_dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_DOCS),
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),

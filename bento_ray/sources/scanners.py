@@ -303,15 +303,20 @@ def parse_warc_record(rec: bytes) -> dict:
             "payload": rec[hdr_end + 4:]}
 
 
-def read_warc(paths, include_path: bool = False):
+def read_warc(paths, include_path: bool = False,
+              compression: str | None = None):
     """Distributed WARC reader: scan files through :func:`warc` and
     parse records into a typed table (warc_type, target_uri, warc_date,
-    payload). The per-record loop is the correct shape for opaque
-    variable-length containers (same rationale as multimodal blobs);
-    everything downstream is columnar."""
+    payload). ``compression="gzip"`` composes the decompress scanner
+    for ``.warc.gz`` members (scan_paths reads raw bytes — codecs are
+    always the scanner's job, like the reference's file input). The
+    per-record loop is the correct shape for opaque variable-length
+    containers (same rationale as multimodal blobs); everything
+    downstream is columnar."""
     import pyarrow as pa
 
-    base = scan_paths(paths, warc(), include_path=include_path)
+    sc = warc() if compression is None else decompress(compression, warc())
+    base = scan_paths(paths, sc, include_path=include_path)
 
     def _parse(t: pa.Table) -> pa.Table:
         types, uris, dates, payloads = [], [], [], []

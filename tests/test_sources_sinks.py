@@ -338,3 +338,50 @@ def test_read_warc_distributed(tmp_path):
     got = scan_paths([str(pg)], sc, include_path=False).to_pandas()
     assert len(got) == 2
     assert decompress is not None
+
+
+def test_warc_corpus_roundtrip_curation():
+    """q_warc_curation reaches documents ONLY through the synthesized
+    .warc.gz corpus; its per-lang summary must equal the same curation
+    computed from the parquet directly (the WARC writer/scanner/reader
+    chain is the thing under test)."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bento_ray.pipelines.queries import q_warc_curation
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_warc_curation(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "text"]).to_pandas()
+    t["nw"] = [len(re.findall(r"\S+", s)) for s in t["text"]]
+    want = (t.groupby("lang")
+            .agg(n_docs=("nw", "size"),
+                 n_kept=("nw", lambda s: int((s >= 10).sum())),
+                 total_words=("nw", "sum"))
+            .reset_index().sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_docs": "int64", "n_kept": "int64",
+                    "total_words": "int64"}),
+        want.astype({"n_docs": "int64", "n_kept": "int64",
+                     "total_words": "int64"}))
+
+
+def test_read_warc_gzip_compression_param(tmp_path):
+    import gzip
+
+    from bento_ray.sources.scanners import read_warc
+
+    raw = (_warc_record("response", "http://a.com/1", b"alpha beta")
+           + _warc_record("warcinfo", None, b"software: x"))
+    p = tmp_path / "m.warc.gz"
+    p.write_bytes(gzip.compress(raw))
+    df = read_warc([str(p)], compression="gzip").to_pandas()
+    assert len(df) == 2
+    assert set(df["warc_type"]) == {"response", "warcinfo"}
+    assert df.loc[df["warc_type"] == "response", "payload"].iloc[0] \
+        == b"alpha beta"
