@@ -27,6 +27,13 @@ Prints ONE JSON line:
 
 --scaling: runs the headline twice in fresh processes (num_cpus=8 then
 32) on the same input and reports both throughputs + efficiency.
+
+--scaling-stream: the same two-parallelism protocol applied to a LIVE
+stateful stream driver (run_interval_join_stream — two-input min
+watermark, span-bounded per-key state, exactly-once sink) over a
+deterministic synthetic two-sided event corpus
+(testgen/events.ensure_event_streams). BENTO_BENCH_MODE=stream runs
+that measurement standalone in one process.
 """
 
 from __future__ import annotations
@@ -221,6 +228,87 @@ def run_bench() -> dict:
     }
 
 
+N_EVENTS = int(os.environ.get("BENTO_BENCH_EVENTS", "2000000"))
+
+
+def run_stream_bench() -> dict:
+    """Best-of-k wall time for the streaming interval join over the
+    synthetic two-sided event corpus — the live stateful driver the
+    north rule's streaming claim applies to (isolated best-of-k with
+    warm reads, same protocol as the flagship headline)."""
+    import glob as _glob
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from bento_ray.streaming.engine import run_interval_join_stream
+    from bento_ray.testgen.events import ensure_event_streams
+
+    budget = _Budget(BUDGET_SEC)
+    n_files = max(16, min(256, N_EVENTS // 15_000))
+    left, right = ensure_event_streams(N_EVENTS, seed=42, files=n_files)
+
+    def _warm_read():
+        for d in (left, right):
+            for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                with open(f, "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+    _warm_read()
+    # untimed warm-up: worker-pool imports + actor spin-up
+    wl, wr = ensure_event_streams(100_000, seed=42, files=16)
+    warm_out = f"/tmp/bento_bench_stream_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_interval_join_stream(wl, wr, warm_out, key_col="user_id",
+                             lower_us=0, upper_us=60_000_000,
+                             partitions=max(2, NUM_CPUS // 4),
+                             files_per_epoch=4)
+
+    def _one() -> tuple[float, dict]:
+        out = f"/tmp/bento_bench_stream_out_{NUM_CPUS}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        m = run_interval_join_stream(
+            left, right, out, key_col="user_id",
+            lower_us=0, upper_us=60_000_000,
+            partitions=max(2, NUM_CPUS // 4),
+            files_per_epoch=max(4, -(-n_files // 4)))   # 4 epochs
+        return time.perf_counter() - t0, m
+
+    samples: list[float] = []
+    rows = pairs = 0
+    i = 0
+    while i < 2 * REPEATS:
+        if i > 0 and not budget.allows_repeat(samples[-1]):
+            break
+        if i >= REPEATS and len(samples) >= 2 and \
+                min(samples[:-1]) * 0.9 < samples[-1]:
+            break
+        if i > 0:
+            _warm_read()
+        sec, m = _one()
+        samples.append(round(sec, 3))
+        rows = m["rows_fed"]
+        pairs = m["worker_metrics"]["pairs_emitted"]
+        i += 1
+    best = min(samples)
+    ray.shutdown()
+    return {
+        "metric": "streaming interval join (two-input watermark, "
+                  "exactly-once sink) wall time",
+        "value": best, "unit": "sec", "samples": samples,
+        "events": rows, "pairs": pairs,
+        "events_per_sec": round(rows / best, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     # BENTO_SCALING_CPUS="4,16" overrides the widths — used for the
     # width-contention control experiment (BASELINE.md): the same 4×
@@ -255,8 +343,42 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_stream() -> dict:
+    lo_cpu, hi_cpu = (int(x) for x in os.environ.get(
+        "BENTO_SCALING_CPUS", "8,32").split(","))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENTO_BENCH_MODE="stream",
+                   BENTO_BENCH_BUDGET_SEC=os.environ.get(
+                       "BENTO_BENCH_BUDGET_SEC", "300"))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        result = json.loads(out.strip().splitlines()[-1])
+        time.sleep(8)
+        return result
+
+    lo, hi = run(lo_cpu), run(hi_cpu)
+    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (hi_cpu / lo_cpu)
+    return {
+        "stream": "interval_join",
+        "events": lo["events"],
+        "cpus_lo": lo_cpu, "sec_lo": lo["value"],
+        "events_per_sec_lo": lo["events_per_sec"],
+        "cpus_hi": hi_cpu, "sec_hi": hi["value"],
+        "events_per_sec_hi": hi["events_per_sec"],
+        "samples_lo": lo.get("samples"), "samples_hi": hi.get("samples"),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-stream" in sys.argv:
+        print(json.dumps(run_scaling_stream()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("BENTO_BENCH_MODE") == "stream":
+        print(json.dumps(run_stream_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -214,31 +214,25 @@ def test_interval_join_stream_crash_replays_only_unacked(streams_dir,
     clean = _stream_result(clean_out)
 
     out = str(tmp_path / "crash")
-    orig = ExactlyOnceParquetSink.write_partition
-
-    def boom(self, epoch, part, table, lineage=None):
-        if epoch == 1 and part == 2:
-            raise RuntimeError("injected crash")
-        return orig(self, epoch, part, table, lineage=lineage)
-
-    mp = pytest.MonkeyPatch()
-    mp.setattr(ExactlyOnceParquetSink, "write_partition", boom)
-    try:
-        with pytest.raises(RuntimeError, match="injected crash"):
-            run_interval_join_stream(streams_dir["left"],
-                                     streams_dir["right"], out, **kw)
-    finally:
-        mp.undo()
+    # crash_after is the engine's deterministic fault-injection hook —
+    # commits run in parallel off-driver, so a driver-side monkeypatch
+    # of write_partition would never fire in the commit tasks
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_interval_join_stream(streams_dir["left"],
+                                 streams_dir["right"], out,
+                                 crash_after=(1, 2), **kw)
 
     sink = ExactlyOnceParquetSink(out)
     assert sink.last_done_epoch() == 0
-    assert sink.committed(1, 0) and sink.committed(1, 1)
     assert not sink.committed(1, 2)
+    # commits are parallel: the non-injected partitions of epoch 1 may
+    # or may not have landed before the failure surfaced
+    pre_committed = sum(sink.committed(1, p) for p in (0, 1, 3))
 
     m = run_interval_join_stream(streams_dir["left"],
                                  streams_dir["right"], out, **kw)
     assert m["start_epoch"] == 1
-    assert m["partitions_skipped"] == 2        # parts 0-1 of epoch 1
+    assert m["partitions_skipped"] == pre_committed
     pd.testing.assert_frame_equal(_stream_result(out), clean)
 
 
