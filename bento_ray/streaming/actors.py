@@ -638,6 +638,7 @@ class IntervalJoinWorker:
         self._kept = [empty(), empty()]      # per side: (ts, eid, key)
         self.max_ts = [-(1 << 62), -(1 << 62)]
         self.frontier = -(1 << 62)
+        self.chunks_received = 0
         self.metrics = {"rows_in_left": 0, "rows_in_right": 0,
                         "pairs_emitted": 0, "late_dropped": 0}
 
@@ -648,7 +649,14 @@ class IntervalJoinWorker:
         if len(ts):
             self.max_ts[side] = max(self.max_ts[side], int(ts.max()))
         self._raw.append((side, ts, eids, keys))
+        # feed tasks push fire-and-forget; the driver's epoch barrier
+        # (_await_chunk_counters) compares this against the pushes each
+        # feed task reported — same protocol as PartitionWorker
+        self.chunks_received += 1
         return len(ts)
+
+    def get_chunks_received(self) -> int:
+        return self.chunks_received
 
     def get_max_ts(self) -> list[int]:
         return list(self.max_ts)
@@ -791,6 +799,7 @@ class AsofJoinWorker:
         self._kept = [empty(), empty()]      # per side: (ts, eid, key)
         self.max_ts = [-(1 << 62), -(1 << 62)]
         self.frontier = -(1 << 62)
+        self.chunks_received = 0
         self.metrics = {"rows_in_left": 0, "rows_in_right": 0,
                         "rows_emitted": 0, "late_dropped": 0}
 
@@ -801,7 +810,14 @@ class AsofJoinWorker:
         if len(ts):
             self.max_ts[side] = max(self.max_ts[side], int(ts.max()))
         self._raw.append((side, ts, eids, keys))
+        # feed tasks push fire-and-forget; the driver's epoch barrier
+        # (_await_chunk_counters) compares this against the pushes each
+        # feed task reported — same protocol as PartitionWorker
+        self.chunks_received += 1
         return len(ts)
+
+    def get_chunks_received(self) -> int:
+        return self.chunks_received
 
     def get_max_ts(self) -> list[int]:
         return list(self.max_ts)

@@ -923,17 +923,24 @@ def _feed_join_file(path: str, side: int, workers: list,
                     id_col: str, batch_rows: int) -> tuple[int, int, int]:
     """Interval-join feeder: one raw task per (file, side),
     partitioned by hash(key) so every key's rows from BOTH streams
-    land on the same worker. Returns (side, rows, max_ts) — the side
-    tag travels WITH the result because _submit_in_waves yields
-    results in completion order once the in-flight window fills, so
-    zipping against the submission list would misattribute each
-    side's event-time frontier and let the two-input watermark
-    min(gmax) advance past the lagging stream."""
+    land on the same worker. Returns (side, rows, max_ts, pushed) —
+    the side tag travels WITH the result because _submit_in_waves
+    yields results in completion order once the in-flight window
+    fills, so zipping against the submission list would misattribute
+    each side's event-time frontier and let the two-input watermark
+    min(gmax) advance past the lagging stream.
+
+    Same feed cost discipline as the flagship's Feeder: accumulate
+    per-partition slices across the whole file and push ONCE per
+    (file, partition); pushes are fire-and-forget (blocking on
+    ray.get held a feed CPU slot hostage to 32 shared actor queues —
+    the measured feed-phase scaling cap), and the driver barriers on
+    the workers' chunk counters before flushing."""
     import pyarrow.parquet as pq
 
     rows, max_ts = 0, -(1 << 62)
+    acc: list[list] = [[] for _ in range(partitions)]
     pf = pq.ParquetFile(path)
-    refs = []
     for rb in pf.iter_batches(batch_size=batch_rows,
                               columns=[key_col, ts_col, id_col]):
         t = pa.Table.from_batches([rb])
@@ -941,16 +948,30 @@ def _feed_join_file(path: str, side: int, workers: list,
         eid = t.column(id_col).cast(pa.int64()).to_numpy()
         keys = t.column(key_col).cast(pa.int64()).to_numpy()
         part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
+        # one stable sort + boundary slices: P mask passes re-read the
+        # part array P times (memory-bandwidth-bound at high widths);
+        # this is one pass + one gather per column
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(partitions + 1))
+        ts_s, eid_s, keys_s = ts[order], eid[order], keys[order]
         for p in range(partitions):
-            m = part == p
-            if m.any():
-                refs.append(workers[p].ingest.remote(
-                    side, ts[m], eid[m], keys[m]))
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi > lo:
+                acc[p].append((ts_s[lo:hi], eid_s[lo:hi], keys_s[lo:hi]))
         rows += len(t)
         if len(ts):
             max_ts = max(max_ts, int(ts.max()))
-    ray.get(refs)
-    return side, rows, max_ts
+    pushed = [0] * partitions
+    for p, chunks in enumerate(acc):
+        if not chunks:
+            continue
+        pushed[p] = 1
+        workers[p].ingest.remote(
+            side,
+            np.concatenate([c[0] for c in chunks]),
+            np.concatenate([c[1] for c in chunks]),
+            np.concatenate([c[2] for c in chunks]))
+    return side, rows, max_ts, pushed
 
 
 def _run_two_stream(make_worker, left_path: str, right_path: str,
@@ -1013,17 +1034,56 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
         gmax = [max(m[0] for m in per_worker),
                 max(m[1] for m in per_worker)]
     span = int(final_span_us)
+    def _settle(pend) -> None:
+        """Complete epoch pend: wait for its parallel commits, persist
+        its snapshots, then (and only then) write the epoch-done
+        marker — the exactly-once atomicity point is unchanged, it
+        just lands one feed later."""
+        nonlocal written, skipped
+        pe, commit_refs, snap_refs, wm = pend
+        done = ray.get(commit_refs)
+        written += sum(done)
+        skipped += len(done) - sum(done)
+        snap_dir = os.path.join(state_dir, f"epoch={pe}")
+        os.makedirs(snap_dir, exist_ok=True)
+        for p, b in enumerate(ray.get(snap_refs)):
+            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b)
+            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        sink.finish_epoch(pe, {"watermark": int(wm)})
+
+    # Pipelined micro-batches: epoch e's flush/snapshot calls are
+    # enqueued on every worker BEFORE any epoch-e+1 feed task exists,
+    # so actor-queue order guarantees the state boundary; its commit
+    # tasks and snapshot transfers then overlap e+1's feed and are
+    # settled at e+1's barrier. Worst case on a crash mid-feed(e+1):
+    # epoch e's data files are committed but its done-marker is not —
+    # resume re-feeds epoch e and the idempotent sink skips every
+    # committed partition.
+    pending = None
+    _chunk_base = [0] * partitions
     for e in range(start_epoch, len(epochs)):
         lfiles, rfiles = epochs[e]
         work = [(f, 0) for f in lfiles] + [(f, 1) for f in rfiles]
         summary = _submit_in_waves(
             lambda fs: _feed_join_file.remote(
                 fs[0], fs[1], workers, partitions, key_col, ts_col,
-                id_col, 16384),
+                id_col, 131072),
             work)
-        rows_total += sum(r for _, r, _ in summary)
-        for side, _, mt in summary:
+        rows_total += sum(r for _, r, _, _ in summary)
+        expected = [0] * partitions
+        for side, _, mt, pushed in summary:
             gmax[side] = max(gmax[side], mt)
+            for p, c in enumerate(pushed):
+                expected[p] += c
+        # epoch barrier: every fire-and-forget push accepted before
+        # the flush below is enqueued behind them on each actor
+        _await_chunk_counters(workers, expected, _chunk_base)
+        for p in range(partitions):
+            _chunk_base[p] += expected[p]
+        if pending is not None:
+            _settle(pending)
         final = drain and e == len(epochs) - 1
         watermark = (max(gmax) + span + 1 if final
                      else min(gmax) - allowed_lateness_us)
@@ -1031,19 +1091,13 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
                    "watermark": int(watermark), "epoch": e}
         flush_refs = [w.flush.remote(watermark) for w in workers]
         snap_refs = [w.snapshot.remote() for w in workers]
-        w_new, s_new = _commit_epoch(out_dir, e, flush_refs, lineage,
+        commit_refs = [
+            _commit_partition.remote(out_dir, e, p, ref, lineage,
                                      crash_after)
-        written += w_new
-        skipped += s_new
-        snap_dir = os.path.join(state_dir, f"epoch={e}")
-        os.makedirs(snap_dir, exist_ok=True)
-        blobs = ray.get(snap_refs)
-        for p, b in enumerate(blobs):
-            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(b)
-            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
-        sink.finish_epoch(e, {"watermark": int(watermark)})
+            for p, ref in enumerate(flush_refs)]
+        pending = (e, commit_refs, snap_refs, watermark)
+    if pending is not None:
+        _settle(pending)
 
     metrics = ray.get([w.get_metrics.remote() for w in workers])
     agg = {k: sum(m[k] for m in metrics)
