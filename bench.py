@@ -212,10 +212,46 @@ def run_bench() -> dict:
             qsamples[name] = runs
             qtimes[name] = min(runs)
 
+    # LIVE stream-twin timing (VERDICT r4 item 1): one best-of-2 of
+    # the url-keyed streaming interval join so the driver's BENCH
+    # artifact carries the stateful stream driver's wall time, not
+    # just the flagship's
+    stream_info: dict = {}
+    if not os.environ.get("BENTO_BENCH_SKIP_QUERIES"):
+        from bento_ray.streaming.engine import run_interval_join_stream
+        from bento_ray.testgen.events import ensure_url_event_streams
+
+        n_ev = N_EVENTS // 2
+        sfiles = max(16, min(256, n_ev // 15_000))
+        sl, sr = ensure_url_event_streams(n_ev, seed=42, files=sfiles)
+        sruns: list[float] = []
+        spairs = srows = 0
+        for i in range(2):
+            if i > 0 and not budget.allows_repeat(sruns[-1]):
+                break
+            sout = f"/tmp/bento_bench_ij_{NUM_CPUS}"
+            shutil.rmtree(sout, ignore_errors=True)
+            t0 = time.perf_counter()
+            sm = run_interval_join_stream(
+                sl, sr, sout, key_col="url", url_key=True,
+                lower_us=0, upper_us=60_000_000,
+                partitions=STREAM_PARTITIONS,
+                files_per_epoch=max(4, -(-sfiles // 4)))
+            sruns.append(round(time.perf_counter() - t0, 3))
+            srows = sm["rows_fed"]
+            spairs = sm["worker_metrics"]["pairs_emitted"]
+        stream_info = {
+            "stream_interval_join_sec": min(sruns),
+            "stream_interval_join_samples": sruns,
+            "stream_events": srows, "stream_pairs": spairs,
+            "stream_events_per_sec": round(srows / min(sruns), 1),
+        }
+
     ray.shutdown()
     return {
         "metric": "flagship streaming pipeline (windowed group_by+dedupe+join, "
                   "exactly-once sink) wall time",
+        **stream_info,
         "value": headline,
         "unit": "sec",
         "samples": samples,
@@ -228,14 +264,24 @@ def run_bench() -> dict:
     }
 
 
-N_EVENTS = int(os.environ.get("BENTO_BENCH_EVENTS", "2000000"))
+N_EVENTS = int(os.environ.get("BENTO_BENCH_EVENTS", "8000000"))
+
+# partitions are a JOB parameter (the Kafka-partition analogue), held
+# FIXED across cluster widths — scaling them with CPUs compared two
+# different jobs and let the low width skip most of the per-partition
+# work
+STREAM_PARTITIONS = int(os.environ.get("BENTO_BENCH_STREAM_PARTS", "16"))
 
 
 def run_stream_bench() -> dict:
-    """Best-of-k wall time for the streaming interval join over the
-    synthetic two-sided event corpus — the live stateful driver the
-    north rule's streaming claim applies to (isolated best-of-k with
-    warm reads, same protocol as the flagship headline)."""
+    """Best-of-k wall time for the LIVE streaming interval join — the
+    click→conversion-by-landing-page attribution job: two event
+    streams keyed by MESSY urls that each feed task canonicalizes
+    (textops.urlops) before hash-partitioning, joined within a 60s
+    span by the stateful IntervalJoinWorker pool under a two-input
+    watermark, committed through the exactly-once sink. Isolated
+    best-of-k with warm reads, same protocol as the flagship
+    headline. Partitions are FIXED across widths (a job parameter)."""
     import glob as _glob
 
     import ray
@@ -247,11 +293,12 @@ def run_stream_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     from bento_ray.streaming.engine import run_interval_join_stream
-    from bento_ray.testgen.events import ensure_event_streams
+    from bento_ray.testgen.events import ensure_url_event_streams
 
     budget = _Budget(BUDGET_SEC)
     n_files = max(16, min(256, N_EVENTS // 15_000))
-    left, right = ensure_event_streams(N_EVENTS, seed=42, files=n_files)
+    left, right = ensure_url_event_streams(N_EVENTS, seed=42,
+                                           files=n_files)
 
     def _warm_read():
         for d in (left, right):
@@ -262,12 +309,13 @@ def run_stream_bench() -> dict:
 
     _warm_read()
     # untimed warm-up: worker-pool imports + actor spin-up
-    wl, wr = ensure_event_streams(100_000, seed=42, files=16)
+    wl, wr = ensure_url_event_streams(100_000, seed=42, files=16)
     warm_out = f"/tmp/bento_bench_stream_warm_{NUM_CPUS}"
     shutil.rmtree(warm_out, ignore_errors=True)
-    run_interval_join_stream(wl, wr, warm_out, key_col="user_id",
+    run_interval_join_stream(wl, wr, warm_out, key_col="url",
+                             url_key=True,
                              lower_us=0, upper_us=60_000_000,
-                             partitions=max(2, NUM_CPUS // 4),
+                             partitions=STREAM_PARTITIONS,
                              files_per_epoch=4)
 
     def _one() -> tuple[float, dict]:
@@ -275,9 +323,9 @@ def run_stream_bench() -> dict:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         m = run_interval_join_stream(
-            left, right, out, key_col="user_id",
+            left, right, out, key_col="url", url_key=True,
             lower_us=0, upper_us=60_000_000,
-            partitions=max(2, NUM_CPUS // 4),
+            partitions=STREAM_PARTITIONS,
             files_per_epoch=max(4, -(-n_files // 4)))   # 4 epochs
         return time.perf_counter() - t0, m
 
@@ -300,8 +348,10 @@ def run_stream_bench() -> dict:
     best = min(samples)
     ray.shutdown()
     return {
-        "metric": "streaming interval join (two-input watermark, "
-                  "exactly-once sink) wall time",
+        "metric": "streaming interval join, click→conversion by "
+                  "canonical landing page (url canonicalization in "
+                  "feed, two-input watermark, exactly-once sink) "
+                  "wall time",
         "value": best, "unit": "sec", "samples": samples,
         "events": rows, "pairs": pairs,
         "events_per_sec": round(rows / best, 1),

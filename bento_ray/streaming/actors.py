@@ -27,10 +27,19 @@ from __future__ import annotations
 import pickle
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
+
+
+def _atomic_write(path: str, blob: bytes) -> int:
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
+    return len(blob)
 
 
 def _pane_ends(ts: np.ndarray, size_us: int, slide_us: int | None,
@@ -232,6 +241,10 @@ class PartitionWorker:
             "nbytes": pa.array(np.zeros(0, np.int64), pa.int64()),
         })
         if emit_mask.any():
+            # local import: pandas costs ~0.4s of every actor
+            # process's cold start and only this emission path needs it
+            import pandas as pd
+
             eidx = idx[emit_mask]
             df = pd.DataFrame({
                 "window_end": ends[emit_mask],
@@ -588,6 +601,39 @@ class CepWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
+    def snapshot_to(self, path: str) -> int:
+        """Write this partition's epoch snapshot to ``path`` itself
+        (atomic tmp+rename) — the Flink checkpoint shape: every task
+        persists its own state file to shared storage in parallel and
+        the driver only records completion. Funnelling P pickle blobs
+        through the driver made snapshotting a width-independent
+        serial section of every epoch."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Flush and commit this partition's emission through the
+        idempotent sink IN the worker (the Flink task-local sink
+        write): the emission table never round-trips through plasma
+        and no separate commit-task processes exist — fractional-CPU
+        commit tasks made the raylet pre-start ~100 extra Python
+        workers per run (~1s import each), the measured width-32
+        scaling cap. Exactly-once is unchanged: (epoch, part) paths
+        are disjoint, write_partition is idempotent, and the driver
+        still writes the epoch-done marker only after every commit
+        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
+        deterministic fault-injection contract."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
+
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -638,7 +684,6 @@ class IntervalJoinWorker:
         self._kept = [empty(), empty()]      # per side: (ts, eid, key)
         self.max_ts = [-(1 << 62), -(1 << 62)]
         self.frontier = -(1 << 62)
-        self.chunks_received = 0
         self.metrics = {"rows_in_left": 0, "rows_in_right": 0,
                         "pairs_emitted": 0, "late_dropped": 0}
 
@@ -649,14 +694,17 @@ class IntervalJoinWorker:
         if len(ts):
             self.max_ts[side] = max(self.max_ts[side], int(ts.max()))
         self._raw.append((side, ts, eids, keys))
-        # feed tasks push fire-and-forget; the driver's epoch barrier
-        # (_await_chunk_counters) compares this against the pushes each
-        # feed task reported — same protocol as PartitionWorker
-        self.chunks_received += 1
         return len(ts)
 
-    def get_chunks_received(self) -> int:
-        return self.chunks_received
+    def ingest_refs(self, sides: list, refs: list) -> int:
+        """Reduce side of the engine's M×R feed shuffle: the driver
+        hands this worker its whole epoch's (side, blob-ref) list in
+        one call; each blob is a plasma-resident (ts, eid, key) numpy
+        bundle the ``ray.get`` maps zero-copy."""
+        total = 0
+        for side, chunk in zip(sides, ray.get(list(refs))):
+            total += self.ingest(side, *chunk)
+        return total
 
     def get_max_ts(self) -> list[int]:
         return list(self.max_ts)
@@ -752,6 +800,39 @@ class IntervalJoinWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
+    def snapshot_to(self, path: str) -> int:
+        """Write this partition's epoch snapshot to ``path`` itself
+        (atomic tmp+rename) — the Flink checkpoint shape: every task
+        persists its own state file to shared storage in parallel and
+        the driver only records completion. Funnelling P pickle blobs
+        through the driver made snapshotting a width-independent
+        serial section of every epoch."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Flush and commit this partition's emission through the
+        idempotent sink IN the worker (the Flink task-local sink
+        write): the emission table never round-trips through plasma
+        and no separate commit-task processes exist — fractional-CPU
+        commit tasks made the raylet pre-start ~100 extra Python
+        workers per run (~1s import each), the measured width-32
+        scaling cap. Exactly-once is unchanged: (epoch, part) paths
+        are disjoint, write_partition is idempotent, and the driver
+        still writes the epoch-done marker only after every commit
+        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
+        deterministic fault-injection contract."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
+
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -799,7 +880,6 @@ class AsofJoinWorker:
         self._kept = [empty(), empty()]      # per side: (ts, eid, key)
         self.max_ts = [-(1 << 62), -(1 << 62)]
         self.frontier = -(1 << 62)
-        self.chunks_received = 0
         self.metrics = {"rows_in_left": 0, "rows_in_right": 0,
                         "rows_emitted": 0, "late_dropped": 0}
 
@@ -810,14 +890,15 @@ class AsofJoinWorker:
         if len(ts):
             self.max_ts[side] = max(self.max_ts[side], int(ts.max()))
         self._raw.append((side, ts, eids, keys))
-        # feed tasks push fire-and-forget; the driver's epoch barrier
-        # (_await_chunk_counters) compares this against the pushes each
-        # feed task reported — same protocol as PartitionWorker
-        self.chunks_received += 1
         return len(ts)
 
-    def get_chunks_received(self) -> int:
-        return self.chunks_received
+    def ingest_refs(self, sides: list, refs: list) -> int:
+        """Reduce side of the engine's M×R feed shuffle — see
+        IntervalJoinWorker.ingest_refs."""
+        total = 0
+        for side, chunk in zip(sides, ray.get(list(refs))):
+            total += self.ingest(side, *chunk)
+        return total
 
     def get_max_ts(self) -> list[int]:
         return list(self.max_ts)
@@ -894,6 +975,39 @@ class AsofJoinWorker:
         return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
                              "frontier": self.frontier,
                              "metrics": self.metrics})
+
+    def snapshot_to(self, path: str) -> int:
+        """Write this partition's epoch snapshot to ``path`` itself
+        (atomic tmp+rename) — the Flink checkpoint shape: every task
+        persists its own state file to shared storage in parallel and
+        the driver only records completion. Funnelling P pickle blobs
+        through the driver made snapshotting a width-independent
+        serial section of every epoch."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Flush and commit this partition's emission through the
+        idempotent sink IN the worker (the Flink task-local sink
+        write): the emission table never round-trips through plasma
+        and no separate commit-task processes exist — fractional-CPU
+        commit tasks made the raylet pre-start ~100 extra Python
+        workers per run (~1s import each), the measured width-32
+        scaling cap. Exactly-once is unchanged: (epoch, part) paths
+        are disjoint, write_partition is idempotent, and the driver
+        still writes the epoch-done marker only after every commit
+        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
+        deterministic fault-injection contract."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
 
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
@@ -1012,6 +1126,39 @@ class AbsenceWorker:
         return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
                              "frontier": self.frontier,
                              "metrics": self.metrics})
+
+    def snapshot_to(self, path: str) -> int:
+        """Write this partition's epoch snapshot to ``path`` itself
+        (atomic tmp+rename) — the Flink checkpoint shape: every task
+        persists its own state file to shared storage in parallel and
+        the driver only records completion. Funnelling P pickle blobs
+        through the driver made snapshotting a width-independent
+        serial section of every epoch."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Flush and commit this partition's emission through the
+        idempotent sink IN the worker (the Flink task-local sink
+        write): the emission table never round-trips through plasma
+        and no separate commit-task processes exist — fractional-CPU
+        commit tasks made the raylet pre-start ~100 extra Python
+        workers per run (~1s import each), the measured width-32
+        scaling cap. Exactly-once is unchanged: (epoch, part) paths
+        are disjoint, write_partition is idempotent, and the driver
+        still writes the epoch-done marker only after every commit
+        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
+        deterministic fault-injection contract."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
 
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
@@ -1150,6 +1297,39 @@ class FollowedByWorker:
         return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
                              "frontier": self.frontier,
                              "metrics": self.metrics})
+
+    def snapshot_to(self, path: str) -> int:
+        """Write this partition's epoch snapshot to ``path`` itself
+        (atomic tmp+rename) — the Flink checkpoint shape: every task
+        persists its own state file to shared storage in parallel and
+        the driver only records completion. Funnelling P pickle blobs
+        through the driver made snapshotting a width-independent
+        serial section of every epoch."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Flush and commit this partition's emission through the
+        idempotent sink IN the worker (the Flink task-local sink
+        write): the emission table never round-trips through plasma
+        and no separate commit-task processes exist — fractional-CPU
+        commit tasks made the raylet pre-start ~100 extra Python
+        workers per run (~1s import each), the measured width-32
+        scaling cap. Exactly-once is unchanged: (epoch, part) paths
+        are disjoint, write_partition is idempotent, and the driver
+        still writes the epoch-done marker only after every commit
+        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
+        deterministic fault-injection contract."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
 
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):

@@ -34,7 +34,6 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -319,8 +318,10 @@ def _feed_file(path: str, workers: list, partitions: int,
 
 
 def _combine_and_enrich(partials: list[pa.Table], dim_versions: pa.Table | None,
-                        window_size_us: int) -> pd.DataFrame:
+                        window_size_us: int) -> "pd.DataFrame":
     """Final phase of the two-phase aggregate + stream-table join."""
+    import pandas as pd
+
     dfs = [p.to_pandas() for p in partials if p.num_rows]
     if not dfs:
         empty = pd.DataFrame({
@@ -537,6 +538,8 @@ def _finalize_epoch_body(e: int, partials: list, snap_blobs: list,
     persist + _EPOCH_DONE for one epoch. Pane partials are
     metadata-scale (pre-aggregated per state partition), so one task
     handles them; per-partition fan-out was measured slower."""
+    import pandas as pd
+
     sink = ExactlyOnceParquetSink(out_dir)
     out = _combine_and_enrich(partials, dim_versions, cfg.window_size_us)
     if len(out):
@@ -918,60 +921,84 @@ def run_absence_stream(input_path: str, out_dir: str, *, first: str,
 
 
 @ray.remote
-def _feed_join_file(path: str, side: int, workers: list,
-                    partitions: int, key_col: str, ts_col: str,
-                    id_col: str, batch_rows: int) -> tuple[int, int, int]:
-    """Interval-join feeder: one raw task per (file, side),
+def _feed_join_files(paths: list, side: int, partitions: int,
+                     key_col: str, ts_col: str,
+                     id_col: str, batch_rows: int,
+                     url_key: bool = False) -> tuple[int, int, int, list]:
+    """Interval-join feeder: one raw task per (file group, side),
     partitioned by hash(key) so every key's rows from BOTH streams
-    land on the same worker. Returns (side, rows, max_ts, pushed) —
+    land on the same worker. The group size is picked by the driver so
+    an epoch yields a small multiple of the cluster width in tasks —
+    task granularity is an execution knob (exactly Ray Data's
+    block-sizing), not a job parameter, and per-task overhead
+    (submission + P puts + result round-trip) was measurable against
+    15k-row single-file tasks. Returns (side, rows, max_ts, refs) —
     the side tag travels WITH the result because _submit_in_waves
     yields results in completion order once the in-flight window
     fills, so zipping against the submission list would misattribute
     each side's event-time frontier and let the two-input watermark
     min(gmax) advance past the lagging stream.
 
-    Same feed cost discipline as the flagship's Feeder: accumulate
-    per-partition slices across the whole file and push ONCE per
-    (file, partition); pushes are fire-and-forget (blocking on
-    ray.get held a feed CPU slot hostage to 32 shared actor queues —
-    the measured feed-phase scaling cap), and the driver barriers on
-    the workers' chunk counters before flushing."""
+    Map side of a classic M×R shuffle: ONE ``ray.put`` per non-empty
+    partition into the plasma store, refs travel back in the (tiny)
+    task result and the driver hands each worker its whole epoch ref
+    list in a single ``ingest_refs`` call. Direct actor pushes were
+    the measured feed-phase scaling cap: P ``.remote()`` calls per
+    task cost 0.5→1.5 ms EACH as width grows (submission overhead),
+    while shrinking P pushed args past the ~100 KB inline limit onto
+    a slower path. A put is a local store write at constant cost.
+    Blob ownership sits with the (transient) feed worker process —
+    safe because every ref is consumed at this epoch's own barrier,
+    and a lost epoch is replayed from its input files on resume."""
     import pyarrow.parquet as pq
+
+    if url_key:
+        from bento_ray.textops.urlops import canonicalize_batch
 
     rows, max_ts = 0, -(1 << 62)
     acc: list[list] = [[] for _ in range(partitions)]
-    pf = pq.ParquetFile(path)
-    for rb in pf.iter_batches(batch_size=batch_rows,
-                              columns=[key_col, ts_col, id_col]):
-        t = pa.Table.from_batches([rb])
-        ts = _ts_us_int64(t.column(ts_col))
-        eid = t.column(id_col).cast(pa.int64()).to_numpy()
-        keys = t.column(key_col).cast(pa.int64()).to_numpy()
-        part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
-        # one stable sort + boundary slices: P mask passes re-read the
-        # part array P times (memory-bandwidth-bound at high widths);
-        # this is one pass + one gather per column
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(partitions + 1))
-        ts_s, eid_s, keys_s = ts[order], eid[order], keys[order]
-        for p in range(partitions):
-            lo, hi = bounds[p], bounds[p + 1]
-            if hi > lo:
-                acc[p].append((ts_s[lo:hi], eid_s[lo:hi], keys_s[lo:hi]))
-        rows += len(t)
-        if len(ts):
-            max_ts = max(max_ts, int(ts.max()))
-    pushed = [0] * partitions
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=batch_rows,
+                                  columns=[key_col, ts_col, id_col]):
+            t = pa.Table.from_batches([rb])
+            ts = _ts_us_int64(t.column(ts_col))
+            eid = t.column(id_col).cast(pa.int64()).to_numpy()
+            if url_key:
+                # messy URL column → canonical form → stable uint64
+                # key: the join key only exists after canonicalization
+                # unifies tracking-param/www/port/case variants (the
+                # click→conversion-by-landing-page pipeline); heavy
+                # strings never leave this task
+                canon = canonicalize_batch(t.column(key_col))
+                keys = stable_hash(canon).astype(np.int64)
+            else:
+                keys = t.column(key_col).cast(pa.int64()).to_numpy()
+            part = (stable_hash(keys)
+                    % np.uint64(partitions)).astype(np.int64)
+            # one stable sort + boundary slices: P mask passes re-read
+            # the part array P times (memory-bandwidth-bound at high
+            # widths); this is one pass + one gather per column
+            order = np.argsort(part, kind="stable")
+            bounds = np.searchsorted(part[order],
+                                     np.arange(partitions + 1))
+            ts_s, eid_s, keys_s = ts[order], eid[order], keys[order]
+            for p in range(partitions):
+                lo, hi = bounds[p], bounds[p + 1]
+                if hi > lo:
+                    acc[p].append((ts_s[lo:hi], eid_s[lo:hi],
+                                   keys_s[lo:hi]))
+            rows += len(t)
+            if len(ts):
+                max_ts = max(max_ts, int(ts.max()))
+    refs: list = [None] * partitions
     for p, chunks in enumerate(acc):
-        if not chunks:
-            continue
-        pushed[p] = 1
-        workers[p].ingest.remote(
-            side,
-            np.concatenate([c[0] for c in chunks]),
-            np.concatenate([c[1] for c in chunks]),
-            np.concatenate([c[2] for c in chunks]))
-    return side, rows, max_ts, pushed
+        if chunks:
+            refs[p] = ray.put((
+                np.concatenate([c[0] for c in chunks]),
+                np.concatenate([c[1] for c in chunks]),
+                np.concatenate([c[2] for c in chunks])))
+    return side, rows, max_ts, refs
 
 
 def _run_two_stream(make_worker, left_path: str, right_path: str,
@@ -979,7 +1006,8 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
                     id_col: str, final_span_us: int, partitions: int,
                     files_per_epoch: int, allowed_lateness_us: int,
                     resume: bool, drain: bool,
-                    crash_after: tuple | None = None) -> dict:
+                    crash_after: tuple | None = None,
+                    url_key: bool = False) -> dict:
     """Shared epoch loop for the two-input stream joins: the watermark
     is the MINIMUM of the two input streams' event-time frontiers
     minus the allowed lateness (Flink's two-input watermark rule); the
@@ -1035,66 +1063,91 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
                 max(m[1] for m in per_worker)]
     span = int(final_span_us)
     def _settle(pend) -> None:
-        """Complete epoch pend: wait for its parallel commits, persist
-        its snapshots, then (and only then) write the epoch-done
-        marker — the exactly-once atomicity point is unchanged, it
-        just lands one feed later."""
+        """Complete epoch pend: wait for its parallel commits and its
+        workers' own snapshot writes, then (and only then) write the
+        epoch-done marker — the exactly-once atomicity point is
+        unchanged, it just lands one feed later."""
         nonlocal written, skipped
         pe, commit_refs, snap_refs, wm = pend
         done = ray.get(commit_refs)
         written += sum(done)
         skipped += len(done) - sum(done)
-        snap_dir = os.path.join(state_dir, f"epoch={pe}")
-        os.makedirs(snap_dir, exist_ok=True)
-        for p, b in enumerate(ray.get(snap_refs)):
-            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(b)
-            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        ray.get(snap_refs)
         sink.finish_epoch(pe, {"watermark": int(wm)})
 
     # Pipelined micro-batches: epoch e's flush/snapshot calls are
-    # enqueued on every worker BEFORE any epoch-e+1 feed task exists,
-    # so actor-queue order guarantees the state boundary; its commit
-    # tasks and snapshot transfers then overlap e+1's feed and are
-    # settled at e+1's barrier. Worst case on a crash mid-feed(e+1):
-    # epoch e's data files are committed but its done-marker is not —
-    # resume re-feeds epoch e and the idempotent sink skips every
-    # committed partition.
+    # enqueued on every worker BEFORE any epoch-e+1 ingest_refs call
+    # exists, so actor-queue order guarantees the state boundary; its
+    # commit tasks and snapshot transfers then overlap e+1's feed and
+    # are settled at e+1's barrier. Worst case on a crash mid-feed
+    # (e+1): epoch e's data files are committed but its done-marker is
+    # not — resume re-feeds epoch e and the idempotent sink skips
+    # every committed partition.
     pending = None
-    _chunk_base = [0] * partitions
+    prof = os.environ.get("BENTO_STREAM_PROFILE")
+    from bento_ray.util import cluster_cpus
+
+    # feed-task granularity: ~3 tasks per CPU per (epoch, side) so the
+    # wave load-balances, but never 15k-row single-file tasks whose
+    # fixed cost (submission + P puts) rivals their compute
+    tasks_per_side = 3 * cluster_cpus()
+
+    def _grouped(files: list, side: int) -> list:
+        if not files:
+            return []
+        g = max(1, -(-len(files) // tasks_per_side))
+        return [(files[i:i + g], side) for i in range(0, len(files), g)]
+
     for e in range(start_epoch, len(epochs)):
+        pt0 = time.perf_counter()
         lfiles, rfiles = epochs[e]
-        work = [(f, 0) for f in lfiles] + [(f, 1) for f in rfiles]
+        work = _grouped(lfiles, 0) + _grouped(rfiles, 1)
         summary = _submit_in_waves(
-            lambda fs: _feed_join_file.remote(
-                fs[0], fs[1], workers, partitions, key_col, ts_col,
-                id_col, 131072),
+            lambda fs: _feed_join_files.remote(
+                fs[0], fs[1], partitions, key_col, ts_col,
+                id_col, 131072, url_key),
             work)
+        pt1 = time.perf_counter()
         rows_total += sum(r for _, r, _, _ in summary)
-        expected = [0] * partitions
-        for side, _, mt, pushed in summary:
+        # reduce side of the M×R shuffle: ONE actor call per worker
+        # hands over every (side, blob-ref) addressed to it; the
+        # ray.get below is the epoch's ingest barrier
+        per_sides: list[list] = [[] for _ in range(partitions)]
+        per_refs: list[list] = [[] for _ in range(partitions)]
+        for side, _, mt, refs in summary:
             gmax[side] = max(gmax[side], mt)
-            for p, c in enumerate(pushed):
-                expected[p] += c
-        # epoch barrier: every fire-and-forget push accepted before
-        # the flush below is enqueued behind them on each actor
-        _await_chunk_counters(workers, expected, _chunk_base)
-        for p in range(partitions):
-            _chunk_base[p] += expected[p]
+            for p, ref in enumerate(refs):
+                if ref is not None:
+                    per_sides[p].append(side)
+                    per_refs[p].append(ref)
+        # explicit ingest barrier: actor queue order alone would let
+        # epoch e+1's feed wave run concurrently with ingest(e) +
+        # flush(e) — measured slower (cpu oversubscription starves the
+        # actors exactly when the pipeline needs them), so the driver
+        # waits for ingestion before opening the next feed wave
+        ray.get([workers[p].ingest_refs.remote(per_sides[p], per_refs[p])
+                 for p in range(partitions) if per_refs[p]])
+        pt2 = time.perf_counter()
         if pending is not None:
             _settle(pending)
+        pt3 = time.perf_counter()
+        if prof:
+            print(f"[epoch {e}] feed={pt1-pt0:.3f} ingest={pt2-pt1:.3f} "
+                  f"settle={pt3-pt2:.3f} tasks={len(work)}", flush=True)
         final = drain and e == len(epochs) - 1
         watermark = (max(gmax) + span + 1 if final
                      else min(gmax) - allowed_lateness_us)
         lineage = {"left_files": lfiles, "right_files": rfiles,
                    "watermark": int(watermark), "epoch": e}
-        flush_refs = [w.flush.remote(watermark) for w in workers]
-        snap_refs = [w.snapshot.remote() for w in workers]
         commit_refs = [
-            _commit_partition.remote(out_dir, e, p, ref, lineage,
-                                     crash_after)
-            for p, ref in enumerate(flush_refs)]
+            w.flush_and_commit.remote(watermark, out_dir, e, lineage,
+                                      crash_after)
+            for w in workers]
+        snap_dir = os.path.join(state_dir, f"epoch={e}")
+        os.makedirs(snap_dir, exist_ok=True)
+        snap_refs = [
+            w.snapshot_to.remote(os.path.join(snap_dir, f"part={p}.pkl"))
+            for p, w in enumerate(workers)]
         pending = (e, commit_refs, snap_refs, watermark)
     if pending is not None:
         _settle(pending)
@@ -1122,13 +1175,19 @@ def run_interval_join_stream(left_path: str, right_path: str,
                              allowed_lateness_us: int = 0,
                              resume: bool = True,
                              drain: bool = True,
-                             crash_after: tuple | None = None) -> dict:
+                             crash_after: tuple | None = None,
+                             url_key: bool = False) -> dict:
     """Streaming stream-stream interval join: a pair emits exactly
     when the two-input watermark passes the later of its two
     timestamps, and each IntervalJoinWorker retains only the in-span
     tail of each stream (see the worker docstring for the finality /
     retention proofs). Output rows are FINAL per partition and commit
-    through the idempotent sink."""
+    through the idempotent sink.
+
+    ``url_key=True`` treats ``key_col`` as a messy URL string column:
+    each feed task canonicalizes it (textops.urlops.canonicalize_batch)
+    and joins on the stable hash of the canonical form — the
+    click→conversion-by-landing-page pipeline."""
     from bento_ray.streaming.actors import IntervalJoinWorker
 
     return _run_two_stream(
@@ -1139,7 +1198,7 @@ def run_interval_join_stream(left_path: str, right_path: str,
         final_span_us=max(abs(int(lower_us)), abs(int(upper_us))),
         partitions=partitions, files_per_epoch=files_per_epoch,
         allowed_lateness_us=allowed_lateness_us, resume=resume,
-        drain=drain, crash_after=crash_after)
+        drain=drain, crash_after=crash_after, url_key=url_key)
 
 
 def run_asof_join_stream(left_path: str, right_path: str,

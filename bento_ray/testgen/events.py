@@ -65,3 +65,72 @@ def ensure_event_streams(n_per_side: int, seed: int = 42,
     with open(done, "w") as fh:
         fh.write("ok")
     return left, right
+
+
+def _url_side_table(n: int, seed: int, side: int, pages: int) -> pa.Table:
+    """One side of the click→conversion corpus: every event references
+    a canonical landing page through a seeded MESSY url variant
+    (mixed-case host, ``www.`` prefix, default port, ``utm_*`` tracking
+    params, trailing slash) so the feed stage must do real
+    canonicalization work — exactly the per-event cost profile of a
+    production clickstream — and the join key only exists AFTER
+    textops.urlops.canonicalize_batch unifies the variants."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed * 104729 + side)
+    gaps = rng.randint(MEAN_GAP_US // 2, MEAN_GAP_US * 3 // 2,
+                       size=n).astype(np.int64)
+    ts = BASE_TS_US + np.cumsum(gaps)
+    page = rng.randint(0, pages, size=n)
+    ndom = max(16, pages // 16)
+    dom = pd.Series(page % ndom).astype(str)
+    pid = pd.Series(page).astype(str)
+    host = "site" + dom + ".example.com"
+    path = "/p/" + pid
+
+    v = rng.randint(0, 6, size=n)
+    host = host.where(v != 1, host.str.upper())
+    host = ("www." + host).where(v == 2, host)
+    host = (host + ":443").where(v == 3, host)
+    q = pd.Series(np.where(v == 4, "?utm_source=ad&utm_campaign=c", ""))
+    path = (path + "/").where(v == 5, path)
+    url = "https://" + host + path + q
+
+    eid = (np.arange(n, dtype=np.int64) * 2 + side)
+    return pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "url": pa.array(url, pa.string()),
+        "event_id": pa.array(eid),
+    })
+
+
+def ensure_url_event_streams(n_per_side: int, seed: int = 42,
+                             files: int = 64, pages: int | None = None,
+                             cache_root: str = "/tmp/bento_ray_url_events"
+                             ) -> tuple[str, str]:
+    """Generate (once, cached) the click/conversion stream pair keyed
+    by messy landing-page URLs; returns (clicks_dir, conversions_dir).
+    ``pages`` defaults to n/2000 so per-page event rates — and join
+    fan-out — stay constant as the corpus scales."""
+    if pages is None:
+        pages = max(64, n_per_side // 2000)
+    root = os.path.join(cache_root,
+                        f"n{n_per_side}_s{seed}_f{files}_p{pages}")
+    left, right = os.path.join(root, "left"), os.path.join(root, "right")
+    done = os.path.join(root, "_SUCCESS")
+    if os.path.exists(done):
+        return left, right
+    os.makedirs(left, exist_ok=True)
+    os.makedirs(right, exist_ok=True)
+    shard = (n_per_side + files - 1) // files
+    for side, d in ((0, left), (1, right)):
+        t = _url_side_table(n_per_side, seed, side, pages)
+        for f in range(files):
+            lo, hi = f * shard, min((f + 1) * shard, n_per_side)
+            if lo >= hi:
+                break
+            pq.write_table(t.slice(lo, hi - lo),
+                           os.path.join(d, f"ev-{f:05d}.parquet"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return left, right

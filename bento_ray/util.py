@@ -5,7 +5,6 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -14,6 +13,11 @@ def stable_hash(values) -> np.ndarray:
     nodes (pandas' fixed-key siphash). Used for hash partitioning,
     dedupe keys and salted-key skew mitigation — never exposed in query
     results."""
+    # local import: pandas costs ~0.4s of every fresh worker
+    # process's cold start (this module is on the import path of every
+    # actor and task) and only these helpers need it
+    import pandas as pd
+
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pandas()
     elif isinstance(values, np.ndarray):
@@ -84,6 +88,8 @@ def to_table(batch) -> pa.Table:
         return batch
     if isinstance(batch, pa.RecordBatch):
         return pa.Table.from_batches([batch])
+    import pandas as pd
+
     if isinstance(batch, pd.DataFrame):
         return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
     if isinstance(batch, dict):

@@ -318,3 +318,49 @@ def test_two_stream_pause_append_resume_misaligned(streams_dir, tmp_path):
     assert m2["start_epoch"] == 2 and m2["epochs"] == 3
     pd.testing.assert_frame_equal(_stream_result(out),
                                   _batch_truth(streams_dir))
+
+
+def test_url_keyed_stream_matches_brute_force(tmp_path):
+    """url_key=True: the join key is the stable hash of the CANONICAL
+    url — messy variants (www./case/port/utm/trailing-slash) of the
+    same landing page must unify across the two streams, and the
+    streamed pair set must equal the brute-force truth."""
+    import numpy as np
+
+    from bento_ray.testgen.events import ensure_url_event_streams
+    from bento_ray.textops.urlops import canonicalize_batch
+    from bento_ray.util import stable_hash
+
+    lo, up = 0, 60_000_000
+    l, r = ensure_url_event_streams(
+        3000, seed=5, files=6,
+        cache_root=str(tmp_path / "gen"))
+    out = str(tmp_path / "out")
+    m = run_interval_join_stream(
+        l, r, out, key_col="url", url_key=True, lower_us=lo, upper_us=up,
+        partitions=3, files_per_epoch=2)
+
+    frames = []
+    for side, d in ((0, l), (1, r)):
+        t = pq.read_table(d)
+        df = pd.DataFrame({
+            "ts": t.column("ts").cast(pa.int64()).to_numpy(),
+            "eid": t.column("event_id").to_numpy(),
+            "key": stable_hash(
+                canonicalize_batch(t.column("url"))).astype(np.int64),
+        })
+        frames.append(df)
+    left, right = frames
+    # canonicalization must actually unify variants: far fewer keys
+    # than raw url strings
+    raw = pq.read_table(l).column("url").to_pandas().nunique()
+    assert left["key"].nunique() < raw / 2
+    truth = left.merge(right, on="key", suffixes=("_l", "_r"))
+    truth = truth[(truth["ts_r"] - truth["ts_l"] >= lo)
+                  & (truth["ts_r"] - truth["ts_l"] <= up)]
+    expect = set(zip(truth["eid_l"], truth["eid_r"]))
+
+    got_df = ExactlyOnceParquetSink(out).read().to_pandas()
+    got = set(zip(got_df["left_id"], got_df["right_id"]))
+    assert m["worker_metrics"]["pairs_emitted"] == len(got_df)
+    assert got == expect
