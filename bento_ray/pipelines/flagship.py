@@ -149,7 +149,8 @@ def flagship_streaming(pages_path: str, out_dir: str, *,
                        lateness_us: int = 2_000_000,
                        files_per_epoch: int = 2,
                        include_updates: bool = True,
-                       resume: bool = True) -> dict:
+                       resume: bool = True,
+                       distributed_finalize: bool = False) -> dict:
     from bento_ray.streaming import StreamConfig, run_stream
 
     cfg = StreamConfig(
@@ -158,6 +159,7 @@ def flagship_streaming(pages_path: str, out_dir: str, *,
         partitions=partitions,
         out_partitions=partitions,
         files_per_epoch=files_per_epoch,
+        distributed_finalize=distributed_finalize,
     )
     return run_stream(pages_path, cfg, out_dir,
                       dim_versions=dim_versions_table(include_updates),

@@ -95,8 +95,11 @@ class _SeenSet:
             return
         self.th = np.concatenate([self.th, q])
         self.tt = np.concatenate([self.tt, ts])
-        if len(self.th) > max(4096, len(self.h) // 4):
+        if len(self.th) > self._tail_limit():
             self._merge()
+
+    def _tail_limit(self) -> int:
+        return max(4096, len(self.h) // 4)
 
     def _merge(self) -> None:
         h = np.concatenate([self.h, self.th])
@@ -125,10 +128,118 @@ class _SeenSet:
         self.tt = np.empty(0, np.int64)
 
 
+class _SpillSeenSet(_SeenSet):
+    """Disk-backed seen-set with the SAME contains/add/gc/rebuild
+    contract — the memory escape hatch for ``dedupe_ttl_us=None``
+    (whole-run dedupe over an unbounded distinct-key set, ~16 B/key
+    in RAM otherwise).
+
+    LSM-lite: the in-RAM sorted main run spills to an immutable
+    on-disk sorted run (``uint64 .npy``-less raw file, opened as a
+    read-only ``np.memmap``) whenever it outgrows ``mem_entries``;
+    membership probes binary-search every disk run through the
+    memmap, so the OS touches only O(log n) pages per probe batch
+    and evicts them freely. Runs compact k→1 when their count
+    exceeds 8, keeping probe fan-out bounded. Keys are disjoint
+    across runs by construction (``add`` receives only
+    globally-absent keys), so dedupe decisions — and therefore the
+    flagship's committed bytes — are identical to the in-RAM set
+    (pytest-pinned). TTL ``gc`` still works (it materializes the
+    runs once) but a TTL'd set is already bounded — spilling is for
+    the TTL-less mode."""
+
+    def __init__(self, spill_dir: str, mem_entries: int):
+        super().__init__()
+        import os
+
+        self.spill_dir = spill_dir
+        self.mem_entries = int(mem_entries)
+        os.makedirs(spill_dir, exist_ok=True)
+        self._runs: list[tuple] = []     # (h memmap, t memmap, n)
+        self._run_id = 0
+
+    def __len__(self):
+        return super().__len__() + sum(n for _, _, n in self._runs)
+
+    def _tail_limit(self) -> int:
+        # the RAM bound applies to the tail too — without this a
+        # sub-4096-key partition never merges, never spills
+        return max(min(4096, self.mem_entries),
+                   min(len(self.h) // 4, self.mem_entries))
+
+    def contains(self, q: np.ndarray) -> np.ndarray:
+        res = super().contains(q)
+        for h, _, n in self._runs:
+            pos = np.minimum(np.searchsorted(h, q), n - 1)
+            res |= np.asarray(h[pos]) == q
+        return res
+
+    def _merge(self) -> None:
+        super()._merge()
+        if len(self.h) > self.mem_entries:
+            self._spill()
+
+    def _spill(self) -> None:
+        import os
+
+        hp = os.path.join(self.spill_dir, f"run{self._run_id}.h")
+        tp = os.path.join(self.spill_dir, f"run{self._run_id}.t")
+        self._run_id += 1
+        for path, arr in ((hp, self.h), (tp, self.t)):
+            tmp = path + ".tmp"
+            arr.tofile(tmp)
+            os.replace(tmp, path)
+        self._runs.append((np.memmap(hp, np.uint64, "r"),
+                           np.memmap(tp, np.int64, "r"), len(self.h)))
+        self.h = np.empty(0, np.uint64)
+        self.t = np.empty(0, np.int64)
+        if len(self._runs) > 8:
+            self._compact()
+
+    def _load_all(self) -> tuple[np.ndarray, np.ndarray]:
+        hs = [np.asarray(h) for h, _, _ in self._runs] + [self.h]
+        ts = [np.asarray(t) for _, t, _ in self._runs] + [self.t]
+        self._drop_runs()
+        h = np.concatenate(hs)
+        t = np.concatenate(ts)
+        order = np.argsort(h, kind="stable")
+        return h[order], t[order]
+
+    def _drop_runs(self) -> None:
+        import os
+
+        self._runs = []
+        for f in os.listdir(self.spill_dir):
+            if f.startswith("run"):
+                os.unlink(os.path.join(self.spill_dir, f))
+
+    def _compact(self) -> None:
+        self.h, self.t = self._load_all()
+        self._spill()
+
+    def gc(self, horizon_us: int) -> None:
+        if self._runs:
+            if len(self.th):
+                super()._merge()
+            self.h, self.t = self._load_all()
+        m = self.t >= horizon_us
+        self.h, self.t = self.h[m], self.t[m]
+        if len(self.h) > self.mem_entries:
+            self._spill()
+
+    def rebuild(self, h: np.ndarray, t: np.ndarray) -> None:
+        self._drop_runs()
+        super().rebuild(h, t)
+        if len(self.h) > self.mem_entries:
+            self._spill()
+
+
 @ray.remote
 class PartitionWorker:
     def __init__(self, part_id: int, size_us: int, slide_us: int | None,
-                 offset_us: int, dedupe_ttl_us: int | None = None):
+                 offset_us: int, dedupe_ttl_us: int | None = None,
+                 spill_dir: str | None = None,
+                 spill_entries: int | None = None):
         self.part_id = part_id
         self.size_us = size_us
         self.slide_us = slide_us
@@ -143,7 +254,10 @@ class PartitionWorker:
             "lang": np.empty(0, object),
             "nbytes": np.empty(0, np.int64),
         }
-        self.seen = _SeenSet()  # url hash → first event ts
+        # url hash → first event ts; disk-backed when a spill bound is
+        # set (the dedupe_ttl_us=None whole-run-dedupe memory trade)
+        self.seen = (_SpillSeenSet(spill_dir, spill_entries)
+                     if spill_entries else _SeenSet())
         # hashes added since the last snapshot (list of array chunks)
         self._delta_h: list[np.ndarray] = []
         self._delta_t: list[np.ndarray] = []

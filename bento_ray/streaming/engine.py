@@ -76,6 +76,27 @@ class StreamConfig:
     # watermark, so appending files and re-running (snapshot resume)
     # is byte-identical to one continuous run.
     drain: bool = True
+    # Distributed final combine: fan the epoch finalize out to one
+    # reducer task per OUTPUT partition (each combines only its
+    # (window_end, lang) hash bucket — a hash-partitioned groupby
+    # exchange), instead of one task combining all pane partials.
+    # Byte-identical output (the bucket hash is a function of the
+    # group key, so bucketing commutes with the aggregate); turn on
+    # when windows × langs × state-partitions makes the single
+    # combine task the epoch's long pole (second-level windows at CC
+    # scale). Off by default: at minute-level windows the partials
+    # are metadata-scale and the reducer fan-out costs more than it
+    # saves.
+    distributed_finalize: bool = False
+    # Spillable dedupe state: per-partition RAM bound (entries) on the
+    # seen-set's main run — beyond it the sorted run spills to an
+    # immutable memmap file under the run's state dir and membership
+    # probes binary-search it from disk. The escape hatch for
+    # ``dedupe_ttl_us=None`` whole-run dedupe, whose distinct-key set
+    # is otherwise unbounded RAM (~16 B/key/partition). None = all in
+    # RAM. Dedupe decisions (and committed bytes) are identical either
+    # way — pytest-pinned.
+    dedupe_spill_entries: int | None = None
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -392,7 +413,9 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     workers = [
         PartitionWorker.options(num_cpus=0.05).remote(
             p, cfg.window_size_us, cfg.slide_us, cfg.offset_us,
-            cfg.dedupe_ttl_us)
+            cfg.dedupe_ttl_us,
+            spill_dir=os.path.join(state_dir, "seen_spill", f"part={p}"),
+            spill_entries=cfg.dedupe_spill_entries)
         for p in range(cfg.partitions)
     ]
 
@@ -492,6 +515,18 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
         if "crash_after" in cfg.extra:
             # crash tests need strictly sequential commits
             _finalize(e, flush_refs, snap_refs, watermark, lineage)
+        elif cfg.distributed_finalize:
+            # distributed combine: one reducer per OUTPUT partition
+            # (hash-bucketed groupby exchange), then the done-marker
+            # task gated on all of them + the previous epoch
+            red = [_reduce_out_partition.remote(
+                       e, p, flush_refs, lineage, dim_versions, cfg,
+                       out_dir, prev=fin_ref)
+                   for p in range(cfg.out_partitions)]
+            fin_ref = _epoch_done_task.remote(
+                e, snap_refs, watermark, cfg, out_dir, state_dir,
+                *red)
+            fin_refs.append(fin_ref)
         else:
             # chain finalizes through the prev-result dependency:
             # commit order holds, the driver never blocks mid-stream
@@ -569,6 +604,68 @@ def _finalize_epoch_body(e: int, partials: list, snap_blobs: list,
         os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
     sink.finish_epoch(e, {"watermark": int(watermark)})
     return written, skipped
+
+
+@ray.remote(num_cpus=1)
+def _reduce_out_partition(e: int, p_out: int, flush_refs: list,
+                          lineage: dict, dim_versions, cfg,
+                          out_dir: str, prev=None) -> int:
+    """One reducer of the DISTRIBUTED final combine
+    (cfg.distributed_finalize): pulls every state partition's pane
+    partial, keeps only the rows whose (window_end, lang) hash lands
+    in output partition ``p_out``, and runs the IDENTICAL
+    combine→enrich→schema chain on that bucket before committing it.
+    Byte-identical to the single-task path: bucketing is a function
+    of the group key (commutes with the aggregate), groupby(sort=True)
+    orders each bucket exactly as the global combine orders its
+    ``hash % R == p_out`` subset, and merge_asof is row-independent.
+    ``prev`` carries the previous epoch's done-marker dependency so
+    commit order holds. Volume note: each reducer re-reads all P
+    partials (R × Σ|partials| total traffic) — pre-aggregated
+    metadata, not event data; acceptable against the alternative of
+    changing the worker flush contract."""
+    import pandas as pd
+
+    partials = ray.get(list(flush_refs))
+    subs = []
+    for t in partials:
+        if not t.num_rows:
+            continue
+        df = t.to_pandas()
+        h = pd.util.hash_pandas_object(
+            df[["window_end", "lang"]], index=False).to_numpy()
+        m = (h % np.uint64(cfg.out_partitions)).astype(np.int64) == p_out
+        if m.any():
+            subs.append(pa.Table.from_pandas(
+                df[m], preserve_index=False).replace_schema_metadata(None))
+    out = _combine_and_enrich(subs, dim_versions, cfg.window_size_us)
+    tbl = _finalize_schema(pa.Table.from_pandas(
+        out, preserve_index=False).replace_schema_metadata(None))
+    sink = ExactlyOnceParquetSink(out_dir)
+    return 1 if sink.write_partition(e, p_out, tbl,
+                                     lineage=lineage) else 0
+
+
+@ray.remote(num_cpus=0.25)
+def _epoch_done_task(e: int, snap_refs: list, watermark: int,
+                     cfg, out_dir: str, state_dir: str,
+                     *written_flags) -> tuple[int, int]:
+    """Distributed-finalize epilogue: runs only after every reducer of
+    epoch ``e`` committed (the ``*written_flags`` are their results as
+    task dependencies), persists the worker snapshots, then writes the
+    epoch-done marker — the same atomicity point as the single-task
+    path."""
+    snap_dir = os.path.join(state_dir, f"epoch={e}")
+    os.makedirs(snap_dir, exist_ok=True)
+    for p, b in enumerate(ray.get(list(snap_refs))):
+        tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(b)
+        os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+    sink = ExactlyOnceParquetSink(out_dir)
+    sink.finish_epoch(e, {"watermark": int(watermark)})
+    written = sum(written_flags)
+    return written, len(written_flags) - written
 
 
 @ray.remote(num_cpus=1)
@@ -1090,7 +1187,7 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
     # feed-task granularity: ~3 tasks per CPU per (epoch, side) so the
     # wave load-balances, but never 15k-row single-file tasks whose
     # fixed cost (submission + P puts) rivals their compute
-    tasks_per_side = 3 * cluster_cpus()
+    tasks_per_side = int(float(os.environ.get('BENTO_FEED_TPS_X', '3')) * cluster_cpus())
 
     def _grouped(files: list, side: int) -> list:
         if not files:
@@ -1149,8 +1246,12 @@ def _run_two_stream(make_worker, left_path: str, right_path: str,
             w.snapshot_to.remote(os.path.join(snap_dir, f"part={p}.pkl"))
             for p, w in enumerate(workers)]
         pending = (e, commit_refs, snap_refs, watermark)
+    pt4 = time.perf_counter()
     if pending is not None:
         _settle(pending)
+    if prof:
+        print(f"[tail] final settle={time.perf_counter()-pt4:.3f}",
+              flush=True)
 
     metrics = ray.get([w.get_metrics.remote() for w in workers])
     agg = {k: sum(m[k] for m in metrics)

@@ -1,6 +1,7 @@
 """Streaming engine: watermark windows, dedupe, enrichment join,
 exactly-once sink, resume-from-checkpoint (FIXTURES.md §4.3, §4.6, §4.7)."""
 
+import glob
 import os
 import shutil
 
@@ -435,3 +436,95 @@ def test_resume_chunks_unit():
         ["f0", "f1"], ["f2"], ["f3", "f4"], ["f5"]]
     with pytest.raises(ValueError, match="absent from the current"):
         _resume_chunks(["f0", "f3"], 2, sink, 1)
+
+
+def test_distributed_finalize_byte_identical(pages_small, stream_out,
+                                             tmp_path):
+    """cfg.distributed_finalize fans the epoch combine out to one
+    reducer per output partition (hash-bucketed groupby exchange).
+    The committed sink must be BYTE-identical to the single-task
+    path, file by file: bucketing is a function of the group key, so
+    it commutes with the aggregate and preserves per-partition row
+    order."""
+    out_ref, _ = stream_out
+    out2 = str(tmp_path / "dist")
+    flagship_streaming(pages_small, out2, partitions=4,
+                       files_per_epoch=2, distributed_finalize=True)
+
+    ref_files = sorted(glob.glob(os.path.join(out_ref, "data", "**",
+                                              "*.parquet"), recursive=True))
+    got_files = sorted(glob.glob(os.path.join(out2, "data", "**",
+                                              "*.parquet"), recursive=True))
+    assert [os.path.relpath(f, out_ref) for f in ref_files] == \
+           [os.path.relpath(f, out2) for f in got_files]
+    assert ref_files
+    for a, b in zip(ref_files, got_files):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), (a, b)
+
+
+def test_spillable_seen_set_byte_identical(pages_small, tmp_path):
+    """dedupe_spill_entries: whole-run dedupe (dedupe_ttl_us=None)
+    with the seen-set's main run forced onto disk (tiny RAM bound →
+    spills + compactions every flush) must commit byte-identical
+    files to the all-in-RAM run, and leave spill runs on disk."""
+    outs = []
+    for spill in (None, 64):
+        out = str(tmp_path / f"spill_{spill}")
+        cfg = StreamConfig(window_size_us=10_000_000, partitions=4,
+                           out_partitions=4, files_per_epoch=2,
+                           dedupe_ttl_us=None,
+                           dedupe_spill_entries=spill)
+        m = run_stream(pages_small, cfg, out,
+                       dim_versions=dim_versions_table())
+        assert m["worker_metrics"]["dedupe_dropped"] > 0
+        outs.append(out)
+
+    ref_files = sorted(glob.glob(os.path.join(outs[0], "data", "**",
+                                              "*.parquet"), recursive=True))
+    got_files = sorted(glob.glob(os.path.join(outs[1], "data", "**",
+                                              "*.parquet"), recursive=True))
+    assert ref_files and len(ref_files) == len(got_files)
+    for a, b in zip(ref_files, got_files):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), (a, b)
+    runs = glob.glob(os.path.join(outs[1], "_state", "seen_spill",
+                                  "part=*", "run*"))
+    assert runs, "spill bound of 64 entries must force on-disk runs"
+
+
+def test_spill_seen_set_semantics():
+    """Unit drill of _SpillSeenSet across spill + compaction + gc +
+    rebuild: membership must always equal a plain dict-of-firsts."""
+    import tempfile
+
+    from bento_ray.streaming.actors import _SpillSeenSet
+
+    rng = np.random.RandomState(7)
+    with tempfile.TemporaryDirectory() as d:
+        s = _SpillSeenSet(d, mem_entries=128)
+        truth: dict[int, int] = {}
+        for step in range(30):
+            q = rng.randint(0, 2000, size=200).astype(np.uint64)
+            ts = np.full(len(q), step, np.int64)
+            got = s.contains(q)
+            want = np.array([int(x) in truth for x in q])
+            assert (got == want).all(), step
+            # add the absent ones (first occurrence of each in batch)
+            absent = ~got
+            firsts = pd.Series(np.arange(len(q))).groupby(
+                q).min().to_numpy()
+            mask = np.zeros(len(q), bool)
+            mask[firsts] = True
+            mask &= absent
+            s.add(q[mask], ts[mask])
+            for x in q[mask]:
+                truth[int(x)] = step
+        # TTL gc drops old entries even through disk runs
+        s.gc(15)
+        truth = {k: v for k, v in truth.items() if v >= 15}
+        q = np.arange(0, 2000, dtype=np.uint64)
+        got = s.contains(q)
+        want = np.array([int(x) in truth for x in q])
+        assert (got == want).all()
+        assert len(s) == len(truth)
