@@ -13,13 +13,16 @@ public spec):
 - SPS/PPS: baseline profile fields, exp-Golomb coded, frame cropping
   for non-multiple-of-16 dimensions (even dims required — 4:2:0 crop
   units), pic_order_cnt_type=2, CAVLC entropy mode flagged.
-- Slice + macroblock layer: I slices whose macroblocks are **I_PCM**
-  (mb_type 25): byte-aligned raw 4:2:0 samples. I_PCM is a fully legal
-  baseline stream (what lossless x264 emits at qp 0 for noisy content)
-  and is byte-exact — decode(encode(frame)) round-trips the YCbCr
-  samples losslessly. Predicted macroblock types (I_4x4 / I_16x16 +
-  CAVLC residuals) raise MediaDecodeError → the caller's documented
-  fallback; the MB-loop dispatch is structured for adding them.
+- Slice + macroblock layer: I slices with **I_PCM** macroblocks
+  (mb_type 25, byte-aligned raw 4:2:0 — legal baseline, byte-exact
+  round-trip) AND **predicted** macroblocks: I_4x4 (9 intra modes) /
+  I_16x16 (4 modes) prediction with CAVLC residuals, spec dequant +
+  integer inverse transforms (h264intra.py, h264cavlc.py).
+  ``encode_avc_iframes`` emits I_PCM; ``encode_avc_iframes_cavlc``
+  emits predicted MBs (lossy) plus the reconstruction the decoder
+  must reproduce bit-exactly. CABAC / inter prediction and CAVLC
+  contexts beyond the transcribed tables raise MediaDecodeError →
+  the caller's documented fallback.
 
 Conformance caveat (honest): the sandbox has no ffmpeg/x264 or
 external H.264 streams, so cross-validation is round-trip + structural
@@ -38,8 +41,8 @@ import numpy as np
 
 from bento_ray.mediaerrors import MediaDecodeError
 
-__all__ = ["encode_avc_iframes", "decode_avc_sample", "parse_avcc",
-           "build_avcc"]
+__all__ = ["encode_avc_iframes", "encode_avc_iframes_cavlc",
+           "decode_avc_sample", "parse_avcc", "build_avcc"]
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +369,68 @@ def _encode_idr_sample(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return _rbsp_to_nal(w.rbsp_trailing())
 
 
+def _encode_idr_sample_cavlc(y: np.ndarray, cb: np.ndarray,
+                             cr: np.ndarray, mb_w: int, mb_h: int,
+                             idr_pic_id: int, seed: int):
+    """Predicted-macroblock IDR slice (I_4x4 / I_16x16 + CAVLC,
+    qp 26): returns (NAL bytes, reconstructed (y, cb, cr) planes).
+    The reconstruction comes from the decode-path kernels, so the
+    decoder must reproduce it bit-exactly."""
+    from bento_ray.h264intra import MBContext, encode_macroblock
+
+    w = _BitWriter()
+    w.u(0x65, 8)          # nal: ref_idc=3, type=5 (IDR slice)
+    w.ue(0)               # first_mb_in_slice
+    w.ue(7)               # slice_type: I (all slices in picture)
+    w.ue(0)               # pic_parameter_set_id
+    w.u(0, 4)             # frame_num
+    w.ue(idr_pic_id)
+    w.se(0)               # slice_qp_delta (qp stays 26)
+    w.ue(1)               # disable_deblocking_filter_idc = 1 (off)
+    y16 = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+    y16[:y.shape[0], :y.shape[1]] = y
+    c8w, c8h = mb_w * 8, mb_h * 8
+    cbp = np.zeros((c8h, c8w), np.uint8)
+    crp = np.zeros((c8h, c8w), np.uint8)
+    cbp[:cb.shape[0], :cb.shape[1]] = cb
+    crp[:cr.shape[0], :cr.shape[1]] = cr
+    ctx = MBContext(mb_w, mb_h)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            encode_macroblock(w, ctx, mx, my, y16, cbp, crp, qp=26,
+                              variant=seed + 5 * my + mx)
+    return _rbsp_to_nal(w.rbsp_trailing()), (ctx.y, ctx.cb, ctx.cr)
+
+
+def encode_avc_iframes_cavlc(frames) -> tuple[bytes, list[bytes], list]:
+    """Like :func:`encode_avc_iframes` but with PREDICTED macroblocks
+    (I_4x4 / I_16x16 intra prediction + sparse CAVLC residuals, qp 26,
+    deterministic per-MB mode variety) instead of I_PCM. Lossy — the
+    third return value is the per-frame RGB reconstruction the decoder
+    must match bit-exactly."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    h0, w0 = frames[0].shape[:2]
+    if h0 % 2 or w0 % 2:
+        raise ValueError("even frame dimensions required (4:2:0)")
+    sps = _encode_sps(w0, h0)
+    pps = _encode_pps()
+    mb_w, mb_h = (w0 + 15) // 16, (h0 + 15) // 16
+    samples, recons = [], []
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h0, w0):
+            raise ValueError("all frames must share dimensions")
+        y, cb, cr = _rgb_to_ycbcr420(f)
+        nal, (ry, rcb, rcr) = _encode_idr_sample_cavlc(
+            y, cb, cr, mb_w, mb_h, idr_pic_id=i % 16, seed=i)
+        samples.append(struct.pack(">I", len(nal)) + nal)
+        recons.append(_ycbcr420_to_rgb(ry[:h0, :w0],
+                                       rcb[:(h0 + 1) // 2, :(w0 + 1) // 2],
+                                       rcr[:(h0 + 1) // 2, :(w0 + 1) // 2]))
+    return build_avcc(sps, pps), samples, recons
+
+
 def encode_avc_iframes(frames) -> tuple[bytes, list[bytes]]:
     """RGB frames (H, W, 3 uint8, even dims) → (avcC record, one
     length-prefixed IDR sample per frame). Every frame is an
@@ -410,32 +475,38 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict):
         r.ue()            # idr_pic_id
     if sps["poc_type"] == 0:
         raise MediaDecodeError("poc_type 0 slice header unsupported")
-    r.se()                # slice_qp_delta
+    slice_qp_delta = r.se()
     if pps["deblock_ctl"]:
         if r.ue() != 1:   # disable_deblocking_filter_idc
             r.se()        # alpha offset
             r.se()        # beta offset
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
-    y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-    cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-    cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+    from bento_ray.h264intra import MBContext, decode_macroblock
+
+    ctx = MBContext(mb_w, mb_h)
+    qp = pps["pic_init_qp"] + slice_qp_delta
     for mb in range(mb_w * mb_h):
         mb_type = r.ue()
-        if mb_type != 25:
-            # I_4x4 / I_16x16 + CAVLC residual decode: not implemented
-            # (this is the extension point for predicted macroblocks)
-            raise MediaDecodeError(
-                f"predicted macroblock type {mb_type} unsupported "
-                "(I_PCM-only decoder)")
-        r.align()
         mx, my = mb % mb_w, mb // mb_w
-        y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-            np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
-        cb[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-            np.frombuffer(r.raw(64), np.uint8).reshape(8, 8)
-        cr[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-            np.frombuffer(r.raw(64), np.uint8).reshape(8, 8)
-    return y, cb, cr
+        if mb_type == 25:                 # I_PCM
+            r.align()
+            ctx.y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+                np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
+            ctx.cb[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                np.frombuffer(r.raw(64), np.uint8).reshape(8, 8)
+            ctx.cr[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                np.frombuffer(r.raw(64), np.uint8).reshape(8, 8)
+            # neighbor bookkeeping (9.2.1: nC counts 16 for I_PCM)
+            ctx.nz_y[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+            ctx.nz_cb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+            ctx.nz_cr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+            ctx.mode4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -2
+        elif mb_type <= 24:               # I_4x4 / I_16x16 + CAVLC
+            qp = decode_macroblock(r, ctx, mx, my, mb_type, qp)
+        else:
+            raise MediaDecodeError(
+                f"macroblock type {mb_type} unsupported")
+    return ctx.y, ctx.cb, ctx.cr
 
 
 def decode_avc_sample(avcc: bytes, sample: bytes) -> np.ndarray:

@@ -314,15 +314,22 @@ def encode_mp4_stub(width: int = 64, height: int = 48, n_frames: int = 24,
     return prefix + box(b"mdat", mdat_body)
 
 
-def encode_mp4_avc(frames, fps: int = 12) -> bytes:
+def encode_mp4_avc(frames, fps: int = 12, coding: str = "pcm") -> bytes:
     """MP4 with REAL decodable video: RGB frames → all-IDR baseline
-    H.264 (I_PCM macroblocks, h264codec.py) packed into the full box
-    structure with the avcC decoder config. extract_video_samples +
-    decode_avc_sample round-trip it losslessly (YCbCr domain)."""
-    from bento_ray.h264codec import encode_avc_iframes
+    H.264 packed into the full box structure with the avcC decoder
+    config. ``coding="pcm"`` (I_PCM macroblocks — lossless in the
+    YCbCr domain) or ``coding="cavlc"`` (PREDICTED I_4x4/I_16x16
+    macroblocks with CAVLC residuals — the ordinary all-intra shape,
+    lossy; decode matches the encoder reconstruction bit-exactly).
+    extract_video_samples + decode_avc_sample read either back."""
+    from bento_ray.h264codec import (encode_avc_iframes,
+                                     encode_avc_iframes_cavlc)
 
     frames = [np.asarray(f) for f in frames]
-    avcc, samples = encode_avc_iframes(frames)
+    if coding == "cavlc":
+        avcc, samples, _ = encode_avc_iframes_cavlc(frames)
+    else:
+        avcc, samples = encode_avc_iframes(frames)
     h, w = frames[0].shape[:2]
     return encode_mp4_stub(width=w, height=h, fps=fps,
                            samples=samples, avcc=avcc)

@@ -6,10 +6,13 @@ handle (PNG / BMP / PPM / GIF / baseline AND progressive JPEG images,
 animated GIF as the multi-frame "video" path, RIFF/WAVE audio — see
 ``bento_ray.mediacodec`` and ``bento_ray.jpegcodec``; MP4 container
 metadata is parsed for real by ``bento_ray.mp4box``, and MP4 video
-samples carrying baseline H.264 I_PCM macroblocks decode to real
-pixels via ``bento_ray.h264codec``). Only payloads whose decode needs
-a native library this container lacks (predicted-macroblock H.264,
-H.265, MP3/AAC audio samples) fall back to a clearly-marked
+samples carrying baseline H.264 decode to real pixels via
+``bento_ray.h264codec`` — both I_PCM and PREDICTED I_4x4/I_16x16
+macroblocks with CAVLC residuals, the ordinary all-intra shape).
+Only payloads whose decode needs a native library this container
+lacks (CABAC / inter-predicted H.264, H.265, MP3/AAC audio samples,
+dense-residual CAVLC beyond h264cavlc's transcribed coeff_token
+tables) fall back to a clearly-marked
 deterministic fake so the Ray-side plumbing still runs; the
 ``decoder`` column records which path produced each row
 ("pil" / "pure" / "fake").
@@ -218,11 +221,12 @@ class FrameSampler:
     downstream image-embedding stage consumes.
 
     Real paths: animated GIF (full frame decode) and MP4 carrying
-    baseline H.264 I_PCM samples (h264codec.py — only the selected K
+    baseline all-intra H.264 — I_PCM or predicted I_4x4/I_16x16 +
+    CAVLC samples (h264codec.py / h264intra.py — only the selected K
     samples are decoded, never the whole track; all-IDR layout means
-    any sample decodes standalone). Everything else (predicted H.264,
-    webm, missing avcC) takes the deterministic byte-range fallback,
-    recorded in ``decoder``."""
+    any sample decodes standalone). Everything else (CABAC or
+    inter-predicted H.264, webm, missing avcC) takes the
+    deterministic byte-range fallback, recorded in ``decoder``."""
 
     def __init__(self, k: int = 4):
         self.k = k
@@ -425,15 +429,20 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             t = np.arange(int(rate * dur / 1000), dtype=np.float32) / rate
             freq = float(rng.integers(100, 2000))
             payload = mc.encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
-        elif kind == "video" and i % 12 == 5:
-            # MP4 with REAL decodable H.264 (all-IDR I_PCM baseline,
-            # h264codec.py): FrameSampler decodes actual pixels
+        elif kind == "video" and i % 12 in (5, 8):
+            # MP4 with REAL decodable H.264 (h264codec.py):
+            # slot 5 = all-IDR I_PCM baseline (lossless); slot 8 =
+            # PREDICTED I_4x4/I_16x16 macroblocks + CAVLC residuals
+            # (the ordinary all-intra shape). FrameSampler decodes
+            # actual pixels from both (decoder='pure').
             from bento_ray.mp4box import encode_mp4_avc
 
             w, h, nf = 32, 24, 12
             base = levels[rng.integers(0, 6, (h, w, 3))]
             vid_frames = [np.roll(base, j * 3, axis=1) for j in range(nf)]
-            payload = encode_mp4_avc(vid_frames, fps=12)
+            payload = encode_mp4_avc(
+                vid_frames, fps=12,
+                coding="cavlc" if i % 12 == 8 else "pcm")
             mime = "video/mp4"
             dur = nf * 1000 // 12
         elif kind == "video" and i % 12 == 11:
