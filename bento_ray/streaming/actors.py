@@ -493,6 +493,15 @@ class SessionWorker:
         self._raw.append((ts, keys, values))
         return len(ts)
 
+    def ingest_refs(self, refs: list) -> int:
+        """Reduce side of the engine's M×R feed shuffle (see
+        IntervalJoinWorker.ingest_refs): each plasma bundle is a
+        (ts, key, value) numpy triple."""
+        total = 0
+        for ts, keys, values in ray.get(list(refs)):
+            total += self.ingest(ts, keys, values)
+        return total
+
     def get_max_ts(self) -> int:
         return self.max_ts
 
@@ -570,6 +579,26 @@ class SessionWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
+    def snapshot_to(self, path: str) -> int:
+        """Worker-written snapshot file — see
+        IntervalJoinWorker.snapshot_to."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Task-local sink write — see
+        IntervalJoinWorker.flush_and_commit."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
+
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -628,6 +657,16 @@ class CepWorker:
             self.max_ts = max(self.max_ts, int(ts.max()))
         self._raw.append((ts, eids, keys, types))
         return len(ts)
+
+    def ingest_refs(self, refs: list) -> int:
+        """Reduce side of the engine's M×R feed shuffle: each plasma
+        bundle is (ts, eid, key, type-codes, vocab) with the event
+        type dictionary-encoded for the wire."""
+        total = 0
+        for ts, eids, keys, codes, vocab in ray.get(list(refs)):
+            types = np.asarray(vocab, dtype=object)[codes]
+            total += self.ingest(ts, eids, keys, types)
+        return total
 
     def get_max_ts(self) -> int:
         return self.max_ts
@@ -1182,6 +1221,16 @@ class AbsenceWorker:
         self._raw.append((ts, eids, keys, types))
         return len(ts)
 
+    def ingest_refs(self, refs: list) -> int:
+        """Reduce side of the engine's M×R feed shuffle: each plasma
+        bundle is (ts, eid, key, type-codes, vocab) with the event
+        type dictionary-encoded for the wire."""
+        total = 0
+        for ts, eids, keys, codes, vocab in ray.get(list(refs)):
+            types = np.asarray(vocab, dtype=object)[codes]
+            total += self.ingest(ts, eids, keys, types)
+        return total
+
     def get_max_ts(self) -> int:
         return self.max_ts
 
@@ -1336,6 +1385,16 @@ class FollowedByWorker:
             self.max_ts = max(self.max_ts, int(ts.max()))
         self._raw.append((ts, eids, keys, types))
         return len(ts)
+
+    def ingest_refs(self, refs: list) -> int:
+        """Reduce side of the engine's M×R feed shuffle: each plasma
+        bundle is (ts, eid, key, type-codes, vocab) with the event
+        type dictionary-encoded for the wire."""
+        total = 0
+        for ts, eids, keys, codes, vocab in ray.get(list(refs)):
+            types = np.asarray(vocab, dtype=object)[codes]
+            total += self.ingest(ts, eids, keys, types)
+        return total
 
     def get_max_ts(self) -> int:
         return self.max_ts

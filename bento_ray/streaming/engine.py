@@ -699,32 +699,47 @@ def _finalize_schema(t: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _feed_session_file(path: str, workers: list, partitions: int,
-                       key_col: str, ts_col: str, value_col: str,
-                       batch_rows: int) -> tuple[int, int]:
-    """Session-stream feeder: one raw task per file, partitioned by
-    hash(key) so every session lives wholly inside one worker."""
+def _feed_session_files(paths: list, partitions: int,
+                        key_col: str, ts_col: str, value_col: str,
+                        batch_rows: int) -> tuple[int, int, list]:
+    """Session-stream feeder: map side of the M×R shuffle (same design
+    as _feed_join_files), partitioned by hash(key) so every session
+    lives wholly inside one worker."""
     import pyarrow.parquet as pq
 
     rows, max_ts = 0, -(1 << 62)
-    pf = pq.ParquetFile(path)
-    refs = []
-    for rb in pf.iter_batches(batch_size=batch_rows,
-                              columns=[key_col, ts_col, value_col]):
-        t = pa.Table.from_batches([rb])
-        ts = _ts_us_int64(t.column(ts_col))
-        keys = np.asarray(t.column(key_col).to_pylist(), dtype=object)
-        vals = t.column(value_col).cast(pa.float64()).to_numpy()
-        part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
-        for p in range(partitions):
-            m = part == p
-            if m.any():
-                refs.append(workers[p].ingest.remote(ts[m], keys[m], vals[m]))
-        rows += len(t)
-        if len(ts):
-            max_ts = max(max_ts, int(ts.max()))
-    ray.get(refs)  # settle before the epoch barrier
-    return rows, max_ts
+    acc: list[list] = [[] for _ in range(partitions)]
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=batch_rows,
+                                  columns=[key_col, ts_col, value_col]):
+            t = pa.Table.from_batches([rb])
+            ts = _ts_us_int64(t.column(ts_col))
+            keys = np.asarray(t.column(key_col).to_pylist(),
+                              dtype=object)
+            vals = t.column(value_col).cast(pa.float64()).to_numpy()
+            part = (stable_hash(keys)
+                    % np.uint64(partitions)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            bounds = np.searchsorted(part[order],
+                                     np.arange(partitions + 1))
+            ts_s, keys_s, vals_s = ts[order], keys[order], vals[order]
+            for p in range(partitions):
+                lo, hi = bounds[p], bounds[p + 1]
+                if hi > lo:
+                    acc[p].append((ts_s[lo:hi], keys_s[lo:hi],
+                                   vals_s[lo:hi]))
+            rows += len(t)
+            if len(ts):
+                max_ts = max(max_ts, int(ts.max()))
+    refs: list = [None] * partitions
+    for p, chunks in enumerate(acc):
+        if chunks:
+            refs[p] = ray.put((
+                np.concatenate([c[0] for c in chunks]),
+                np.concatenate([c[1] for c in chunks]),
+                np.concatenate([c[2] for c in chunks])))
+    return rows, max_ts, refs
 
 
 def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
@@ -773,35 +788,58 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
     if resume and start_epoch > 0:
         # Re-seed watermark from restored state (see run_stream above).
         global_max_ts = max(ray.get([w.get_max_ts.remote() for w in workers]))
+    def _settle(pend) -> None:
+        nonlocal written, skipped
+        pe, commit_refs, snap_refs, wm = pend
+        done = ray.get(commit_refs)
+        written += sum(done)
+        skipped += len(done) - sum(done)
+        ray.get(snap_refs)
+        sink.finish_epoch(pe, {"watermark": int(wm)})
+
+    from bento_ray.util import cluster_cpus
+
+    tasks_target = 3 * cluster_cpus()
+    pending = None
     for e in range(start_epoch, len(epochs)):
+        files_e = epochs[e]
+        g = max(1, -(-len(files_e) // tasks_target))
+        work = [files_e[i:i + g] for i in range(0, len(files_e), g)]
         summary = _submit_in_waves(
-            lambda f: _feed_session_file.remote(f, workers, partitions,
-                                                key_col, ts_col, value_col,
-                                                16384),
-            epochs[e])
-        rows_total += sum(r for r, _ in summary)
+            lambda fs: _feed_session_files.remote(fs, partitions,
+                                                  key_col, ts_col,
+                                                  value_col, 131072),
+            work)
+        rows_total += sum(r for r, _, _ in summary)
         if summary:
-            global_max_ts = max(global_max_ts, max(mt for _, mt in summary))
+            global_max_ts = max(global_max_ts,
+                                max(mt for _, mt, _ in summary))
+        per_refs: list[list] = [[] for _ in range(partitions)]
+        for _, _, refs in summary:
+            for p, ref in enumerate(refs):
+                if ref is not None:
+                    per_refs[p].append(ref)
+        ray.get([workers[p].ingest_refs.remote(per_refs[p])
+                 for p in range(partitions) if per_refs[p]])
+        if pending is not None:
+            _settle(pending)
         final = drain and e == len(epochs) - 1
         watermark = (global_max_ts + gap_us + 1 if final
                      else global_max_ts - allowed_lateness_us)
-        lineage = {"input_files": epochs[e], "watermark": int(watermark),
+        lineage = {"input_files": files_e, "watermark": int(watermark),
                    "epoch": e}
-        flush_refs = [w.flush.remote(watermark) for w in workers]
-        snap_refs = [w.snapshot.remote() for w in workers]
-        w_new, s_new = _commit_epoch(out_dir, e, flush_refs, lineage,
-                                     crash_after)
-        written += w_new
-        skipped += s_new
+        commit_refs = [
+            w.flush_and_commit.remote(watermark, out_dir, e, lineage,
+                                      crash_after)
+            for w in workers]
         snap_dir = os.path.join(state_dir, f"epoch={e}")
         os.makedirs(snap_dir, exist_ok=True)
-        blobs = ray.get(snap_refs)
-        for p, b in enumerate(blobs):
-            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(b)
-            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
-        sink.finish_epoch(e, {"watermark": int(watermark)})
+        snap_refs = [
+            w.snapshot_to.remote(os.path.join(snap_dir, f"part={p}.pkl"))
+            for p, w in enumerate(workers)]
+        pending = (e, commit_refs, snap_refs, watermark)
+    if pending is not None:
+        _settle(pending)
 
     metrics = ray.get([w.get_metrics.remote() for w in workers])
     agg = {k: sum(m[k] for m in metrics) for k in metrics[0]} if metrics else {}
@@ -816,35 +854,73 @@ def run_session_stream(input_path: str, out_dir: str, *, key_col: str,
 
 
 @ray.remote
-def _feed_cep_file(path: str, workers: list, partitions: int,
-                   key_col: str, ts_col: str, id_col: str,
-                   type_col: str, batch_rows: int) -> tuple[int, int]:
-    """CEP-stream feeder: one raw task per file, partitioned by
-    hash(key) so every key's event sequence lives in one worker."""
+def _feed_typed_files(paths: list, partitions: int,
+                      key_col: str, ts_col: str, id_col: str,
+                      type_col: str, batch_rows: int
+                      ) -> tuple[int, int, list]:
+    """Typed-event feeder (CEP / absence / followedBy): map side of
+    the M×R shuffle — same design as _feed_join_files (one ray.put
+    per non-empty partition, refs back in the tiny task result,
+    grouped files per task), partitioned by hash(key) so every key's
+    event sequence lives in one worker. Event types travel
+    dictionary-encoded (int16 codes + tiny vocab)."""
     import pyarrow.parquet as pq
 
     rows, max_ts = 0, -(1 << 62)
-    pf = pq.ParquetFile(path)
-    refs = []
-    for rb in pf.iter_batches(batch_size=batch_rows,
-                              columns=[key_col, ts_col, id_col,
-                                       type_col]):
-        t = pa.Table.from_batches([rb])
-        ts = _ts_us_int64(t.column(ts_col))
-        eid = t.column(id_col).cast(pa.int64()).to_numpy()
-        keys = t.column(key_col).cast(pa.int64()).to_numpy()
-        typ = np.asarray(t.column(type_col).to_pylist(), dtype=object)
-        part = (stable_hash(keys) % np.uint64(partitions)).astype(np.int64)
-        for p in range(partitions):
-            m = part == p
-            if m.any():
-                refs.append(workers[p].ingest.remote(
-                    ts[m], eid[m], keys[m], typ[m]))
-        rows += len(t)
-        if len(ts):
-            max_ts = max(max_ts, int(ts.max()))
-    ray.get(refs)
-    return rows, max_ts
+    acc: list[list] = [[] for _ in range(partitions)]
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=batch_rows,
+                                  columns=[key_col, ts_col, id_col,
+                                           type_col]):
+            t = pa.Table.from_batches([rb])
+            ts = _ts_us_int64(t.column(ts_col))
+            eid = t.column(id_col).cast(pa.int64()).to_numpy()
+            keys = t.column(key_col).cast(pa.int64()).to_numpy()
+            tdict = t.column(type_col).combine_chunks() \
+                .dictionary_encode()
+            codes = np.asarray(tdict.indices.to_numpy(
+                zero_copy_only=False), np.int16)
+            vocab = tdict.dictionary.to_pylist()
+            part = (stable_hash(keys)
+                    % np.uint64(partitions)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            bounds = np.searchsorted(part[order],
+                                     np.arange(partitions + 1))
+            ts_s, eid_s = ts[order], eid[order]
+            keys_s, codes_s = keys[order], codes[order]
+            for p in range(partitions):
+                lo, hi = bounds[p], bounds[p + 1]
+                if hi > lo:
+                    acc[p].append((ts_s[lo:hi], eid_s[lo:hi],
+                                   keys_s[lo:hi], codes_s[lo:hi],
+                                   vocab))
+            rows += len(t)
+            if len(ts):
+                max_ts = max(max_ts, int(ts.max()))
+    refs: list = [None] * partitions
+    for p, chunks in enumerate(acc):
+        if not chunks:
+            continue
+        # merge per-chunk vocabs into one bundle per partition
+        vocab: list = []
+        vidx: dict = {}
+        code_parts = []
+        for _, _, _, codes, cvocab in chunks:
+            remap = np.empty(len(cvocab), np.int16)
+            for i, v in enumerate(cvocab):
+                if v not in vidx:
+                    vidx[v] = len(vocab)
+                    vocab.append(v)
+                remap[i] = vidx[v]
+            code_parts.append(remap[codes])
+        refs[p] = ray.put((
+            np.concatenate([c[0] for c in chunks]),
+            np.concatenate([c[1] for c in chunks]),
+            np.concatenate([c[2] for c in chunks]),
+            np.concatenate(code_parts),
+            vocab))
+    return rows, max_ts, refs
 
 
 def _run_typed_event_stream(make_worker, input_path: str, out_dir: str,
@@ -894,36 +970,62 @@ def _run_typed_event_stream(make_worker, input_path: str, out_dir: str,
     if resume and start_epoch > 0:
         global_max_ts = max(ray.get(
             [w.get_max_ts.remote() for w in workers]))
+    def _settle(pend) -> None:
+        """Same pipelined-epoch epilogue as _run_two_stream: wait for
+        the epoch's worker-local commits and worker-written snapshots,
+        then write the done marker."""
+        nonlocal written, skipped
+        pe, commit_refs, snap_refs, wm = pend
+        done = ray.get(commit_refs)
+        written += sum(done)
+        skipped += len(done) - sum(done)
+        ray.get(snap_refs)
+        sink.finish_epoch(pe, {"watermark": int(wm)})
+
+    from bento_ray.util import cluster_cpus
+
+    tasks_target = 3 * cluster_cpus()
+    pending = None
     for e in range(start_epoch, len(epochs)):
+        files_e = epochs[e]
+        g = max(1, -(-len(files_e) // tasks_target))
+        work = [files_e[i:i + g] for i in range(0, len(files_e), g)]
         summary = _submit_in_waves(
-            lambda f: _feed_cep_file.remote(f, workers, partitions,
-                                            key_col, ts_col, id_col,
-                                            type_col, 16384),
-            epochs[e])
-        rows_total += sum(r for r, _ in summary)
+            lambda fs: _feed_typed_files.remote(fs, partitions,
+                                                key_col, ts_col,
+                                                id_col, type_col,
+                                                131072),
+            work)
+        rows_total += sum(r for r, _, _ in summary)
         if summary:
             global_max_ts = max(global_max_ts,
-                                max(mt for _, mt in summary))
+                                max(mt for _, mt, _ in summary))
+        per_refs: list[list] = [[] for _ in range(partitions)]
+        for _, _, refs in summary:
+            for p, ref in enumerate(refs):
+                if ref is not None:
+                    per_refs[p].append(ref)
+        ray.get([workers[p].ingest_refs.remote(per_refs[p])
+                 for p in range(partitions) if per_refs[p]])
+        if pending is not None:
+            _settle(pending)
         final = drain and e == len(epochs) - 1
         watermark = (global_max_ts + final_span_us + 1 if final
                      else global_max_ts - allowed_lateness_us)
-        lineage = {"input_files": epochs[e], "watermark": int(watermark),
+        lineage = {"input_files": files_e, "watermark": int(watermark),
                    "epoch": e}
-        flush_refs = [w.flush.remote(watermark) for w in workers]
-        snap_refs = [w.snapshot.remote() for w in workers]
-        w_new, s_new = _commit_epoch(out_dir, e, flush_refs, lineage,
-                                     crash_after)
-        written += w_new
-        skipped += s_new
+        commit_refs = [
+            w.flush_and_commit.remote(watermark, out_dir, e, lineage,
+                                      crash_after)
+            for w in workers]
         snap_dir = os.path.join(state_dir, f"epoch={e}")
         os.makedirs(snap_dir, exist_ok=True)
-        blobs = ray.get(snap_refs)
-        for p, b in enumerate(blobs):
-            tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(b)
-            os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
-        sink.finish_epoch(e, {"watermark": int(watermark)})
+        snap_refs = [
+            w.snapshot_to.remote(os.path.join(snap_dir, f"part={p}.pkl"))
+            for p, w in enumerate(workers)]
+        pending = (e, commit_refs, snap_refs, watermark)
+    if pending is not None:
+        _settle(pending)
 
     metrics = ray.get([w.get_metrics.remote() for w in workers])
     agg = {k: sum(m[k] for m in metrics)
