@@ -371,7 +371,8 @@ def _encode_idr_sample(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 
 def _encode_idr_sample_cavlc(y: np.ndarray, cb: np.ndarray,
                              cr: np.ndarray, mb_w: int, mb_h: int,
-                             idr_pic_id: int, seed: int):
+                             idr_pic_id: int, seed: int,
+                             allow_pcm: bool = False):
     """Predicted-macroblock IDR slice (I_4x4 / I_16x16 + CAVLC,
     qp 26): returns (NAL bytes, reconstructed (y, cb, cr) planes).
     The reconstruction comes from the decode-path kernels, so the
@@ -398,11 +399,14 @@ def _encode_idr_sample_cavlc(y: np.ndarray, cb: np.ndarray,
     for my in range(mb_h):
         for mx in range(mb_w):
             encode_macroblock(w, ctx, mx, my, y16, cbp, crp, qp=26,
-                              variant=seed + 5 * my + mx)
+                              variant=seed + 5 * my + mx,
+                              allow_pcm=allow_pcm)
     return _rbsp_to_nal(w.rbsp_trailing()), (ctx.y, ctx.cb, ctx.cr)
 
 
-def encode_avc_iframes_cavlc(frames) -> tuple[bytes, list[bytes], list]:
+def encode_avc_iframes_cavlc(frames,
+                             allow_pcm: bool = False
+                             ) -> tuple[bytes, list[bytes], list]:
     """Like :func:`encode_avc_iframes` but with PREDICTED macroblocks
     (I_4x4 / I_16x16 intra prediction + sparse CAVLC residuals, qp 26,
     deterministic per-MB mode variety) instead of I_PCM. Lossy — the
@@ -423,7 +427,8 @@ def encode_avc_iframes_cavlc(frames) -> tuple[bytes, list[bytes], list]:
             raise ValueError("all frames must share dimensions")
         y, cb, cr = _rgb_to_ycbcr420(f)
         nal, (ry, rcb, rcr) = _encode_idr_sample_cavlc(
-            y, cb, cr, mb_w, mb_h, idr_pic_id=i % 16, seed=i)
+            y, cb, cr, mb_w, mb_h, idr_pic_id=i % 16, seed=i,
+            allow_pcm=allow_pcm)
         samples.append(struct.pack(">I", len(nal)) + nal)
         recons.append(_ycbcr420_to_rgb(ry[:h0, :w0],
                                        rcb[:(h0 + 1) // 2, :(w0 + 1) // 2],

@@ -75,9 +75,8 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 # transforms (spec 8.5.12.2 / 8.5.10 / 8.5.11)
 
 def idct4x4(d: np.ndarray) -> np.ndarray:
-    """Core inverse transform; input scaled coeffs, output residual
-    BEFORE the (x+32)>>6 rounding is applied by the caller? No — this
-    applies the full spec chain including the final rounding."""
+    """Core 4x4 inverse transform (spec 8.5.12.2): scaled coefficients
+    in → residual out, INCLUDING the final (x+32)>>6 rounding."""
     d = d.astype(np.int64).reshape(4, 4)
     e = np.empty((4, 4), np.int64)
     # horizontal
@@ -658,13 +657,33 @@ def _enc_block_levels(src_blk, pred, qp, max_coeff=16, skip_dc=False):
 
 def encode_macroblock(w, ctx: MBContext, mx: int, my: int,
                       src_y, src_cb, src_cr, qp: int,
-                      variant: int) -> None:
+                      variant: int, allow_pcm: bool = False) -> None:
     """Emit one intra macroblock (syntax via ``w``) and reconstruct it
     into ``ctx`` with the decoder's own kernels. ``variant`` steers
-    deterministic mode variety across the picture."""
-    use_i4 = variant % 3 == 1
+    deterministic mode variety across the picture; ``allow_pcm``
+    additionally mixes I_PCM macroblocks in (what a real encoder does
+    for noisy content) — exercising the decoder's nC=16 PCM-neighbor
+    bookkeeping against predicted neighbors."""
     px, py = mx * 16, my * 16
     al_mb, at_mb = mx > 0, my > 0
+    if allow_pcm and variant % 5 == 4:
+        w.ue(25)                          # mb_type I_PCM
+        w.align_zero()
+        yblk = src_y[py:py + 16, px:px + 16]
+        cbblk = src_cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+        crblk = src_cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+        w.raw(np.ascontiguousarray(yblk).tobytes())
+        w.raw(np.ascontiguousarray(cbblk).tobytes())
+        w.raw(np.ascontiguousarray(crblk).tobytes())
+        ctx.y[py:py + 16, px:px + 16] = yblk
+        ctx.cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cbblk
+        ctx.cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = crblk
+        ctx.nz_y[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+        ctx.nz_cb[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+        ctx.nz_cr[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+        ctx.mode4[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -2
+        return
+    use_i4 = variant % 3 == 1
 
     # chroma mode: cycle through the AVAILABLE set
     cmodes = [0]

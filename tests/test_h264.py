@@ -214,3 +214,24 @@ def test_cavlc_refuses_unvalidated_context():
 
     with pytest.raises(MediaDecodeError):
         decode_residual_block(_BitReader(b"\xff\xff"), 5, 16)
+
+
+def test_mixed_pcm_and_predicted_slice():
+    """Real encoders mix I_PCM (noisy MBs) with predicted MBs in one
+    slice; the decoder's nC=16 PCM-neighbor bookkeeping must hold
+    against CAVLC neighbors. Bit-exact against the encoder recon."""
+    from bento_ray.h264codec import encode_avc_iframes_cavlc
+
+    rng = np.random.default_rng(33)
+    yy, xx = np.mgrid[0:64, 0:96]
+    smooth = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0))
+    frames = [
+        np.stack([smooth, np.roll(smooth, 7, 1),
+                  np.roll(smooth, 3, 0)], -1).clip(0, 255)
+        .astype(np.uint8),
+        rng.integers(0, 256, (64, 96, 3), dtype=np.uint8),
+    ]
+    avcc, samples, recons = encode_avc_iframes_cavlc(frames,
+                                                     allow_pcm=True)
+    for s, r in zip(samples, recons):
+        assert np.array_equal(decode_avc_sample(avcc, s), r)
