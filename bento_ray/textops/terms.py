@@ -420,7 +420,7 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
     # path — Ray's Dataset.join aggregator mishandles sparse right
     # sides, see stages/join.py)
     dup_counts = (shuffle_join(
-        inst.filter(lambda r: r["ngh"] >= 0), dup_hashes, on="ngh",
+        inst.filter(expr="ngh >= 0"), dup_hashes, on="ngh",
         how="inner", force_fallback=True)
         .groupby("doc_id")
         .aggregate(_Sum("inst", alias_name="n_dup_ngrams"))).materialize()

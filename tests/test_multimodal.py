@@ -28,7 +28,7 @@ def media_ds():
 
 
 def test_image_decode_stage(media_ds):
-    imgs = media_ds.filter(lambda r: r["kind"] == "image")
+    imgs = media_ds.filter(expr="kind == 'image'")
     out = decode_images(imgs, concurrency=2).to_pandas()
     assert len(out) == 10
     assert set(["width", "height", "mean_luma", "phash64", "decoder"]) <= \
@@ -39,7 +39,7 @@ def test_image_decode_stage(media_ds):
     assert "pil" not in by_dec  # no PIL in this container
     # real dimensions come from the container, not the thumb size
     pure = out[out["decoder"] == "pure"]
-    meta = media_ds.filter(lambda r: r["kind"] == "image").to_pandas() \
+    meta = media_ds.filter(expr="kind == 'image'").to_pandas() \
         .set_index("media_id")
     for _, row in pure.iterrows():
         assert row["width"] == meta.loc[row["media_id"], "meta_width"]
@@ -48,7 +48,7 @@ def test_image_decode_stage(media_ds):
 
 
 def test_image_decode_deterministic(media_ds):
-    imgs = media_ds.filter(lambda r: r["kind"] == "image")
+    imgs = media_ds.filter(expr="kind == 'image'")
     a = decode_images(imgs, concurrency=2).to_pandas().sort_values("media_id")
     b = decode_images(imgs, concurrency=2).to_pandas().sort_values("media_id")
     assert a["phash64"].tolist() == b["phash64"].tolist()
@@ -56,7 +56,7 @@ def test_image_decode_deterministic(media_ds):
 
 
 def test_image_resize_stage(media_ds):
-    imgs = media_ds.filter(lambda r: r["kind"] == "image")
+    imgs = media_ds.filter(expr="kind == 'image'")
     out = resize_images(imgs, 10, 7, concurrency=2).to_pandas()
     pure = out[out["decoder"] == "pure"]
     assert len(pure) > 0
@@ -72,7 +72,7 @@ def test_image_resize_stage(media_ds):
 
 
 def test_audio_features_stage(media_ds):
-    aud = media_ds.filter(lambda r: r["kind"] == "audio")
+    aud = media_ds.filter(expr="kind == 'audio'")
     out = audio_features(aud, concurrency=2).to_pandas()
     assert len(out) == 10
     assert (out["decoder"] == "pure").all()  # real WAV decode
@@ -89,7 +89,7 @@ def test_audio_features_stage(media_ds):
 
 
 def test_frame_sampler_real_gif_frames(media_ds):
-    vid = media_ds.filter(lambda r: r["kind"] == "video")
+    vid = media_ds.filter(expr="kind == 'video'")
     out = sample_frames(vid, k=4, concurrency=2).to_pandas()
     assert len(out) == 10 * 4
     # GIF rows decode real frames; MP4 rows with real H.264 (I_PCM
@@ -133,7 +133,7 @@ def test_real_jpeg_rows_decode_pure(media_ds):
     (decoder='pure'); only the garbage-JPEG rows fall back."""
     import pandas as pd
 
-    imgs = media_ds.filter(lambda r: r["mime"] == "image/jpeg")
+    imgs = media_ds.filter(expr="mime == 'image/jpeg'")
     out = decode_images(imgs, concurrency=2).to_pandas()
     meta = imgs.to_pandas().set_index("media_id")
     valid = meta[meta["meta_width"] > 0].index
@@ -174,7 +174,7 @@ def test_video_metadata_stage(media_ds):
     decoded)."""
     from bento_ray.multimodal import video_metadata
 
-    vids = media_ds.filter(lambda r: r["kind"] == "video")
+    vids = media_ds.filter(expr="kind == 'video'")
     out = video_metadata(vids, concurrency=2).to_pandas()
     meta = vids.to_pandas().set_index("media_id")
     assert len(out) == len(meta)

@@ -1081,7 +1081,7 @@ def test_incremental_dedup_empty_snapshot_passthrough():
     from bento_ray.textops import incremental_dedup
 
     snapshot = rd.from_items([{"doc_id": 0, "text": "x"}]).filter(
-        lambda r: False)
+        expr="doc_id < 0")
     new = rd.from_items([{"doc_id": 1, "text": "a"},
                          {"doc_id": 2, "text": "b"}])
     assert incremental_dedup(new, snapshot).count() == 2
