@@ -142,12 +142,19 @@ def run_bench() -> dict:
     # (imports) and OS caches so the timed runs measure the engine at
     # steady state, matching the north metric (a long-running
     # streaming job, not process cold-start)
-    warm_pages = ensure_pages_dataset(100_000, seed=42, files=32)
+    # the warm-up must expose MORE concurrent tasks than the feed
+    # wave window (cluster_cpus - 3) or the first timed epoch still
+    # pays ~215 ms/process spin-up for the unwarmed pool slots —
+    # measured +1.1 s on epoch 0 at width 32, i.e. a fixed cost that
+    # lands on the short (wide) side and biases the scaling pair down
+    warm_files = max(64, 4 * NUM_CPUS)
+    warm_pages = ensure_pages_dataset(100_000, seed=42, files=warm_files)
     warm_out = f"/tmp/bento_bench_warm_{NUM_CPUS}"
     shutil.rmtree(warm_out, ignore_errors=True)
     flagship_streaming(warm_pages, warm_out,
                        partitions=max(2, NUM_CPUS // 4),
-                       files_per_epoch=16, window_size_us=60_000_000)
+                       files_per_epoch=warm_files,
+                       window_size_us=60_000_000)
 
     actual_files = len(_glob.glob(os.path.join(pages, "*.parquet")))
 
@@ -308,15 +315,22 @@ def run_stream_bench() -> dict:
                         pass
 
     _warm_read()
-    # untimed warm-up: worker-pool imports + actor spin-up
-    wl, wr = ensure_url_event_streams(100_000, seed=42, files=16)
+    # untimed warm-up: worker-pool imports + actor spin-up. Must
+    # expose more concurrent tasks than the feed wave window
+    # (cluster_cpus - 3), else the first timed epoch pays the
+    # remaining worker-process spin-ups (~215 ms each; measured
+    # +1.1 s on epoch 0 at width 32 with an 8-task warm-up) — a
+    # fixed cost that biases the scaling pair against the wide side
+    warm_files = max(64, 4 * NUM_CPUS)
+    wl, wr = ensure_url_event_streams(100_000, seed=42,
+                                      files=warm_files)
     warm_out = f"/tmp/bento_bench_stream_warm_{NUM_CPUS}"
     shutil.rmtree(warm_out, ignore_errors=True)
     run_interval_join_stream(wl, wr, warm_out, key_col="url",
                              url_key=True,
                              lower_us=0, upper_us=60_000_000,
                              partitions=STREAM_PARTITIONS,
-                             files_per_epoch=4)
+                             files_per_epoch=warm_files)
 
     def _one() -> tuple[float, dict]:
         out = f"/tmp/bento_bench_stream_out_{NUM_CPUS}"
