@@ -164,6 +164,15 @@ _CT_DEC = {0: {v: k for k, v in _CT_NC0.items()},
            -1: {v: k for k, v in _CT_CDC.items()}}
 _CT_ENC = {0: _CT_NC0, 2: _CT_NC2, -1: _CT_CDC}
 
+# encode direction: value → bits, inverted once at import — the
+# per-block encode loop used to rebuild these dicts per residual block
+_TZ_4x4_ENC = {tc: {v: k for k, v in t.items()}
+               for tc, t in _TZ_4x4.items()}
+_TZ_CDC_ENC = {tc: {v: k for k, v in t.items()}
+               for tc, t in _TZ_CDC.items()}
+_RUN_BEFORE_ENC = {zl: {v: k for k, v in t.items()}
+                   for zl, t in _RUN_BEFORE.items()}
+
 
 def _ct_key(nC: int) -> int:
     if nC == -1:
@@ -362,9 +371,8 @@ def encode_residual_block(w, coeffs: list[int], nC: int) -> None:
 
     total_zeros = (nz[-1][0] + 1) - tc
     if tc < max_coeff:
-        tz_table = _TZ_CDC if nC == -1 else _TZ_4x4
-        inv = {v: k for k, v in tz_table[tc].items()}
-        _write_bits(w, inv[total_zeros])
+        tz_enc = _TZ_CDC_ENC if nC == -1 else _TZ_4x4_ENC
+        _write_bits(w, tz_enc[tc][total_zeros])
 
     zeros_left = total_zeros
     # runs between consecutive nonzeros, highest frequency first
@@ -379,8 +387,7 @@ def encode_residual_block(w, coeffs: list[int], nC: int) -> None:
                 w.u(0, 3)
                 w.u(1, run - 7 + 1)   # N zeros then a 1
         elif zeros_left > 0:
-            inv = {v: k for k, v in _RUN_BEFORE[zeros_left].items()}
-            _write_bits(w, inv[run])
+            _write_bits(w, _RUN_BEFORE_ENC[zeros_left][run])
         elif run:
             raise AssertionError("zeros exhausted but run nonzero")
         zeros_left -= run

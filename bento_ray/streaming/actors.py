@@ -218,9 +218,14 @@ class _SpillSeenSet(_SeenSet):
         self._spill()
 
     def gc(self, horizon_us: int) -> None:
+        # merge the unsorted tail FIRST in every case (base-class
+        # _merge, no spill check) — with no disk runs yet the old
+        # `if self._runs` guard skipped it and TTL-expired tail
+        # entries survived the horizon filter, diverging from the
+        # in-RAM set's dedupe decisions
+        if len(self.th):
+            super()._merge()
         if self._runs:
-            if len(self.th):
-                super()._merge()
             self.h, self.t = self._load_all()
         m = self.t >= horizon_us
         self.h, self.t = self.h[m], self.t[m]

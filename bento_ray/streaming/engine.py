@@ -244,6 +244,18 @@ def _resume_chunks(files: list[str], files_per_epoch: int, sink,
         lin = sink.epoch_lineage(e).get(key, [])
         committed.append(list(lin))
         seen.update(lin)
+    # a crash MID-epoch leaves epoch last_done+1 with partition
+    # commits but no done-marker; its composition is already pinned
+    # by those commits (write_partition will skip them on the
+    # re-feed), so it too must be reconstructed from lineage — naive
+    # re-chunking would pair the skipped partitions' old aggregates
+    # with a different file set if an appended file sorts into it
+    partial = sink.epoch_lineage(last_done + 1)
+    if partial:  # keyed on the commit record, not the file list, so
+        # the two sides of a two-stream resume stay epoch-aligned
+        # even when one side had zero files in the crash epoch
+        committed.append(list(partial.get(key, [])))
+        seen.update(partial.get(key, []))
     missing = seen - set(files)
     if missing:
         raise ValueError(
@@ -524,7 +536,7 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
                        out_dir, prev=fin_ref)
                    for p in range(cfg.out_partitions)]
             fin_ref = _epoch_done_task.remote(
-                e, snap_refs, watermark, cfg, out_dir, state_dir,
+                e, snap_refs, watermark, out_dir, state_dir,
                 *red)
             fin_refs.append(fin_ref)
         else:
@@ -648,7 +660,7 @@ def _reduce_out_partition(e: int, p_out: int, flush_refs: list,
 
 @ray.remote(num_cpus=0.25)
 def _epoch_done_task(e: int, snap_refs: list, watermark: int,
-                     cfg, out_dir: str, state_dir: str,
+                     out_dir: str, state_dir: str,
                      *written_flags) -> tuple[int, int]:
     """Distributed-finalize epilogue: runs only after every reducer of
     epoch ``e`` committed (the ``*written_flags`` are their results as
@@ -879,9 +891,21 @@ def _feed_typed_files(paths: list, partitions: int,
             keys = t.column(key_col).cast(pa.int64()).to_numpy()
             tdict = t.column(type_col).combine_chunks() \
                 .dictionary_encode()
-            codes = np.asarray(tdict.indices.to_numpy(
-                zero_copy_only=False), np.int16)
+            idx = tdict.indices
             vocab = tdict.dictionary.to_pylist()
+            if idx.null_count:
+                # null event types get their own vocab slot (the
+                # pre-dictionary feeder passed None through as a
+                # value) — a float-NaN index would int16-cast to 0
+                # and silently alias the first real event type
+                vocab = vocab + [None]
+                idx = idx.fill_null(len(vocab) - 1)
+            if len(vocab) > 32767:
+                raise ValueError(
+                    f"{type_col}: {len(vocab)} distinct event types "
+                    "exceed the int16 dictionary code space")
+            codes = np.asarray(idx.to_numpy(
+                zero_copy_only=False), np.int16)
             part = (stable_hash(keys)
                     % np.uint64(partitions)).astype(np.int64)
             order = np.argsort(part, kind="stable")

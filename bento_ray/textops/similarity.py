@@ -38,6 +38,12 @@ def _stack(col) -> np.ndarray:
     if n == 0:
         return np.empty((0, 0), np.float64)
     if pa.types.is_fixed_size_list(arr.type):
+        if arr.null_count:
+            # the values buffer is garbage under a null slot — a
+            # silent read would feed NaN vectors into every cosine
+            # score; fail the way the variable-length path does
+            raise ValueError(
+                f"embedding column has {arr.null_count} null row(s)")
         d = arr.type.list_size
         flat = arr.values.to_numpy(zero_copy_only=False)
         flat = flat[arr.offset * d:(arr.offset + n) * d]

@@ -427,7 +427,7 @@ def test_resume_chunks_unit():
             self._l = lineages
 
         def epoch_lineage(self, e):
-            return self._l[e]
+            return self._l[e] if e < len(self._l) else {}
 
     sink = FakeSink([{"input_files": ["f0", "f1"]},
                      {"input_files": ["f2"]}])
@@ -436,6 +436,59 @@ def test_resume_chunks_unit():
         ["f0", "f1"], ["f2"], ["f3", "f4"], ["f5"]]
     with pytest.raises(ValueError, match="absent from the current"):
         _resume_chunks(["f0", "f3"], 2, sink, 1)
+
+
+def test_resume_chunks_partial_crash_epoch():
+    """A crash MID-epoch leaves epoch last_done+1 with partition
+    commits but no done-marker. Its composition is pinned by those
+    commits, so resume must rebuild it from lineage too — otherwise
+    an appended file that sorts into the crash epoch silently changes
+    its file set under the already-committed partitions."""
+    from bento_ray.streaming.engine import _resume_chunks
+
+    class FakeSink:
+        def __init__(self, lineages):
+            self._l = lineages
+
+        def epoch_lineage(self, e):
+            return self._l[e] if e < len(self._l) else {}
+
+    # crash mid-epoch 1 ([f2, f3]); user appends f2a which sorts
+    # between f2 and f3
+    sink = FakeSink([{"input_files": ["f0", "f1"]},
+                     {"input_files": ["f2", "f3"]}])
+    files = ["f0", "f1", "f2", "f2a", "f3"]
+    assert _resume_chunks(files, 2, sink, 0) == [
+        ["f0", "f1"], ["f2", "f3"], ["f2a"]]
+    # two-stream alignment: a side with ZERO files in the crash epoch
+    # still gets its (empty) epoch slot when the other side committed
+    sink_r = FakeSink([{"left_files": ["l0"], "right_files": ["r0"]},
+                       {"left_files": ["l1"], "right_files": []}])
+    assert _resume_chunks(["r0", "r1"], 2, sink_r, 0,
+                          key="right_files") == [["r0"], [], ["r1"]]
+
+
+def test_spill_seen_set_gc_before_first_spill():
+    """gc() must filter the unsorted tail even when nothing has
+    spilled to disk yet — the tail-merge was skipped in the no-runs
+    branch, so TTL-expired tail entries kept suppressing
+    re-occurrences (diverging from the in-RAM _SeenSet)."""
+    import tempfile
+
+    from bento_ray.streaming.actors import _SeenSet, _SpillSeenSet
+
+    q = np.array([11, 22, 33], np.uint64)
+    ts = np.array([5, 6, 7], np.int64)
+    ram = _SeenSet()
+    ram.add(q, ts)
+    ram.gc(100)
+    with tempfile.TemporaryDirectory() as d:
+        s = _SpillSeenSet(d, mem_entries=1 << 20)  # no spill happens
+        s.add(q, ts)
+        assert len(s.th) and not s._runs  # entries sit in the tail
+        s.gc(100)  # horizon past every entry
+        assert (s.contains(q) == ram.contains(q)).all()
+        assert not s.contains(q).any() and len(s) == 0
 
 
 def test_distributed_finalize_byte_identical(pages_small, stream_out,

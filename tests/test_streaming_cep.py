@@ -134,3 +134,28 @@ def test_cep_stream_incremental_files_resume(events_dir, tmp_path):
     got = _stream_result(out)
     want = _batch_truth(events_dir)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_typed_feeder_null_event_type(tmp_path):
+    """Null event types must survive the dictionary-encoded shuffle
+    as None — a NaN dictionary index int16-cast to 0 silently aliased
+    nulls onto the alphabetically-first real event type."""
+    import ray
+
+    from bento_ray.streaming.engine import _feed_typed_files
+
+    f = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12], pa.int64()),
+        "event_type": pa.array(["a", None, "b"]),
+    }), f)
+    rows, max_ts, refs = ray.get(_feed_typed_files.remote(
+        [f], 1, "user_id", "ts", "event_id", "event_type", 65536))
+    assert rows == 3
+    ts, eid, keys, codes, vocab = ray.get(refs[0])
+    order = np.argsort(eid)
+    decoded = [vocab[c] for c in codes[order]]
+    assert decoded == ["a", None, "b"]

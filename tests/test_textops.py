@@ -1663,3 +1663,22 @@ def test_word_buffers_sliced_array():
     d2, o2 = _word_buffers(pa.array(["bbb", "cccc"], pa.string()))
     assert offs.tolist() == o2.tolist()
     assert bytes(data[: offs[-1]]) == bytes(d2[: o2[-1]])
+
+
+def test_stack_rejects_null_embedding_rows():
+    """_stack's fixed-size-list fast path reads the raw values
+    buffer; a null row there is garbage/NaN and must fail loudly
+    instead of silently poisoning every cosine score."""
+    import pyarrow as pa
+
+    from bento_ray.textops.similarity import _stack
+
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]],
+                  pa.list_(pa.float64(), 2))
+    out = _stack(ok)
+    assert out.shape == (2, 2) and out[1, 0] == 3.0
+
+    with_null = pa.array([[1.0, 2.0], None, [5.0, 6.0]],
+                         pa.list_(pa.float64(), 2))
+    with pytest.raises(ValueError, match="null row"):
+        _stack(with_null)
