@@ -239,6 +239,47 @@ class _SpillSeenSet(_SeenSet):
             self._spill()
 
 
+class _EpochCommitMixin:
+    """Worker-local epoch commit/snapshot protocol shared by every
+    stateful stream worker (session, CEP, interval/as-of join,
+    absence, followedBy). Subclasses provide ``part_id``,
+    ``snapshot()`` and ``flush(watermark_us)``."""
+
+    def snapshot_to(self, path: str) -> int:
+        """Write this partition's epoch snapshot to ``path`` itself
+        (atomic tmp+rename) — the Flink checkpoint shape: every task
+        persists its own state file to shared storage in parallel and
+        the driver only records completion. Funnelling P pickle blobs
+        through the driver made snapshotting a width-independent
+        serial section of every epoch."""
+        return _atomic_write(path, self.snapshot())
+
+    def flush_and_commit(self, watermark_us: int, out_dir: str,
+                         epoch: int, lineage: dict,
+                         crash_after=None) -> bool:
+        """Flush and commit this partition's emission through the
+        idempotent sink IN the worker (the Flink task-local sink
+        write): the emission table never round-trips through plasma
+        and no separate commit-task processes exist — fractional-CPU
+        commit tasks made the raylet pre-start ~100 extra Python
+        workers per run (~1s import each), the measured width-32
+        scaling cap. Exactly-once is unchanged: (epoch, part) paths
+        are disjoint, write_partition is idempotent, and the driver
+        still writes the epoch-done marker only after every commit
+        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
+        deterministic fault-injection contract."""
+        if crash_after is not None and \
+                tuple(crash_after) == (epoch, self.part_id):
+            raise RuntimeError("injected crash")
+        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
+
+        t = self.flush(watermark_us)
+        sink = ExactlyOnceParquetSink(out_dir)
+        return sink.write_partition(epoch, self.part_id, t,
+                                    lineage=lineage)
+
+
+
 @ray.remote
 class PartitionWorker:
     def __init__(self, part_id: int, size_us: int, slide_us: int | None,
@@ -452,7 +493,7 @@ class PartitionWorker:
 
 
 @ray.remote
-class SessionWorker:
+class SessionWorker(_EpochCommitMixin):
     """Keyed session windows over the stream (north-rule addition — the
     reference has no session windows). Partitioned by hash(key); each
     worker tracks the OPEN sessions per key (possibly several until the
@@ -584,26 +625,6 @@ class SessionWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
-    def snapshot_to(self, path: str) -> int:
-        """Worker-written snapshot file — see
-        IntervalJoinWorker.snapshot_to."""
-        return _atomic_write(path, self.snapshot())
-
-    def flush_and_commit(self, watermark_us: int, out_dir: str,
-                         epoch: int, lineage: dict,
-                         crash_after=None) -> bool:
-        """Task-local sink write — see
-        IntervalJoinWorker.flush_and_commit."""
-        if crash_after is not None and \
-                tuple(crash_after) == (epoch, self.part_id):
-            raise RuntimeError("injected crash")
-        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-
-        t = self.flush(watermark_us)
-        sink = ExactlyOnceParquetSink(out_dir)
-        return sink.write_partition(epoch, self.part_id, t,
-                                    lineage=lineage)
-
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -620,7 +641,7 @@ class SessionWorker:
 
 
 @ray.remote
-class CepWorker:
+class CepWorker(_EpochCommitMixin):
     """Streaming CEP: strict-contiguity pattern matching over the
     live stream (the streaming form of stages.cep.match_event_sequence,
     same output schema and semantics). Partitioned by hash(key).
@@ -759,39 +780,6 @@ class CepWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
-    def snapshot_to(self, path: str) -> int:
-        """Write this partition's epoch snapshot to ``path`` itself
-        (atomic tmp+rename) — the Flink checkpoint shape: every task
-        persists its own state file to shared storage in parallel and
-        the driver only records completion. Funnelling P pickle blobs
-        through the driver made snapshotting a width-independent
-        serial section of every epoch."""
-        return _atomic_write(path, self.snapshot())
-
-    def flush_and_commit(self, watermark_us: int, out_dir: str,
-                         epoch: int, lineage: dict,
-                         crash_after=None) -> bool:
-        """Flush and commit this partition's emission through the
-        idempotent sink IN the worker (the Flink task-local sink
-        write): the emission table never round-trips through plasma
-        and no separate commit-task processes exist — fractional-CPU
-        commit tasks made the raylet pre-start ~100 extra Python
-        workers per run (~1s import each), the measured width-32
-        scaling cap. Exactly-once is unchanged: (epoch, part) paths
-        are disjoint, write_partition is idempotent, and the driver
-        still writes the epoch-done marker only after every commit
-        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
-        deterministic fault-injection contract."""
-        if crash_after is not None and \
-                tuple(crash_after) == (epoch, self.part_id):
-            raise RuntimeError("injected crash")
-        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-
-        t = self.flush(watermark_us)
-        sink = ExactlyOnceParquetSink(out_dir)
-        return sink.write_partition(epoch, self.part_id, t,
-                                    lineage=lineage)
-
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -807,7 +795,7 @@ class CepWorker:
 
 
 @ray.remote
-class IntervalJoinWorker:
+class IntervalJoinWorker(_EpochCommitMixin):
     """Streaming stream-stream interval join: same-key (left, right)
     pairs with ``right.ts − left.ts ∈ [lower_us, upper_us]`` over two
     live streams (the streaming form of stages.join.interval_join,
@@ -958,39 +946,6 @@ class IntervalJoinWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
-    def snapshot_to(self, path: str) -> int:
-        """Write this partition's epoch snapshot to ``path`` itself
-        (atomic tmp+rename) — the Flink checkpoint shape: every task
-        persists its own state file to shared storage in parallel and
-        the driver only records completion. Funnelling P pickle blobs
-        through the driver made snapshotting a width-independent
-        serial section of every epoch."""
-        return _atomic_write(path, self.snapshot())
-
-    def flush_and_commit(self, watermark_us: int, out_dir: str,
-                         epoch: int, lineage: dict,
-                         crash_after=None) -> bool:
-        """Flush and commit this partition's emission through the
-        idempotent sink IN the worker (the Flink task-local sink
-        write): the emission table never round-trips through plasma
-        and no separate commit-task processes exist — fractional-CPU
-        commit tasks made the raylet pre-start ~100 extra Python
-        workers per run (~1s import each), the measured width-32
-        scaling cap. Exactly-once is unchanged: (epoch, part) paths
-        are disjoint, write_partition is idempotent, and the driver
-        still writes the epoch-done marker only after every commit
-        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
-        deterministic fault-injection contract."""
-        if crash_after is not None and \
-                tuple(crash_after) == (epoch, self.part_id):
-            raise RuntimeError("injected crash")
-        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-
-        t = self.flush(watermark_us)
-        sink = ExactlyOnceParquetSink(out_dir)
-        return sink.write_partition(epoch, self.part_id, t,
-                                    lineage=lineage)
-
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -1006,7 +961,7 @@ class IntervalJoinWorker:
 
 
 @ray.remote
-class AsofJoinWorker:
+class AsofJoinWorker(_EpochCommitMixin):
     """Streaming as-of join: every left row emits exactly once with
     the LATEST same-key right row at-or-before its timestamp (ties on
     ts → largest right id — the batch operator's documented rule;
@@ -1134,39 +1089,6 @@ class AsofJoinWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
-    def snapshot_to(self, path: str) -> int:
-        """Write this partition's epoch snapshot to ``path`` itself
-        (atomic tmp+rename) — the Flink checkpoint shape: every task
-        persists its own state file to shared storage in parallel and
-        the driver only records completion. Funnelling P pickle blobs
-        through the driver made snapshotting a width-independent
-        serial section of every epoch."""
-        return _atomic_write(path, self.snapshot())
-
-    def flush_and_commit(self, watermark_us: int, out_dir: str,
-                         epoch: int, lineage: dict,
-                         crash_after=None) -> bool:
-        """Flush and commit this partition's emission through the
-        idempotent sink IN the worker (the Flink task-local sink
-        write): the emission table never round-trips through plasma
-        and no separate commit-task processes exist — fractional-CPU
-        commit tasks made the raylet pre-start ~100 extra Python
-        workers per run (~1s import each), the measured width-32
-        scaling cap. Exactly-once is unchanged: (epoch, part) paths
-        are disjoint, write_partition is idempotent, and the driver
-        still writes the epoch-done marker only after every commit
-        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
-        deterministic fault-injection contract."""
-        if crash_after is not None and \
-                tuple(crash_after) == (epoch, self.part_id):
-            raise RuntimeError("injected crash")
-        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-
-        t = self.flush(watermark_us)
-        sink = ExactlyOnceParquetSink(out_dir)
-        return sink.write_partition(epoch, self.part_id, t,
-                                    lineage=lineage)
-
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -1182,7 +1104,7 @@ class AsofJoinWorker:
 
 
 @ray.remote
-class AbsenceWorker:
+class AbsenceWorker(_EpochCommitMixin):
     """Streaming CEP negation / timeout (Flink `notFollowedBy` within a
     bound — the alerting shape: "signup with NO purchase inside the
     window"): the streaming form of stages.cep.match_absence, same
@@ -1295,39 +1217,6 @@ class AbsenceWorker:
                              "frontier": self.frontier,
                              "metrics": self.metrics})
 
-    def snapshot_to(self, path: str) -> int:
-        """Write this partition's epoch snapshot to ``path`` itself
-        (atomic tmp+rename) — the Flink checkpoint shape: every task
-        persists its own state file to shared storage in parallel and
-        the driver only records completion. Funnelling P pickle blobs
-        through the driver made snapshotting a width-independent
-        serial section of every epoch."""
-        return _atomic_write(path, self.snapshot())
-
-    def flush_and_commit(self, watermark_us: int, out_dir: str,
-                         epoch: int, lineage: dict,
-                         crash_after=None) -> bool:
-        """Flush and commit this partition's emission through the
-        idempotent sink IN the worker (the Flink task-local sink
-        write): the emission table never round-trips through plasma
-        and no separate commit-task processes exist — fractional-CPU
-        commit tasks made the raylet pre-start ~100 extra Python
-        workers per run (~1s import each), the measured width-32
-        scaling cap. Exactly-once is unchanged: (epoch, part) paths
-        are disjoint, write_partition is idempotent, and the driver
-        still writes the epoch-done marker only after every commit
-        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
-        deterministic fault-injection contract."""
-        if crash_after is not None and \
-                tuple(crash_after) == (epoch, self.part_id):
-            raise RuntimeError("injected crash")
-        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-
-        t = self.flush(watermark_us)
-        sink = ExactlyOnceParquetSink(out_dir)
-        return sink.write_partition(epoch, self.part_id, t,
-                                    lineage=lineage)
-
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):
             blobs = [blobs]
@@ -1343,7 +1232,7 @@ class AbsenceWorker:
 
 
 @ray.remote
-class FollowedByWorker:
+class FollowedByWorker(_EpochCommitMixin):
     """Streaming relaxed-contiguity CEP (Flink `followedBy` /
     skip-till-next): the live form of stages.cep.match_followed_by,
     same chain rule (every ``pattern[0]`` event chains to the EARLIEST
@@ -1475,39 +1364,6 @@ class FollowedByWorker:
         return pickle.dumps({"kept": self._kept, "max_ts": self.max_ts,
                              "frontier": self.frontier,
                              "metrics": self.metrics})
-
-    def snapshot_to(self, path: str) -> int:
-        """Write this partition's epoch snapshot to ``path`` itself
-        (atomic tmp+rename) — the Flink checkpoint shape: every task
-        persists its own state file to shared storage in parallel and
-        the driver only records completion. Funnelling P pickle blobs
-        through the driver made snapshotting a width-independent
-        serial section of every epoch."""
-        return _atomic_write(path, self.snapshot())
-
-    def flush_and_commit(self, watermark_us: int, out_dir: str,
-                         epoch: int, lineage: dict,
-                         crash_after=None) -> bool:
-        """Flush and commit this partition's emission through the
-        idempotent sink IN the worker (the Flink task-local sink
-        write): the emission table never round-trips through plasma
-        and no separate commit-task processes exist — fractional-CPU
-        commit tasks made the raylet pre-start ~100 extra Python
-        workers per run (~1s import each), the measured width-32
-        scaling cap. Exactly-once is unchanged: (epoch, part) paths
-        are disjoint, write_partition is idempotent, and the driver
-        still writes the epoch-done marker only after every commit
-        AND snapshot settles. ``crash_after=(epoch, part)`` keeps the
-        deterministic fault-injection contract."""
-        if crash_after is not None and \
-                tuple(crash_after) == (epoch, self.part_id):
-            raise RuntimeError("injected crash")
-        from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
-
-        t = self.flush(watermark_us)
-        sink = ExactlyOnceParquetSink(out_dir)
-        return sink.write_partition(epoch, self.part_id, t,
-                                    lineage=lineage)
 
     def restore(self, blobs) -> None:
         if isinstance(blobs, (bytes, bytearray)):

@@ -40,6 +40,7 @@ import ray
 
 from bento_ray.html import strip_html_batch
 from bento_ray.streaming.actors import PartitionWorker
+from bento_ray.streaming.actors import _atomic_write as _atomic_write_bytes
 from bento_ray.streaming.checkpoint import ExactlyOnceParquetSink
 from bento_ray.util import rfc3339nano, stable_hash
 
@@ -610,10 +611,7 @@ def _finalize_epoch_body(e: int, partials: list, snap_blobs: list,
     snap_dir = os.path.join(state_dir, f"epoch={e}")
     os.makedirs(snap_dir, exist_ok=True)
     for p, b in enumerate(snap_blobs):
-        tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(b)
-        os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        _atomic_write_bytes(os.path.join(snap_dir, f"part={p}.pkl"), b)
     sink.finish_epoch(e, {"watermark": int(watermark)})
     return written, skipped
 
@@ -670,10 +668,7 @@ def _epoch_done_task(e: int, snap_refs: list, watermark: int,
     snap_dir = os.path.join(state_dir, f"epoch={e}")
     os.makedirs(snap_dir, exist_ok=True)
     for p, b in enumerate(ray.get(list(snap_refs))):
-        tmp = os.path.join(snap_dir, f"part={p}.pkl.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(b)
-        os.replace(tmp, os.path.join(snap_dir, f"part={p}.pkl"))
+        _atomic_write_bytes(os.path.join(snap_dir, f"part={p}.pkl"), b)
     sink = ExactlyOnceParquetSink(out_dir)
     sink.finish_epoch(e, {"watermark": int(watermark)})
     written = sum(written_flags)
