@@ -130,7 +130,13 @@ def group_by_value_table(t: pa.Table, key_col: str) -> list[tuple[str, pa.Table]
     out = []
     karr = t.column(key_col)
     for k in seen:
-        mask = pc.equal(karr, pa.scalar(k, karr.type))
+        if k is None:
+            # pc.equal against a null scalar yields an all-null mask
+            # and filter() drops null entries — the null-key rows
+            # would vanish from every group
+            mask = pc.is_null(karr)
+        else:
+            mask = pc.equal(karr, pa.scalar(k, karr.type))
         out.append((k, t.filter(mask)))
     return out
 
@@ -310,7 +316,6 @@ def try_stage(ds, fn: BatchFn):
                         pa.array([str(e)], pa.string()))
                     rows.append(failed)
             out = pa.concat_tables(rows, promote_options="default")
-        from bento_ray.stages.compose import switch_table  # self, for order
         merged = pa.concat_tables(
             [out, t.filter(pa.array(~ok))], promote_options="default")
         all_idx = np.concatenate([idx, np.flatnonzero(~ok)])

@@ -14,12 +14,8 @@ from typing import Callable
 
 import pyarrow as pa
 
-from bento_ray.util import default_concurrency as _dc
 
-
-def _conc(c):
-    return c if c is not None else _dc()
-
+from bento_ray.util import resolve_concurrency as _conc
 from bento_ray.util import to_table
 
 
@@ -71,17 +67,25 @@ class TokenBucket:
         self._lock = threading.Lock()
 
     def acquire(self, n: int = 1) -> None:
-        while True:
-            with self._lock:
-                now = time.monotonic()
-                if now - self._stamp >= self.interval:
-                    self._tokens = self.count
-                    self._stamp = now
-                if self._tokens >= n:
-                    self._tokens -= n
-                    return
-                wait = self.interval - (now - self._stamp)
-            time.sleep(max(wait, 0.001))
+        # a request larger than the bucket capacity can never be
+        # satisfied in one refill — drain it in capacity-sized
+        # chunks across intervals (total wait ≈ n/count intervals)
+        # instead of spinning forever
+        remaining = n
+        while remaining > 0:
+            take = min(remaining, self.count)
+            while True:
+                with self._lock:
+                    now = time.monotonic()
+                    if now - self._stamp >= self.interval:
+                        self._tokens = self.count
+                        self._stamp = now
+                    if self._tokens >= take:
+                        self._tokens -= take
+                        break
+                    wait = self.interval - (now - self._stamp)
+                time.sleep(max(wait, 0.001))
+            remaining -= take
 
 
 class RateLimitedStage:

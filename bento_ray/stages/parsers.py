@@ -19,13 +19,9 @@ import json
 import re
 
 import pyarrow as pa
-
-from bento_ray.util import default_concurrency as _dc
-
-
-def _conc(c):
-    return c if c is not None else _dc()
 import pyarrow.parquet as pq
+
+from bento_ray.util import resolve_concurrency as _conc
 
 # a pragmatic subset of the grok pattern library (public pattern names)
 GROK_PATTERNS = {
@@ -140,9 +136,18 @@ class JsonSchemaValidator:
     def _check(self, value, schema) -> str | None:
         typ = schema.get("type")
         type_map = {"object": dict, "array": list, "string": str,
-                    "integer": int, "number": (int, float), "boolean": bool}
-        if typ and not isinstance(value, type_map[typ]):
-            return f"expected {typ}, got {type(value).__name__}"
+                    "integer": int, "number": (int, float),
+                    "boolean": bool, "null": type(None)}
+        if typ:
+            if typ not in type_map:
+                return f"unsupported schema type {typ!r}"
+            ok = isinstance(value, type_map[typ])
+            # bool subclasses int in Python; JSON schema does not
+            if ok and typ in ("integer", "number") and \
+                    isinstance(value, bool):
+                ok = False
+            if not ok:
+                return f"expected {typ}, got {type(value).__name__}"
         if typ == "object":
             for req in schema.get("required", []):
                 if req not in value:

@@ -94,7 +94,10 @@ def session_windows_group(g: pd.DataFrame, ts_col: str, gap_us: int,
     the previous event exceeds ``gap``; window_end = session's
     last_ts + gap."""
     g = g.sort_values(ts_col, kind="stable").reset_index(drop=True)
-    ts = g[ts_col].astype("int64").to_numpy()
+    # normalize to MICROSECONDS first — pandas timestamps are ns by
+    # default and a raw int64 view would compare ns gaps against a
+    # µs threshold (the 1000× bug _ts_us guards in the Arrow paths)
+    ts = _ts_us(pa.Array.from_pandas(g[ts_col]))
     new_session = np.ones(len(ts), dtype=bool)
     if len(ts) > 1:
         new_session[1:] = (ts[1:] - ts[:-1]) > gap_us

@@ -21,12 +21,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from bento_ray.util import default_concurrency as _dc
+from bento_ray.util import resolve_concurrency as _conc
+
+
+def _ren(col_from, col_to):
+    """Batch fn renaming one column (shared by the near-dup joins)."""
+    def _f(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [col_to if c == col_from else c for c in t.column_names])
+    return _f
 from bento_ray.util import duckdb_round
-
-
-def _conc(c):
-    return c if c is not None else _dc()
 
 from bento_ray.textops.quality import hash_word, word_hashes
 
@@ -487,11 +491,6 @@ def near_dup_pairs_minhash(ds, *, num_perm: int = 64, bands: int = 16,
              .map_groups(lambda t: _unique_pairs_partition(
                  t.drop_columns(["pair_part"])), batch_format="pyarrow"))
 
-    def _ren(col_from, col_to):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [col_to if c == col_from else c for c in t.column_names])
-        return _f
 
     # Bloom semi-join pruning: only docs that appear in SOME candidate
     # pair need their shingle sets shipped through the attach joins —
@@ -1089,11 +1088,6 @@ def simhash_near_dups(ds, *, max_hamming: int = 3,
                  t.drop_columns(["pair_part"])), batch_format="pyarrow")
              ).materialize()
 
-    def _ren(col_from, col_to):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [col_to if c == col_from else c for c in t.column_names])
-        return _f
 
     sh_a = sims.map_batches(_ren("doc_id", "doc_a"),
                             batch_format="pyarrow").materialize()

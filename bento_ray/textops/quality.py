@@ -11,12 +11,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from bento_ray.util import default_concurrency as _dc
+from bento_ray.util import resolve_concurrency as _conc
 from bento_ray.util import duckdb_round
-
-
-def _conc(c):
-    return c if c is not None else _dc()
 import pyarrow.compute as pc
 
 # minimal per-language stopword profiles for the n-gram/stopword
@@ -194,7 +190,12 @@ def word_hashes(words) -> np.ndarray:
         words, (pa.Array, pa.ChunkedArray)) else words
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    offs = np.frombuffer(arr.buffers()[1], np.int32, count=n + 1)
+    # index the offsets buffer from arr.offset and rebase the data
+    # view — a zero-copy sliced Array shares buffers with its parent
+    # and a position-0 read would hash the parent's FIRST n words
+    # (same guard as dedup._flat_packed / bpe._word_buffers)
+    offs = np.frombuffer(arr.buffers()[1], np.int32,
+                         count=arr.offset + n + 1)[arr.offset:]
     data_buf = arr.buffers()[2]
     data = np.frombuffer(data_buf, np.uint8, count=offs[-1]) \
         if data_buf is not None else np.empty(0, np.uint8)

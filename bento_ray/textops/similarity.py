@@ -16,13 +16,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from bento_ray.util import default_concurrency as _dc
-
-
-def _conc(c):
-    return c if c is not None else _dc()
-
 import ray
+
+from bento_ray.util import resolve_concurrency as _conc
 
 
 def _stack(col) -> np.ndarray:

@@ -191,10 +191,20 @@ class _TfidfScorer:
     def __init__(self, df_ref, n_docs: int, k: int):
         df_tab = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) \
             else df_ref
-        terms = df_tab.column("term").to_pylist()
-        dfs = df_tab.column("df").to_numpy(zero_copy_only=False) \
+        # vocab kept as an Arrow array per actor: the per-batch DF
+        # lookup is one pc.index_in + numpy take, no Python dict on
+        # the hot path (the _UnigramScorer pattern)
+        self.vocab = df_tab.column("term").combine_chunks()
+        self.dfs = df_tab.column("df").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        self.df_map = dict(zip(terms, dfs.tolist()))
+        # lexicographic rank per vocab entry precomputed once so the
+        # per-batch tie-break lexsort runs on int keys, not an
+        # object-dtype string column (Python sorted() compares code
+        # points exactly like the np object lexsort it replaces)
+        vterms = self.vocab.to_pylist()
+        by_lex = sorted(range(len(vterms)), key=vterms.__getitem__)
+        self.term_rank = np.empty(len(vterms), np.int64)
+        self.term_rank[by_lex] = np.arange(len(vterms))
         self.n_docs = float(n_docs)
         self.k = k
 
@@ -205,15 +215,19 @@ class _TfidfScorer:
                              "tf": pa.array([], pa.int64()),
                              "tfidf": pa.array([], pa.float64())})
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        terms = t.column("term").to_pylist()
+        terms_col = t.column("term").combine_chunks()
         tf = t.column("tf").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        dfv = np.array([self.df_map[w] for w in terms], np.float64)
+        idx = pc.index_in(terms_col, value_set=self.vocab)
+        if idx.null_count:
+            raise ValueError("term absent from the broadcast DF table")
+        idxn = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = self.dfs[idxn]
         score = tf * np.log(self.n_docs / dfv)
         # top-k per doc: ties broken (tf desc, df asc, term asc) —
         # integer keys, so the order matches the SQL oracle exactly
         # even when two float scores round identically.
-        order = np.lexsort((np.asarray(terms, object), dfv, -tf, ids))
+        order = np.lexsort((self.term_rank[idxn], dfv, -tf, ids))
         ids_s = ids[order]
         starts = np.concatenate([[0], np.flatnonzero(
             ids_s[1:] != ids_s[:-1]) + 1])
@@ -222,7 +236,7 @@ class _TfidfScorer:
         keep = order[rank < self.k]
         return pa.table({
             "doc_id": pa.array(ids[keep], pa.int64()),
-            "term": pa.array([terms[i] for i in keep], pa.string()),
+            "term": terms_col.take(pa.array(keep)),
             "tf": pa.array(tf[keep].astype(np.int64), pa.int64()),
             "tfidf": pa.array(np.round(score[keep], 6), pa.float64()),
         })
@@ -299,29 +313,13 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
     from ray.data.aggregate import Sum as _Sum
 
     from bento_ray.stages.join import shuffle_join
-    from bento_ray.textops.quality import word_hashes
-
-    M = np.uint64((1 << 61) - 1)
 
     def _explode(t: pa.Table):
-        flat, lens = _split_words(t.column(col))
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        hs = word_hashes(flat) if len(flat) else np.empty(0, np.uint64)
-        total = len(hs)
-        if total >= n:
-            out = np.zeros(total - n + 1, np.uint64)
-            for j in range(n):
-                out = (out * np.uint64(1_000_003)
-                       + hs[j:total - n + 1 + j]) % M
-            doc_of = np.repeat(np.arange(len(lens)), lens)
-            valid = doc_of[:total - n + 1] == doc_of[n - 1:]
-            ngh = out[valid].astype(np.int64)
-            inst_doc = ids[doc_of[:total - n + 1][valid]]
-        else:
-            ngh = np.empty(0, np.int64)
-            inst_doc = np.empty(0, np.int64)
-        return ngh, inst_doc, ids, np.maximum(lens - n + 1, 0)
+        # the shared explode (one definition of the polynomial /
+        # boundary mask); this caller wants doc IDs per instance,
+        # not row indices
+        ngh, inst_row, ids, totals, _ = _ngram_hash_explode(t, col, n)
+        return ngh, ids[inst_row], ids, totals
 
     def _inst(t: pa.Table) -> pa.Table:
         ngh, inst_doc, ids, _ = _explode(t)

@@ -60,6 +60,13 @@ def cluster_cpus(default: int = 8) -> int:
         return default
 
 
+def resolve_concurrency(c: int | None, cap: int = 4) -> int:
+    """An explicit concurrency wins; None falls back to
+    :func:`default_concurrency` (the shared actor-pool sizing
+    policy — previously copy-pasted as ``_conc`` in five modules)."""
+    return c if c is not None else default_concurrency(cap)
+
+
 def default_concurrency(cap: int = 4) -> int:
     """Actor-pool size that leaves CPU headroom: an actor pool sized at
     or above the CPU count starves the surrounding task stages (and can

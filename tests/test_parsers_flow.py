@@ -160,3 +160,45 @@ def test_cached_enricher_memoises():
     # 'a' in batch 1 was deduplicated within the miss batch, not served
     # from cache)
     assert enr.hits == 1
+
+
+def test_token_bucket_acquire_over_capacity():
+    """acquire(n) with n > bucket capacity must drain in
+    capacity-sized chunks across intervals, not spin forever (a
+    per_row=True stage with a batch bigger than `count` deadlocked)."""
+    import time as _time
+
+    from bento_ray.stages.flow import TokenBucket
+
+    b = TokenBucket(count=10, interval_sec=0.01)
+    t0 = _time.monotonic()
+    b.acquire(35)  # 10 now + 3 refills
+    took = _time.monotonic() - t0
+    assert took < 5.0  # terminates (would hang before the fix)
+    assert b._tokens == 5  # 40 granted across 4 windows, 35 consumed
+
+
+def test_jsonschema_bool_is_not_integer_and_null_type():
+    """JSON-schema semantics: booleans are NOT integers/numbers
+    (Python's isinstance(True, int) is), and type 'null' must
+    validate instead of KeyError-ing into 'invalid json'."""
+    from bento_ray.stages.parsers import JsonSchemaValidator
+
+    v = JsonSchemaValidator({"type": "integer"})
+    t = pa.table({"content": ["true", "3", "3.5"]})
+    errs = v(t).column("err").to_pylist()
+    assert errs[0] == "expected integer, got bool"
+    assert errs[1] is None
+    assert errs[2] == "expected integer, got float"
+
+    v2 = JsonSchemaValidator({"type": "null"})
+    errs2 = v2(pa.table({"content": ["null", "1"]})) \
+        .column("err").to_pylist()
+    assert errs2[0] is None
+    assert errs2[1] == "expected null, got int"
+
+    v3 = JsonSchemaValidator({"type": "number"})
+    errs3 = v3(pa.table({"content": ["true", "3.5"]})) \
+        .column("err").to_pylist()
+    assert errs3[0] == "expected number, got bool"
+    assert errs3[1] is None

@@ -527,3 +527,38 @@ def test_match_event_sequence_three_step_overlaps():
         .to_pandas().sort_values("first_event_id")
     assert list(out["first_event_id"]) == [0, 2]
     assert list(out["last_event_id"]) == [2, 4]
+
+
+def test_group_by_value_table_null_keys():
+    """Rows with a null key must come back in their own group — the
+    old pc.equal(col, null-scalar) mask silently dropped them from
+    every group (total output rows < input rows)."""
+    t = pa.table({"k": ["a", None, "a", None], "x": [1, 2, 3, 4]})
+    groups = group_by_value_table(t, "k")
+    assert [k for k, _ in groups] == ["a", None]
+    by_key = {k: sub for k, sub in groups}
+    assert by_key["a"].column("x").to_pylist() == [1, 3]
+    assert by_key[None].column("x").to_pylist() == [2, 4]
+    assert sum(len(sub) for _, sub in groups) == len(t)
+
+
+def test_session_windows_group_ns_timestamps():
+    """session_windows_group must normalize pandas' default
+    datetime64[ns] to MICROSECONDS before comparing against gap_us —
+    a raw int64 view made a 60s gap read as 60µs."""
+    import pandas as pd
+
+    from bento_ray.stages.window import session_windows_group
+
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    g = pd.DataFrame({
+        "ts": [base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=200)],
+        "v": [1, 2, 3],
+    })
+    out = session_windows_group(g, "ts", gap_us=60_000_000)
+    # rows 1-2 share a session (10s < 60s); row 3 starts a new one
+    ends = out["window_end"].tolist()
+    assert ends[0] == ends[1] != ends[2]
+    assert ends[0] == base + pd.Timedelta(seconds=70)
+    assert ends[2] == base + pd.Timedelta(seconds=260)

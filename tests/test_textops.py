@@ -1682,3 +1682,19 @@ def test_stack_rejects_null_embedding_rows():
                          pa.list_(pa.float64(), 2))
     with pytest.raises(ValueError, match="null row"):
         _stack(with_null)
+
+
+def test_word_hashes_sliced_array():
+    """A zero-copy sliced Array shares buffers with its parent; the
+    offsets read must start at arr.offset or the hashes come back
+    for the parent's FIRST n words."""
+    import pyarrow as pa
+
+    from bento_ray.textops.quality import hash_word, word_hashes
+
+    arr = pa.array(["aaa", "bbb", "ccc", "dddd"])
+    got = word_hashes(arr.slice(2))
+    assert got.tolist() == [hash_word("ccc"), hash_word("dddd")]
+    # unsliced parity with the scalar form stays pinned
+    assert word_hashes(arr).tolist() == \
+        [hash_word(w) for w in ["aaa", "bbb", "ccc", "dddd"]]
