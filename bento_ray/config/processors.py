@@ -140,14 +140,25 @@ class ArchiveProcessor(Processor):
         return self.path.resolve_message(i, batch, rt.env, rt.counters)
 
     def process_batch(self, batch, rt):
+        if not batch:
+            return []
+        try:
+            return self._archive(batch, rt)
+        except Exception as e:  # noqa: BLE001 — error-routing contract
+            # a failing processor leaves the batch unchanged and
+            # flags it (module contract; processor_archive.go fails
+            # the whole batch on any part error)
+            for m in batch:
+                m.error = f"archive: {e}"
+            return [batch]
+
+    def _archive(self, batch, rt):
         import io
         import tarfile
         import zipfile
 
         from bento_ray.blobl.values import go_json_dumps
 
-        if not batch:
-            return []
         if self.format == "json_array":
             docs = [m.structured() for m in batch]
             raw = go_json_dumps(docs)
@@ -194,12 +205,24 @@ class UnarchiveProcessor(Processor):
     def process_batch(self, batch, rt):
         out: list[Message] = []
         for m in batch:
+            try:
+                out.extend(self._expand(m))
+            except Exception as e:  # noqa: BLE001 — error contract
+                # corrupt payloads (bad JSON/tar/zip/binary counts)
+                # flag THIS message and pass it through unchanged
+                # instead of killing the whole batch
+                m.error = f"unarchive: {e}"
+                out.append(m)
+        return [out] if out else []
+
+    def _expand(self, m) -> list:
+        out: list[Message] = []
+        if True:
             if self.format == "json_array":
                 arr = m.structured()
                 if not isinstance(arr, list):
                     m.error = "expected JSON array"
-                    out.append(m)
-                    continue
+                    return [m]
                 for x in arr:
                     out.append(Message.from_content(
                         x, meta=dict(m.meta)))
@@ -272,7 +295,7 @@ class UnarchiveProcessor(Processor):
             else:
                 raise ValueError(
                     f"unsupported unarchive format {self.format}")
-        return [out] if out else []
+        return out
 
 
 class JQProcessor(Processor):
@@ -713,7 +736,11 @@ class SleepProcessor(Processor):
 
 
 class MetricProcessor(Processor):
-    """``metric``: counter/gauge against the runtime's counter map."""
+    """``metric`` (processor_metric.go): counter / counter_by / gauge /
+    timing against the runtime's counter map. ``value`` is an
+    interpolated expression resolved per message; labels are folded
+    into the metric key (label-set → distinct series, the flattened
+    form of the reference's tagged metrics)."""
 
     name = "metric"
 
@@ -721,10 +748,43 @@ class MetricProcessor(Processor):
                  value: str = "", labels: dict | None = None):
         self.metric_name = name
         self.type = type
+        self.value = InterpolatedField(value) if value else None
+        self.labels = {k: InterpolatedField(v)
+                       for k, v in (labels or {}).items()}
+
+    def _key(self, i, batch, rt) -> str:
+        if not self.labels:
+            return self.metric_name
+        parts = [f"{k}={self.labels[k].resolve_message(i, batch, rt.env, rt.counters)}"
+                 for k in sorted(self.labels)]
+        return self.metric_name + "{" + ",".join(parts) + "}"
+
+    def _num(self, i, batch, rt) -> float:
+        s = self.value.resolve_message(i, batch, rt.env, rt.counters)
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return 0.0
 
     def process_batch(self, batch, rt):
-        rt.counters[self.metric_name] = \
-            rt.counters.get(self.metric_name, 0) + len(batch)
+        if self.type in ("gauge", "timing"):
+            # last write wins (gauge semantics); timing stores the
+            # latest observation the same way
+            for i, _ in enumerate(batch):
+                v = self._num(i, batch, rt) if self.value else 0.0
+                rt.counters[self._key(i, batch, rt)] = v
+        elif self.type == "counter_by" and self.value is not None:
+            for i, _ in enumerate(batch):
+                k = self._key(i, batch, rt)
+                rt.counters[k] = rt.counters.get(k, 0) + \
+                    self._num(i, batch, rt)
+        elif self.labels:
+            for i, _ in enumerate(batch):
+                k = self._key(i, batch, rt)
+                rt.counters[k] = rt.counters.get(k, 0) + 1
+        else:
+            rt.counters[self.metric_name] = \
+                rt.counters.get(self.metric_name, 0) + len(batch)
         return [batch]
 
 
@@ -1787,7 +1847,8 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return InsertPartProcessor(**(cfg or {}))
     if kind == "jq":
         return JQProcessor(query=cfg["query"],
-                           output_raw=cfg.get("output_raw", False))
+                           output_raw=cfg.get("output_raw", False),
+                           raw=cfg.get("raw", False))
     if kind == "jmespath":
         return JMESPathProcessor(query=cfg["query"])
     if kind == "noop":

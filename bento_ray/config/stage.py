@@ -114,13 +114,20 @@ class ConfigProcessorStage:
         out_batches = run_processors(self.procs, [msgs], self.rt)
         out = [m for b in out_batches for m in b]
         if content_mode:
-            contents, errs = [], []
+            raw, errs = [], []
             for m in out:
-                contents.append(m.content_bytes().decode("utf-8",
-                                                         "replace"))
+                raw.append(m.content_bytes())
                 errs.append(m.error)
-            return pa.table({self.content_col:
-                             pa.array(contents, pa.string()),
+            # keep string output when every payload is valid UTF-8
+            # (the common text-chain case); otherwise emit binary —
+            # a 'replace' decode of compressed/packed bytes corrupts
+            # them irreversibly (U+FFFD substitutions)
+            try:
+                contents = [b.decode("utf-8") for b in raw]
+                col = pa.array(contents, pa.string())
+            except UnicodeDecodeError:
+                col = pa.array(raw, pa.binary())
+            return pa.table({self.content_col: col,
                              "err": pa.array(errs, pa.string())})
         rows = []
         for m in out:

@@ -121,7 +121,9 @@ def _apply_mocks(doc: dict, mocks: dict) -> None:
             specs = (doc.get(section, {}) or {}).get("processors", []) or []
             for i, spec in enumerate(specs):
                 if spec.get("label") == key:
-                    specs[i] = repl
+                    # keep the label so label-targeted tests
+                    # (target_processors: <label>) still resolve
+                    specs[i] = {**repl, "label": key}
                     replaced = True
         for i, spec in enumerate(doc.get("processor_resources", []) or []):
             if spec.get("label") == key:

@@ -80,11 +80,18 @@ def switch_output(ds, routes: list[tuple[Callable[[pa.Table], pa.Array], Callabl
     sink receives a filtered Dataset; evaluation shares the upstream
     plan. Returns per-route results."""
     results = []
-    claimed = None
-    for pred, sink in routes:
-        sub = ds.map_batches(
-            lambda t, p=pred: t.filter(p(t)), batch_format="pyarrow")
-        results.append(sink(sub))
+    for i, (pred, sink) in enumerate(routes):
+        # FIRST-match routing (output_switch.go): a row that also
+        # matches an earlier predicate is already claimed — mask the
+        # earlier matches out so no row reaches two sinks
+        def _route(t: pa.Table, idx=i) -> pa.Table:
+            m = routes[idx][0](t)
+            for j in range(idx):
+                m = pc.and_(m, pc.invert(routes[j][0](t)))
+            return t.filter(m)
+
+        results.append(sink(ds.map_batches(_route,
+                                           batch_format="pyarrow")))
     if default is not None:
         def _unmatched(t: pa.Table) -> pa.Table:
             m = None

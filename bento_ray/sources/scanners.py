@@ -259,9 +259,16 @@ def warc() -> Scanner:
     def scan(data: bytes):
         pos, n = 0, len(data)
         while pos < n:
-            # tolerate inter-record CRLF padding
-            while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n"):
-                pos += 2 if data[pos:pos + 2] == b"\r\n" else 1
+            # tolerate inter-record CRLF (or bare-LF) padding — the
+            # LF check must be one byte, a 2-byte slice mid-stream
+            # reads b"\nW" and never matches
+            while pos < n:
+                if data[pos:pos + 2] == b"\r\n":
+                    pos += 2
+                elif data[pos:pos + 1] == b"\n":
+                    pos += 1
+                else:
+                    break
             if pos >= n:
                 return
             if not data.startswith(b"WARC/", pos):

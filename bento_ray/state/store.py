@@ -32,6 +32,7 @@ class LocalCache:
         self.ttl = ttl_sec
         self.cap = max_items
         self._d: OrderedDict = OrderedDict()
+        self._since_sweep = 0
 
     def _expired(self, ts: float) -> bool:
         return self.ttl is not None and (time.monotonic() - ts) > self.ttl
@@ -39,6 +40,19 @@ class LocalCache:
     def _evict(self) -> None:
         while self.cap is not None and len(self._d) > self.cap:
             self._d.popitem(last=False)
+        # amortized TTL compaction (cache_memory.go compacts on an
+        # interval): lazily-expired entries are otherwise only purged
+        # by a get() of the SAME key, which dedupe workloads never
+        # issue — an uncapped TTL cache would grow without bound
+        if self.ttl is not None:
+            self._since_sweep += 1
+            if self._since_sweep >= max(1024, len(self._d) // 4):
+                self._since_sweep = 0
+                now = time.monotonic()
+                dead = [k for k, (_, ts) in self._d.items()
+                        if (now - ts) > self.ttl]
+                for k in dead:
+                    del self._d[k]
 
     def get(self, key):
         v = self._d.get(key)
@@ -91,8 +105,14 @@ class FileCache:
 
     def _path(self, key) -> str:
         import os
+        from urllib.parse import quote
 
-        safe = str(key).replace("/", "_")
+        # injective, filesystem-safe encoding: the old replace('/',
+        # '_') collided distinct keys ('a/b' vs 'a_b' — a silent
+        # dedupe false-positive) and let '..' escape the directory
+        safe = quote(str(key), safe="")
+        if safe in (".", ".."):
+            safe = safe.replace(".", "%2E")
         return os.path.join(self.dir, safe)
 
     def get(self, key):

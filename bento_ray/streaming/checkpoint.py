@@ -121,12 +121,21 @@ class ExactlyOnceParquetSink:
         return {}
 
     def lineage(self) -> list[dict]:
+        # NUMERIC epoch/partition order: a lexicographic listdir sort
+        # interleaves epoch=10 between epoch=1 and epoch=2 once the
+        # run passes 10 epochs, scrambling replay/watermark reads
+        def _num(name: str) -> tuple:
+            head, _, tail = name.partition("=")
+            tail = tail.split(".")[0]
+            return (0, int(tail)) if tail.isdigit() else (1, name)
+
         out = []
-        for ed in sorted(os.listdir(self.manifest_dir)):
+        for ed in sorted(os.listdir(self.manifest_dir),
+                         key=lambda n: _num(n)):
             d = os.path.join(self.manifest_dir, ed)
             if not os.path.isdir(d):
                 continue
-            for f in sorted(os.listdir(d)):
+            for f in sorted(os.listdir(d), key=lambda n: _num(n)):
                 if f.startswith("part="):
                     with open(os.path.join(d, f)) as fh:
                         out.append(json.load(fh))

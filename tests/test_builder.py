@@ -213,3 +213,52 @@ pipeline:
     df = p.to_pandas()
     docs = [json.loads(c) for c in df["content"]]
     assert docs == [{"up": "AA"}, {"up": "BB"}, {"up": "CC"}]
+
+
+def test_content_stage_binary_output_preserved():
+    """A chain ending in compress emits bytes that are NOT valid
+    UTF-8; the stage must emit a binary column, not a 'replace'
+    decode that corrupts them irreversibly."""
+    import pyarrow as pa
+
+    from bento_ray import compression as cz
+    from bento_ray.config.stage import ConfigProcessorStage
+
+    stage = ConfigProcessorStage([{"compress": {"algorithm": "gzip"}}])
+    out = stage(pa.table({"content": ["hello world"]}))
+    assert pa.types.is_binary(out.schema.field("content").type)
+    blob = out.column("content").to_pylist()[0]
+    assert cz.decompress(blob, "gzip") == b"hello world"
+
+    # pure-text chains keep the string column
+    stage2 = ConfigProcessorStage(
+        [{"mapping": "root = content().uppercase()"}])
+    out2 = stage2(pa.table({"content": ["abc"]}))
+    assert pa.types.is_string(out2.schema.field("content").type)
+    assert out2.column("content").to_pylist() == ["ABC"]
+
+
+def test_yaml_test_mock_preserves_label(tmp_path):
+    """A label-replacing mock must keep the label so
+    target_processors: <label> still resolves (it was dropped)."""
+    import yaml
+
+    from bento_ray.config import run_config_tests
+
+    cfg = {
+        "pipeline": {"processors": [
+            {"label": "get_foo",
+             "mapping": 'root = "real"'},
+        ]},
+        "tests": [{
+            "name": "mocked",
+            "target_processors": "get_foo",
+            "mocks": {"get_foo": {"mapping": 'root = "mocked"'}},
+            "input_batch": [{"content": "x"}],
+            "output_batches": [[{"content_equals": "mocked"}]],
+        }],
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    results = run_config_tests(str(p))
+    assert results and all(r["ok"] for r in results), results

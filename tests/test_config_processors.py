@@ -276,3 +276,93 @@ def test_bad_path_assignment_marks_not_crashes():
     p = build_processor({"mapping": 'root = [1,2]\nroot.a = 3'})
     out = p.process_batch(msgs({"x": 1}), Runtime())[0]
     assert out[0].error and "unable to set target path" in out[0].error
+
+
+def test_unarchive_corrupt_payload_flags_not_raises():
+    """A corrupt payload must flag THAT message (error contract) and
+    pass it through — it used to raise and kill the whole batch."""
+    p = build_processor({"unarchive": {"format": "json_array"}})
+    good = Message.from_content([1, 2])
+    bad = Message.from_content(b"not json at all {")
+    out = p.process_batch([good, bad], Runtime())
+    flat = [m for b in out for m in b]
+    assert [m.error is None for m in flat] == [True, True, False]
+    assert flat[2].error.startswith("unarchive:")
+    assert flat[2].content_bytes() == b"not json at all {"
+
+    # corrupt zip: same contract
+    pz = build_processor({"unarchive": {"format": "zip"}})
+    outz = pz.process_batch([Message.from_content(b"PK\x03\x04garbage")],
+                            Runtime())
+    mz = outz[0][0]
+    assert mz.error and mz.error.startswith("unarchive:")
+
+
+def test_archive_bad_payload_flags_batch():
+    """archive json_array over a non-JSON part flags the whole batch
+    unchanged instead of crashing the stage."""
+    p = build_processor({"archive": {"format": "json_array"}})
+    batch = [Message.from_content(b"\xff\xfenot-json")]
+    out = p.process_batch(batch, Runtime())
+    assert out[0][0].error.startswith("archive:")
+    assert out[0][0].content_bytes() == b"\xff\xfenot-json"
+
+
+def test_metric_gauge_value_and_labels():
+    """metric type=gauge stores the interpolated value (not a message
+    count); labels fan the name out into per-series keys."""
+    rt = Runtime()
+    p = build_processor({"metric": {
+        "name": "depth", "type": "gauge",
+        "value": "${! this.d }"}})
+    p.process_batch(msgs({"d": 7}, {"d": 42}), rt)
+    assert rt.counters["depth"] == 42.0  # last write wins
+
+    rt2 = Runtime()
+    p2 = build_processor({"metric": {
+        "name": "seen", "type": "counter",
+        "labels": {"lang": "${! this.lang }"}}})
+    p2.process_batch(msgs({"lang": "en"}, {"lang": "de"},
+                          {"lang": "en"}), rt2)
+    assert rt2.counters["seen{lang=en}"] == 2
+    assert rt2.counters["seen{lang=de}"] == 1
+
+
+def test_jq_raw_config_field_forwarded():
+    """`jq: {raw: true}` must emit raw text, not JSON-quoted."""
+    p = build_processor({"jq": {"query": ".s", "raw": True}})
+    out = p.process_batch(msgs({"s": "plain"}), Runtime())
+    assert out[0][0].content_bytes() == b"plain"
+
+
+def test_local_cache_ttl_compaction():
+    """Expired entries must be swept even when their keys are never
+    get() again (the dedupe workload) — the cache was unbounded."""
+    import time as _t
+
+    from bento_ray.state.store import LocalCache
+
+    c = LocalCache(ttl_sec=0.01)
+    for i in range(1500):
+        c.add(f"k{i}", b"t")
+    _t.sleep(0.05)
+    # adds of NEW keys trigger the amortized sweep of the old ones
+    for i in range(1500, 2600):
+        c.add(f"k{i}", b"t")
+    assert len(c) < 1500  # old cohort swept, not accumulated
+
+
+def test_file_cache_key_injective_and_safe(tmp_path):
+    """'a/b' and 'a_b' must be distinct keys (the old '/'→'_' mapping
+    collided them → silent dedupe false-positive); '..' must stay
+    inside the cache dir."""
+    from bento_ray.state.store import FileCache
+
+    c = FileCache(str(tmp_path / "fc"))
+    assert c.add("a/b", b"1") is True
+    assert c.add("a_b", b"2") is True  # collided (False) before the fix
+    assert c.get("a/b") == b"1" and c.get("a_b") == b"2"
+    assert c.add("..", b"3") is True
+    assert c.get("..") == b"3"
+    assert sorted(p.name for p in (tmp_path / "fc").iterdir()) == \
+        ["%2E%2E", "a%2Fb", "a_b"]

@@ -385,3 +385,42 @@ def test_read_warc_gzip_compression_param(tmp_path):
     assert set(df["warc_type"]) == {"response", "warcinfo"}
     assert df.loc[df["warc_type"] == "response", "payload"].iloc[0] \
         == b"alpha beta"
+
+
+def test_switch_output_first_match_routing(ray_session):
+    """A row matching several predicates goes ONLY to the first
+    matching sink (output_switch.go first-match semantics) — it was
+    delivered to every matching sink."""
+    from bento_ray.sinks import switch_output
+
+    ds = rd.from_items([{"x": i} for i in range(10)])
+    got: dict[str, list] = {"a": [], "b": []}
+
+    def _sink(name):
+        def _s(sub):
+            got[name].extend(sub.to_pandas()["x"].tolist())
+            return name
+        return _s
+
+    switch_output(ds, [
+        (lambda t: pc.less(t.column("x"), 7), _sink("a")),   # x < 7
+        (lambda t: pc.less(t.column("x"), 9), _sink("b")),   # x < 9
+    ])
+    assert sorted(got["a"]) == list(range(7))
+    assert sorted(got["b"]) == [7, 8]  # 0-6 already claimed by route a
+
+
+def test_warc_scanner_bare_lf_padding():
+    """LF-separated WARC records must scan (the 2-byte padding slice
+    read b'\\nW' mid-stream and raised 'malformed')."""
+    from bento_ray.sources.scanners import warc
+
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: resource\r\n"
+           b"Content-Length: 4\r\n"
+           b"\r\n"
+           b"ABCD\r\n\r\n")
+    lf_padded = rec + b"\n" + rec  # bare-LF inter-record padding
+    out = list(warc()(lf_padded))
+    assert len(out) == 2
+    assert all(o.startswith(b"WARC/1.0") for o in out)

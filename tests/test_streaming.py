@@ -581,3 +581,19 @@ def test_spill_seen_set_semantics():
         want = np.array([int(x) in truth for x in q])
         assert (got == want).all()
         assert len(s) == len(truth)
+
+
+def test_sink_lineage_numeric_epoch_order(tmp_path):
+    """lineage()/committed_files() must order epochs and partitions
+    numerically — a lexicographic listdir sort interleaves epoch=10
+    between epoch=1 and epoch=2 past ten epochs."""
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    t = pa.table({"x": [1]})
+    for e in range(12):
+        for p in (0, 1, 10):
+            sink.write_partition(e, p, t, lineage={"epoch": e})
+        sink.finish_epoch(e)
+    recs = sink.lineage()
+    assert [r["lineage"]["epoch"] for r in recs] == \
+        [e for e in range(12) for _ in range(3)]
+    assert [r["partition"] for r in recs][:3] == [0, 1, 10]
