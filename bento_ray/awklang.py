@@ -297,6 +297,21 @@ class _Parser:
 
 # ------------------------------------------------------------- evaluator
 
+class _Strnum(str):
+    """A string that came from input (a field) — POSIX 'strnum':
+    numeric-looking strnums compare NUMERICALLY against each other
+    and against numbers, while string literals always compare as
+    strings (goawk semantics)."""
+
+
+_NUMSTR_RE = re.compile(
+    r"\s*[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+)\s*$")
+
+
+def _looks_num(v) -> bool:
+    return bool(_NUMSTR_RE.match(v))
+
+
 def _num(v) -> float:
     if isinstance(v, (int, float)):
         return float(v)
@@ -455,9 +470,10 @@ class AWK:
         if k == "field":
             n = int(_num(self._eval(e[1], env, rec, state)))
             if n == 0:
-                return rec
+                return _Strnum(rec)
             parts = rec.split()
-            return parts[n - 1] if 1 <= n <= len(parts) else ""
+            return _Strnum(parts[n - 1]) \
+                if 1 <= n <= len(parts) else _Strnum("")
         if k == "concat":
             return "".join(_str(self._eval(p, env, rec, state))
                            for p in e[1])
@@ -478,7 +494,18 @@ class AWK:
         if k == "cmp":
             a = self._eval(e[2], env, rec, state)
             b = self._eval(e[3], env, rec, state)
-            if isinstance(a, float) or isinstance(b, float):
+            # POSIX strnum rule: two numeric-looking FIELD values
+            # (or a field vs a number) compare numerically; string
+            # literals force string comparison ("10" > "9" on $1/$2
+            # of "10 9" must be numeric true, not string false)
+            a_sn = isinstance(a, _Strnum) and _looks_num(a)
+            b_sn = isinstance(b, _Strnum) and _looks_num(b)
+            a_num = isinstance(a, float) or a_sn
+            b_num = isinstance(b, float) or b_sn
+            if (isinstance(a, float) and isinstance(b, float)) or \
+                    (a_num and b_sn) or (a_sn and b_num):
+                a, b = _num(a), _num(b)
+            elif isinstance(a, float) or isinstance(b, float):
                 a, b = _num(a), _num(b)
             else:
                 a, b = _str(a), _str(b)
@@ -515,8 +542,14 @@ class AWK:
         if name == "substr":
             s = _str(args[0])
             m = int(_num(args[1]))
-            n = int(_num(args[2])) if len(args) > 2 else len(s)
-            return s[m - 1:m - 1 + n]
+            if len(args) > 2:
+                # POSIX: clamp start to 1 and shrink the count by the
+                # clamped amount (substr("hello",0,3) == "he"); a raw
+                # s[m-1:...] slice with m<1 wrapped around the end
+                end = m + int(_num(args[2]))  # 1-based exclusive
+                start = max(m, 1)
+                return s[start - 1:end - 1] if end > start else ""
+            return s[max(m, 1) - 1:]
         if name == "index":
             return float(_str(args[0]).find(_str(args[1])) + 1)
         if name == "tolower":

@@ -19,6 +19,11 @@ from bento_ray.blobl.values import (
 )
 
 
+# seeded random_int RNGs, one per distinct seed per process (the
+# reference's per-instantiation RNG)
+_SEEDED_RNGS: dict = {}
+
+
 def _dot_path(path: str) -> list[str]:
     if path == "":
         return []
@@ -156,7 +161,17 @@ def call_function(name, arg_qs, kwarg_qs, ctx, ev):
         mn = get_int(kwargs.get("min", args[0] if args else 0))
         mx = get_int(kwargs.get("max", args[1] if len(args) > 1
                                 else (1 << 63) - 1))
-        rng = random.Random(seed) if seed is not None else random
+        if seed is not None:
+            # ONE seeded RNG per seed, drawn from per call — a fresh
+            # Random(seed) per invocation returned the identical
+            # value for every message (the reference seeds the RNG
+            # once at function instantiation)
+            key = get_int(seed)
+            rng = _SEEDED_RNGS.get(key)
+            if rng is None:
+                rng = _SEEDED_RNGS[key] = random.Random(key)
+        else:
+            rng = random
         return rng.randint(mn, mx)
     if name == "hostname":
         return socket.gethostname()

@@ -306,8 +306,11 @@ def _call_ast_method(target_q, name, arg_qs, kwarg_qs, ctx, ev):
     if name == "catch":
         try:
             v = ev(target_q, ctx)
-        except BloblangError:
-            return _elem_eval(arg_qs[0], ctx, None, ev) \
+        except BloblangError as e:
+            # the lambda parameter binds the caught error STRING
+            # (query.catch binds the error as the context) — binding
+            # None made `err` unobservable in the handler
+            return _elem_eval(arg_qs[0], ctx, str(e), ev) \
                 if arg_qs[0][0] == "lambda" else ev(arg_qs[0], ctx)
         return v
     if name == "or":
@@ -534,6 +537,23 @@ def _num_method(fn):
     def wrapper(v, args, kwargs, ctx):
         return fn(get_number(v), *args)
     return wrapper
+
+
+def _int_ranged(bits: int, signed: bool = True):
+    """Width-checked integer cast (bloblang_numbers.go int8/16/32 /
+    uint32: a value exceeding the width's capacity ERRORS — the old
+    mask/no-op versions silently returned out-of-range values)."""
+    lo = -(1 << (bits - 1)) if signed else 0
+    hi = (1 << (bits - 1)) - 1 if signed else (1 << bits) - 1
+    kind = f"{'int' if signed else 'uint'}{bits}"
+
+    def _f(f):
+        i = int(f)
+        if not (lo <= i <= hi):
+            raise BloblangError(
+                f"value {i} exceeds the capacity of a {kind}")
+        return i
+    return _f
 
 
 def _maybe_int(f: float):
@@ -958,10 +978,9 @@ def _build_registry():
     reg("replace_all_many", _m(m_replace_many))
     reg("re_match", _m(lambda v, p: bool(re.search(
         _go_regex(get_string(p)), get_string(v)))))
-    reg("re_find_all", _m(lambda v, p: re.findall(
-        _go_regex(get_string(p)), get_string(v)) and
-        [m.group(0) for m in re.finditer(
-            _go_regex(get_string(p)), get_string(v))] or []))
+    reg("re_find_all", _m(lambda v, p: [
+        m.group(0) for m in re.finditer(
+            _go_regex(get_string(p)), get_string(v))]))
     reg("re_find_all_submatch", _m(_re_find_all_submatch))
     reg("re_find_object", _m(_re_find_object))
     reg("re_replace_all", _m(lambda v, p, r: re.sub(
@@ -1071,12 +1090,11 @@ def _build_registry():
     reg("log", _num_method(math.log))
     reg("log10", _num_method(math.log10))
     reg("log2", _num_method(math.log2))
-    reg("int8", _num_method(lambda f: int(f) & 0xFF if int(f) >= 0 else
-                            int(f)))
-    reg("int16", _num_method(int))
-    reg("int32", _num_method(int))
+    reg("int8", _num_method(_int_ranged(8)))
+    reg("int16", _num_method(_int_ranged(16)))
+    reg("int32", _num_method(_int_ranged(32)))
     reg("int64", _num_method(int))
-    reg("uint32", _num_method(lambda f: int(f) & 0xFFFFFFFF))
+    reg("uint32", _num_method(_int_ranged(32, signed=False)))
     reg("uint64", _num_method(lambda f: int(f) & ((1 << 64) - 1)))
     reg("float32", _num_method(lambda f: f))
     reg("float64", _num_method(lambda f: f))
@@ -1441,6 +1459,16 @@ def _re_find_all_object(v, p):
     return out
 
 
+def _xml_escape(v, attr: bool = False) -> str:
+    """Escape element text / attribute values — unescaped <, &, or
+    quotes produce XML that format_xml's own parse_xml rejects."""
+    s = str(v)
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if attr:
+        s = s.replace('"', "&quot;")
+    return s
+
+
 def _xml_value_to_elem(tag: str, val, indent: str, depth: int,
                        out: list) -> None:
     pad = indent * depth
@@ -1449,8 +1477,9 @@ def _xml_value_to_elem(tag: str, val, indent: str, depth: int,
             _xml_value_to_elem(tag, item, indent, depth, out)
         return
     if isinstance(val, dict):
-        attrs = "".join(f' {k[1:]}="{v}"' for k, v in sorted(val.items())
-                        if k.startswith("-"))
+        attrs = "".join(
+            f' {k[1:]}="{_xml_escape(v, attr=True)}"'
+            for k, v in sorted(val.items()) if k.startswith("-"))
         children = {k: v for k, v in val.items()
                     if not k.startswith("-") and k != "#text"}
         text = val.get("#text")
@@ -1458,17 +1487,18 @@ def _xml_value_to_elem(tag: str, val, indent: str, depth: int,
             out.append(f"{pad}<{tag}{attrs}></{tag}>")
             return
         if not children:
-            out.append(f"{pad}<{tag}{attrs}>{text}</{tag}>")
+            out.append(f"{pad}<{tag}{attrs}>{_xml_escape(text)}</{tag}>")
             return
         out.append(f"{pad}<{tag}{attrs}>")
         if text is not None:
-            out.append(f"{pad}{indent}{text}")
+            out.append(f"{pad}{indent}{_xml_escape(text)}")
         for k in children:
             _xml_value_to_elem(k, children[k], indent, depth + 1, out)
         out.append(f"{pad}</{tag}>")
         return
     sval = "" if val is None else (
-        ("true" if val else "false") if isinstance(val, bool) else val)
+        ("true" if val else "false") if isinstance(val, bool)
+        else _xml_escape(val))
     out.append(f"{pad}<{tag}>{sval}</{tag}>")
 
 

@@ -71,12 +71,14 @@ class MappingStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         mode = self._resolve_mode(t)
         if self.vectorized is not None and mode == "structured":
-            from bento_ray.blobl.vectorize import NotVectorizable
-
             try:
                 return self.vectorized(t)
-            except NotVectorizable:
-                pass  # e.g. referenced column absent — interpret
+            except Exception:  # noqa: BLE001 — NotVectorizable, or an
+                # Arrow kernel error the compile pass couldn't predict
+                # (e.g. string column + int column): the row-wise
+                # interpreter owns the batch and marks per-message
+                # errors instead of the whole Ray task dying
+                pass
         if mode == "content":
             return self._content_batch(t)
         return self._structured_batch(t)

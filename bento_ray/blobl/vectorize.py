@@ -54,7 +54,15 @@ def _div(a, b):
         if isinstance(x, (pa.Array, pa.ChunkedArray)):
             return x.cast(pa.float64())
         return float(x)
-    return pc.divide(cast(a), cast(b))
+    b = cast(b)
+    # the interpreter ERRORS the message on division by zero; the
+    # float kernel would yield inf silently — defer those batches
+    if isinstance(b, float):
+        if b == 0.0:
+            raise NotVectorizable("division by zero")
+    elif pc.any(pc.equal(b, 0.0)).as_py():
+        raise NotVectorizable("division by zero in batch")
+    return pc.divide(cast(a), b)
 
 
 class Vectorized:
@@ -69,6 +77,14 @@ class Vectorized:
         for c in self.referenced:
             if c not in t.column_names:
                 raise NotVectorizable(f"column {c} absent from batch")
+            # nulls take the row-wise path: Arrow's Kleene kernels
+            # silently diverge from the interpreter (null == null is
+            # true in Bloblang but null in Arrow; arithmetic/string
+            # ops on null ERROR the message rather than propagating
+            # null). null_count is O(1) — vectorized speed is only
+            # claimed for clean batches.
+            if t.column(c).null_count:
+                raise NotVectorizable(f"column {c} contains nulls")
         out_cols: dict = {}
         for name, fn in self.assignments:
             v = fn(t)

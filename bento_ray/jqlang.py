@@ -393,7 +393,9 @@ def _call(name, args, v):
         return [sorted(v.keys())] if isinstance(v, dict) else \
             [list(range(len(v)))]
     if name == "values":
-        return [[v[k] for k in sorted(v)]] if isinstance(v, dict) else [v]
+        # jq `values` is select(. != null) — emit the input iff
+        # non-null (the idiomatic null filter), NOT "object values"
+        return [] if v is None else [v]
     if name == "add":
         if not v:
             return [None]

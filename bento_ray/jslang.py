@@ -1190,13 +1190,17 @@ class Interp:
     @staticmethod
     def _parse_int(args):
         s = to_string(_arg(args, 0)).strip()
-        radix = _int_arg(args, 1, 10) or 10
+        radix = _int_arg(args, 1, 0)
         sign = 1
         if s[:1] in "+-":
             sign = -1 if s[0] == "-" else 1
             s = s[1:]
-        if radix == 16 and s[:2].lower() == "0x":
+        # ES parseInt: with no/zero radix a 0x prefix selects base 16
+        if radix in (0, 16) and s[:2].lower() == "0x":
             s = s[2:]
+            radix = 16
+        if radix == 0:
+            radix = 10
         digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
         out = 0
         seen = False
@@ -1384,6 +1388,13 @@ class Interp:
         if op == "name":
             return scope.get(node[1])
         if op == "this":
+            # walk the scope chain: non-arrow calls declare "this" in
+            # their function scope; at top level it stays undefined
+            s = scope
+            while s is not None:
+                if "this" in s.vars:
+                    return s.vars["this"]
+                s = s.parent
             return UNDEFINED
         if op == "template":
             return "".join(to_string(self.eval(p, scope))
@@ -1695,6 +1706,11 @@ class Interp:
                           "let")
         if not fn.is_arrow:
             scope.declare("arguments", list(args), "let")
+            # bind `this` for ordinary functions (method calls pass
+            # the receiver, `new` passes the fresh object); arrows
+            # skip the binding so lexical lookup finds the enclosing
+            # function's `this` — goja/ES semantics
+            scope.declare("this", this, "let")
         try:
             self.exec_block(fn.body, scope)
         except _Return as r:

@@ -110,6 +110,8 @@ def parse_log_stage(ds, fmt: str = "syslog_rfc3164", content_col: str = "content
                 parsed.append(go_json_dumps(parse_log(s or "", fmt)))
                 errs.append(None)
             except (LogParseError, ValueError) as e:
+                if not best_effort:
+                    raise  # strict mode: malformed input fails the run
                 parsed.append(s)
                 errs.append(str(e))
         pos = t.schema.get_field_index(content_col)

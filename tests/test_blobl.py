@@ -708,3 +708,102 @@ def test_pi_cosine_similarity_tracing_file(tmp_path):
         {"doc": {"foo": "bar"}}
     assert "ERR" == run1(
         f'root.doc = file(path: "{p}", no_cache: true)')[0]
+
+
+def test_jq_values_is_null_filter():
+    """jq `values` means select(. != null) — not 'object values'."""
+    from bento_ray.jqlang import JQ
+
+    assert JQ(".foo | values")({"foo": None}) == []
+    assert JQ(".foo | values")({"foo": 3}) == [3]
+    assert JQ("values")({"a": 1}) == [{"a": 1}]
+
+
+def test_format_xml_escapes_special_chars():
+    from bento_ray.blobl import compile_mapping
+
+    out = compile_mapping(
+        'root = {"doc": {"-attr": "x\\"y", "#text": "a < b & c"}}'
+        '.format_xml().string()').run_value({})
+    assert out == '<doc attr="x&quot;y">a &lt; b &amp; c</doc>'
+
+
+def test_random_int_seeded_sequence_varies():
+    """A seeded random_int draws a SEQUENCE, not the same value for
+    every message (the reference seeds one RNG per instantiation)."""
+    from bento_ray.blobl import compile_mapping
+
+    m = compile_mapping("root.v = random_int(seed: 987)")
+    vals = [m.run_value({})["v"] for _ in range(8)]
+    assert len(set(vals)) > 1
+
+
+def test_int_width_casts_range_checked():
+    from bento_ray.blobl import compile_mapping
+    from bento_ray.blobl.values import BloblangError
+
+    assert compile_mapping("root.a = (120).int8()").run_value({}) == \
+        {"a": 120}
+    assert compile_mapping("root.a = (-128).int8()").run_value({}) == \
+        {"a": -128}
+    for bad in ["(200).int8()", "(-300).int8()", "(70000).int16()",
+                "(5000000000).uint32()", "(-1).uint32()"]:
+        with pytest.raises(BloblangError, match="capacity"):
+            compile_mapping(f"root.a = {bad}").run_value({})
+
+
+def test_catch_lambda_binds_error():
+    from bento_ray.blobl import compile_mapping
+
+    out = compile_mapping(
+        'root.msg = this.p.parse_json().catch(e -> "failed: " + e)'
+    ).run_value({"p": "{bad"})
+    assert out["msg"].startswith("failed: ")
+    assert "failed to parse" in out["msg"]
+
+
+def test_awk_field_numeric_comparison_posix_strnum():
+    """Two numeric-looking FIELDS compare numerically ('10' > '9' on
+    fields is true); string literals still compare as strings."""
+    from bento_ray.awklang import AWK
+
+    out, _, _ = AWK('$1 > $2 {print "gt"}').run_message(b"10 9", {})
+    assert out == b"gt"
+    out2, _, _ = AWK(
+        'BEGIN { if ("10" > "9") print "sg"; else print "sl" }'
+    ).run_message(b"", {})
+    assert out2 == b"sl"  # literal strings: "1" < "9"
+
+
+def test_awk_substr_clamps_start():
+    from bento_ray.awklang import AWK
+
+    out, _, _ = AWK('{print substr("hello", 0, 3), substr("hello", 0),'
+                    ' substr("hello", 2, 3), substr("hello", -1, 3)}'
+                    ).run_message(b"x", {})
+    assert out == b"he hello ell h"
+
+
+def test_vectorized_null_and_divzero_parity(ray_session):
+    """The vectorized mapping path must agree with the row-wise
+    interpreter on nulls (null == null is true in Bloblang, null in
+    Arrow) and error — not inf — on division by zero."""
+    import ray.data as rd
+
+    from bento_ray.blobl.stage import mapping_stage
+
+    ds = rd.from_items([{"a": None, "b": None, "x": 1.0, "y": 2.0},
+                        {"a": 1, "b": 2, "x": 4.0, "y": 0.0}])
+    eq = mapping_stage(ds, "root.eq = this.a == this.b").to_pandas()
+    assert eq["eq"].tolist() == [True, False]
+
+    # y=0 row: the interpreter marks the message errored (row keeps
+    # its original shape) — no silent inf anywhere in the output
+    r = mapping_stage(ds, "root.r = this.x / this.y").to_pandas()
+    import numpy as np
+    assert not np.isinf(r.select_dtypes("number").to_numpy()).any()
+
+    # type-mismatched op: per-message error, the Ray task survives
+    ds2 = rd.from_items([{"name": "a", "count": 2}])
+    out = mapping_stage(ds2, "root.s = this.name + this.count").to_pandas()
+    assert len(out) == 1

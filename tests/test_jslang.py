@@ -421,3 +421,22 @@ bento.v0_msg_set_string(tag)
 """}})
     out = run_proc(p, "a", "b")
     assert [m.content_bytes().decode() for m in out] == ["a!", "b!"]
+
+
+def test_this_binding_new_and_methods():
+    """`this` binds in constructors, object methods, and lexically in
+    arrows (goja parity) — it used to always evaluate to undefined."""
+    assert run_js("function Foo(){ this.x = 1 } var f = new Foo(); f.x") == 1
+    assert run_js("var o = {name:'a', greet: function(){ return this.name }};"
+                  " o.greet()") == "a"
+    assert run_js("var o = {n: 5, f: function(){"
+                  " var g = () => this.n * 2; return g() }}; o.f()") == 10
+    assert run_js("var o = {v: 7, get: function(){ return this.v }};"
+                  " o.get.call({v: 9})") == 9
+
+
+def test_parse_int_hex_autodetect():
+    assert run_js("parseInt('0x1F')") == 31
+    assert run_js("parseInt('0X10')") == 16
+    assert run_js("parseInt('10', 16)") == 16
+    assert run_js("parseInt('10')") == 10
