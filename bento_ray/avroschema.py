@@ -252,7 +252,15 @@ def encode_binary(schema: Schema, value, out: io.BytesIO | None = None) -> bytes
     elif t == "double":
         out.write(struct.pack("<d", float(value)))
     elif t in ("bytes", "string"):
-        data = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        # 'bytes' values arriving as str use the Avro-JSON ISO-8859-1
+        # convention (one char per byte — same as 'fixed' below and
+        # decode_textual); utf-8 would double every byte >0x7F and
+        # break textual→binary transcoding. 'string' stays utf-8.
+        if isinstance(value, str):
+            data = value.encode("utf-8") if t == "string" \
+                else value.encode("ISO-8859-1")
+        else:
+            data = bytes(value)
         _write_long(out, len(data))
         out.write(data)
     elif t == "fixed":

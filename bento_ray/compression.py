@@ -233,7 +233,11 @@ def compress(data: bytes, algorithm: str, level: int = -1) -> bytes:
     except KeyError:
         raise CompressionError(
             f"compression type not recognised: {algorithm}") from None
-    return fn(data, level)
+    try:
+        return fn(data, level)
+    except Exception as e:  # wrap codec errors like decompress() does
+        raise CompressionError(
+            f"failed to compress {algorithm}: {e}") from e
 
 
 def decompress(data: bytes, algorithm: str) -> bytes:

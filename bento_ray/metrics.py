@@ -85,7 +85,12 @@ def metric_stage(ds, registry: MetricsRegistry, name: str,
             counts[f"{name}.errors"] = int(
                 pc.sum(pc.is_valid(t.column(err_col)).cast(pa.int64()))
                 .as_py() or 0)
-        actor.add_many.remote(counts)  # fire-and-forget; exact at drain
+        # ack the add: actor ordering is per-submitter, so a
+        # fire-and-forget from a worker process could land AFTER the
+        # driver's snapshot() even though the pipeline was consumed.
+        # One tiny actor round-trip per BATCH is noise next to the
+        # batch's own compute, and makes "exact once consumed" true.
+        ray.get(actor.add_many.remote(counts))
         return t
 
     return ds.map_batches(_tap, batch_format="pyarrow")

@@ -39,7 +39,7 @@ def _strip_comments(src: str) -> str:
 class _P:
     def __init__(self, src: str):
         self.toks = re.findall(
-            r"[A-Za-z_][\w.]*|\d+|\"[^\"]*\"|[{}=;,<>\[\]]",
+            r"[A-Za-z_][\w.]*|-?\d+|\"[^\"]*\"|[{}=;,<>\[\]]",
             _strip_comments(src))
         self.i = 0
 
@@ -116,6 +116,16 @@ def parse_proto(src: str, name: str):
             elif t == "reserved":
                 while p.next() != ";":
                     pass
+            elif t == "oneof":
+                # wire-compatible: proto3 oneof members serialize as
+                # ordinary singular fields; flatten them into the
+                # message (the unsupported-token path used to consume
+                # 'oneof' silently and then fail on '{' with a
+                # misleading "expected '='" error)
+                p.next()  # group name
+                p.expect("{")
+                parse_message(msg, scope)
+                p.expect("}")
             elif t == ";":
                 continue
 

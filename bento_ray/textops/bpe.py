@@ -166,15 +166,38 @@ class _BpeTokenizer:
         self.ranks = {tuple(p): i for i, p in enumerate(merges)}
         self.col = col
         self.cache: dict[str, list[str]] = {}
+        # rank-greedy == sequential ONLY for creation-ordered merge
+        # lists (every part is a single char or the product of an
+        # EARLIER merge — what training emits). Arbitrary/reordered
+        # lists (e.g. [('ab','c'), ('a','b')]) diverge, so those take
+        # the exact sequential path instead.
+        built: set[str] = set()
+        ordered = True
+        for a, b in (tuple(p) for p in merges):
+            if (len(a) > 1 and a not in built) or \
+                    (len(b) > 1 and b not in built):
+                ordered = False
+                break
+            built.add(a + b)
+        if ordered:
+            self._merges_seq = None
+        else:
+            self._merges_seq = [tuple(p) for p in merges]
 
     def _encode(self, word: str) -> list[str]:
         """Rank-greedy BPE (GPT-2 style): repeatedly merge the
-        lowest-rank adjacent pair — provably equivalent to applying
-        the merge list in order (pinned against bpe_encode_word in
-        pytest)."""
+        lowest-rank adjacent pair — equivalent to applying the merge
+        list in order for creation-ordered lists (pinned against
+        bpe_encode_word in pytest); non-creation-ordered lists run
+        the sequential reference directly."""
         hit = self.cache.get(word)
         if hit is not None:
             return hit
+        if self._merges_seq is not None:
+            s = bpe_encode_word(word, self._merges_seq)
+            if len(self.cache) < 1_000_000:
+                self.cache[word] = s
+            return s
         s = list(word)
         ranks = self.ranks
         while len(s) > 1:

@@ -39,6 +39,12 @@ def pagerank(edges, nodes, *, iters: int = 3, damping: float = 0.85,
     update r' = (1-d)/N + d · Σ_in r/outdeg."""
     from bento_ray.stages.join import shuffle_join
 
+    # pin the node-id projection once: `nodes` may carry an arbitrary
+    # upstream lineage (parse/dedupe stages) that count(), the rank
+    # initializer and the per-iteration join would otherwise each
+    # re-execute from scratch
+    nodes = nodes.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow").materialize()
     n_total = nodes.count()
     base = (1.0 - damping) / n_total
 

@@ -87,10 +87,17 @@ def _parse_batch(t: pa.Table, col: str) -> pa.Table:
     host = pc.struct_field(m, "host")
     path = pc.struct_field(m, "path")
     dom = _registrable(host.to_pandas().astype("string").astype(object))
+    dom_arr = pa.array(dom, pa.string())
+    # unparseable URLs get NULL domain like scheme/host/path — the
+    # _registrable fillna('') otherwise invents a phantom '' domain
+    # that domain_stats would aggregate junk rows under
+    if host.null_count:
+        dom_arr = pc.if_else(pc.is_valid(host), dom_arr,
+                             pa.scalar(None, pa.string()))
     return (t.append_column("scheme", pc.utf8_lower(scheme))
              .append_column("host", pc.utf8_lower(host))
              .append_column("path", path)
-             .append_column("domain", pa.array(dom, pa.string())))
+             .append_column("domain", dom_arr))
 
 
 def parse_urls(ds, col: str = "url"):

@@ -322,3 +322,18 @@ def test_ocf_snappy_crc_mismatch_detected():
     blob[-18] ^= 0xFF  # flip a CRC byte (4-byte CRC sits before 16-byte sync, first byte of CRC may align differently; flip inside CRC region)
     with pytest.raises(AvroError):
         list(read_ocf(bytes(blob)).values())
+
+
+def test_bytes_string_uses_iso8859_convention():
+    """A str value for a 'bytes' schema uses the Avro-JSON ISO-8859-1
+    one-char-per-byte convention (like 'fixed' and decode_textual) —
+    utf-8 doubled every byte over 0x7F."""
+    import json
+
+    from bento_ray.avroschema import encode_binary, parse_schema
+
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "b", "type": "bytes"}]}))
+    out = encode_binary(sch, {"b": "é"})
+    assert out == b"\x02\xe9"  # 1 byte 0xE9, not utf-8 c3 a9

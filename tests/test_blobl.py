@@ -807,3 +807,17 @@ def test_vectorized_null_and_divzero_parity(ray_session):
     ds2 = rd.from_items([{"name": "a", "count": 2}])
     out = mapping_stage(ds2, "root.s = this.name + this.count").to_pandas()
     assert len(out) == 1
+
+
+def test_proto_negative_enum_and_oneof():
+    """Negative enum values keep their sign (the tokenizer dropped
+    '-'); oneof members flatten into wire-compatible singular fields
+    instead of a misleading parse error."""
+    from bento_ray.protoschema import parse_proto
+
+    fdp = parse_proto(
+        'syntax = "proto3"; message M { oneof kind { int32 a = 1; '
+        'string b = 2; } enum E { Z = 0; NEG = -5; } }', "t.proto")
+    m = fdp.message_type[0]
+    assert [(f.name, f.number) for f in m.field] == [("a", 1), ("b", 2)]
+    assert m.enum_type[0].value[1].number == -5

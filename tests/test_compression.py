@@ -189,3 +189,10 @@ def test_compress_processor_census():
         DecompressProcessor(algorithm=alg).process_batch(batch, None)
         assert batch[0].content_bytes() == b"processor payload " * 10
         assert not batch[0].error
+
+
+def test_compress_wraps_codec_errors():
+    from bento_ray.compression import CompressionError, compress
+
+    with pytest.raises(CompressionError):
+        compress(b"x", "gzip", 99)

@@ -1698,3 +1698,15 @@ def test_word_hashes_sliced_array():
     # unsliced parity with the scalar form stays pinned
     assert word_hashes(arr).tolist() == \
         [hash_word(w) for w in ["aaa", "bbb", "ccc", "dddd"]]
+
+
+def test_bpe_tokenizer_arbitrary_merge_order_matches_sequential():
+    """bpe_tokenize accepts arbitrary merge lists; the actor's greedy
+    fast path must agree with the sequential reference even when the
+    list is not creation-ordered."""
+    from bento_ray.textops.bpe import _BpeTokenizer, bpe_encode_word
+
+    adversarial = [("ab", "c"), ("a", "b")]
+    t = _BpeTokenizer(adversarial, "w")
+    for w in ["abc", "ababc", "cab"]:
+        assert t._encode(w) == bpe_encode_word(w, adversarial), w

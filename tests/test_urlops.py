@@ -220,3 +220,19 @@ def test_link_graph_pagerank_end_to_end(pages_dir):
     # probability mass is conserved up to dangling leakage: ≤ 1
     assert 0 < ranks["rank"].sum() <= 1.0 + 1e-9
     assert (ranks["rank"] > 0).all()
+
+
+def test_unparseable_url_domain_is_null(ray_session):
+    """Junk URLs get a NULL domain like scheme/host/path — not a
+    phantom '' group in domain_stats."""
+    import ray.data as rd
+
+    from bento_ray.textops.urlops import parse_urls
+
+    out = parse_urls(rd.from_items([
+        {"url": "https://www.example.co.uk/x"},
+        {"url": "not a url"}])).to_pandas()
+    good = out[out["url"].str.startswith("https")].iloc[0]
+    assert good["domain"] == "example.co.uk"
+    bad = out[out["url"] == "not a url"].iloc[0]
+    assert bad["domain"] is None or bad["domain"] != bad["domain"]
