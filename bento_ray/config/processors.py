@@ -1729,7 +1729,7 @@ CONFIG_PROCESSOR_KINDS = frozenset({
     "sleep", "metric", "group_by_value", "bounds_check", "parse_log",
     "grok", "compress", "decompress", "insert_part", "jq", "jmespath",
     "noop", "log", "select_parts", "http", "javascript", "command",
-    "subprocess", "opensnowcat",
+    "subprocess", "opensnowcat", "wasm",
 })
 
 
@@ -1863,6 +1863,10 @@ def _build_by_kind(kind: str, cfg, resources) -> Processor:
         return SelectPartsProcessor(parts=cfg.get("parts", [0]))
     if kind == "http":
         return HTTPProcessor(**(cfg or {}))
+    if kind == "wasm":
+        from bento_ray.wasmproc import WasmProcessor
+
+        return WasmProcessor(**(cfg or {}))
     if kind == "javascript":
         return JavascriptProcessor(
             code=cfg.get("code", ""), file=cfg.get("file", ""),

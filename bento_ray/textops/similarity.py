@@ -13,7 +13,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -644,6 +643,42 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
                           concurrency=_conc(concurrency))
 
 
+def _moment_reduce(g: pa.Table) -> pa.Table:
+    """Arrow-native combiner for the k-means / PQ moment exchange:
+    one group of per-block (vsum, n) partials for a single cell (or
+    (sub, cell)) folds to one row. Replaces the former pandas
+    map_groups seam — no object-dtype round-trip; the vsum fold is a
+    single (rows × d) numpy sum over the stacked list buffer."""
+    import pyarrow.compute as pc
+
+    vsum = _stack(g.column("vsum")).sum(axis=0)
+    cols = {}
+    for key in ("sub", "cell"):
+        if key in g.column_names:
+            cols[key] = g.column(key).slice(0, 1)
+    cols["vsum"] = pa.array([vsum])
+    cols["n"] = pa.array([pc.sum(g.column("n")).as_py() or 0],
+                         pa.int64())
+    return pa.table(cols)
+
+
+def _collect_moments(agg_ds) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pull the reduced (cell, n, vsum) table — ≤ k rows — onto the
+    driver as numpy arrays (no pandas)."""
+    cells, ns, sums = [], [], []
+    for t in agg_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if not t.num_rows:
+            continue
+        cells.append(t.column("cell").to_numpy())
+        ns.append(t.column("n").to_numpy())
+        sums.append(_stack(t.column("vsum")))
+    if not cells:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty((0, 0), np.float64))
+    return (np.concatenate(cells), np.concatenate(ns),
+            np.vstack(sums))
+
+
 def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
                seed: int = 42, init: np.ndarray | None = None) -> np.ndarray:
     """DISTRIBUTED spherical k-means (Lloyd): each iteration broadcasts
@@ -679,21 +714,14 @@ def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
                 "n": pa.array(cnt.astype(np.int64)),
             })
 
-        agg = ds.map_batches(_partial, batch_format="pyarrow") \
-            .groupby("cell").map_groups(
-                lambda g: pd.DataFrame({
-                    "cell": [g["cell"].iloc[0]],
-                    "vsum": [np.sum(np.array(g["vsum"].tolist()), axis=0)],
-                    "n": [int(g["n"].sum())],
-                }), batch_format="pandas").to_pandas()
-        agg = agg.sort_values("cell")
+        agg_ds = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("cell").map_groups(_moment_reduce,
+                                        batch_format="pyarrow")
+        cells, ns, sums = _collect_moments(agg_ds)
         newC = C.copy()
-        for _, row in agg.iterrows():
-            c = int(row["cell"])
-            if row["n"] > 0:
-                newC[c] = np.asarray(row["vsum"], np.float64) / row["n"]
-            else:
-                newC[c] = -C[0]
+        has = ns > 0
+        newC[cells[has]] = sums[has] / ns[has, None]
+        newC[cells[~has]] = -C[0]
         C = _normalize(newC)
     return C
 
@@ -753,19 +781,18 @@ def pq_fit(ds, *, m: int = 4, ks: int = 8, iters: int = 5,
                 "n": pa.array(np.concatenate(ns)),
             })
 
-        agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        agg_ds = ds.map_batches(_partial, batch_format="pyarrow") \
             .groupby(["sub", "cell"]).map_groups(
-                lambda g: pd.DataFrame({
-                    "sub": [g["sub"].iloc[0]],
-                    "cell": [g["cell"].iloc[0]],
-                    "vsum": [np.sum(np.array(g["vsum"].tolist()), axis=0)],
-                    "n": [int(g["n"].sum())],
-                }), batch_format="pandas").to_pandas()
+                _moment_reduce, batch_format="pyarrow")
         newC = C.copy()
-        for _, row in agg.iterrows():
-            if row["n"] > 0:
-                newC[int(row["sub"]), int(row["cell"])] = \
-                    np.asarray(row["vsum"], np.float64) / row["n"]
+        for t in agg_ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+            subs = t.column("sub").to_numpy()
+            cells = t.column("cell").to_numpy()
+            ns = t.column("n").to_numpy()
+            sums = _stack(t.column("vsum"))
+            has = ns > 0
+            newC[subs[has], cells[has]] = sums[has] / ns[has, None]
         C = newC
     return C
 
