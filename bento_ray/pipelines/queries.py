@@ -1390,6 +1390,55 @@ ORDER BY doc_id
 """
 
 
+def q_wasm_uppercase(sf_dir: str):
+    """The ``wasm`` processor as a distributed stage: every document's
+    text runs through the reference's TinyGo uppercase example module
+    (processor_wazero_test.go:20, rebuilt bytecode-for-bytecode by
+    wasmbuild.build_uppercase_module) on the from-scratch interpreter.
+    Actor-pool stage: the module decodes + instantiates ONCE per actor
+    in __init__; per batch each row becomes a message and the module's
+    exported ``process()`` is invoked against it (the per-message
+    contract of processor_wazero.go:141). The oracle replicates the
+    module's exact ASCII-only semantics with translate() — upper()
+    would diverge on non-ASCII."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    class _WasmUpper:
+        def __init__(self):
+            from bento_ray.config.processors import Runtime
+            from bento_ray.wasmbuild import build_uppercase_module
+            from bento_ray.wasmproc import WasmProcessor
+
+            self.proc = WasmProcessor(
+                module_bytes=build_uppercase_module())
+            self.rt = Runtime()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from bento_ray.blobl.interp import Message
+
+            batch = [Message.from_content(s.encode())
+                     for s in t.column("text").to_pylist()]
+            out = self.proc.process_batch(batch, self.rt)[0]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text_upper": pa.array(
+                    [m.content_bytes().decode() for m in out],
+                    pa.string()),
+            })
+
+    return ds.map_batches(_WasmUpper, batch_format="pyarrow",
+                          concurrency=4, batch_size=256)
+
+
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+SQL_WASM_UPPER = f"""
+SELECT doc_id,
+       translate(text, '{_ASCII_LOWER}', '{_ASCII_LOWER.upper()}')
+         AS text_upper
+FROM documents
+"""
+
+
 def q_sequence_packing(sf_dir: str):
     """Tokenize-and-pack: concatenate docs in doc_id order, chunk into
     512-token sequences, report per-doc token offset + first/last
@@ -3688,6 +3737,7 @@ QUERIES = {
     "q_remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "q_sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "q_snowcat_pii": (q_snowcat_pii, SQL_SNOWCAT_PII),
+    "q_wasm_uppercase": (q_wasm_uppercase, SQL_WASM_UPPER),
     "q_url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "q_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "q_kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
