@@ -339,3 +339,73 @@ def test_wasm_processor_custom_function_name(tmp_path):
     m = Message.from_content(b"payload")
     proc.process_batch([m], _rt())
     assert m.content_bytes() == b"payload"
+
+
+# --------------------------------------------- differential property test
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_I32_BINOPS = {
+    "add": (I.i32_add, lambda a, b: (a + b) & 0xFFFFFFFF),
+    "sub": (I.i32_sub, lambda a, b: (a - b) & 0xFFFFFFFF),
+    "mul": (I.i32_mul, lambda a, b: (a * b) & 0xFFFFFFFF),
+    "and": (I.i32_and, lambda a, b: a & b),
+    "or": (I.i32_or, lambda a, b: a | b),
+    "xor": (I.i32_xor, lambda a, b: a ^ b),
+    "shl": (I.i32_shl, lambda a, b: (a << (b % 32)) & 0xFFFFFFFF),
+    "shr_u": (I.i32_shr_u, lambda a, b: a >> (b % 32)),
+    "rotl": (I.i32_rotl,
+             lambda a, b: ((a << (b % 32)) | (a >> (32 - b % 32)))
+             & 0xFFFFFFFF if b % 32 else a),
+    "div_u": (I.i32_div_u, lambda a, b: a // b if b else None),
+    "rem_u": (I.i32_rem_u, lambda a, b: a % b if b else None),
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(sorted(_I32_BINOPS)),
+                          st.integers(0, 0xFFFFFFFF)),
+                min_size=1, max_size=12),
+       st.integers(0, 0xFFFFFFFF))
+def test_i32_binop_chains_match_python(opseq, seed):
+    """Differential check: a random chain of i32 binops computed by
+    the interpreter equals the masked-Python evaluation, trapping
+    exactly when Python hits the div/rem-by-zero case."""
+    body = I.local_get(0)
+    expect = seed
+    trap = False
+    for name, operand in opseq:
+        enc, py = _I32_BINOPS[name]
+        body += I.i32_const(operand if operand < 0x80000000
+                            else operand - (1 << 32)) + enc
+        if not trap:
+            nxt = py(expect, operand)
+            if nxt is None:
+                trap = True
+            else:
+                expect = nxt
+    inst = _func_module(["i32"], ["i32"], [], body)
+    if trap:
+        with pytest.raises(WasmTrap):
+            inst.exports["f"](seed)
+    else:
+        assert inst.exports["f"](seed) == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(-(1 << 63), (1 << 63) - 1),
+       st.integers(-(1 << 63), (1 << 63) - 1))
+def test_i64_signed_compare_matrix(a, b):
+    au, bu = a & ((1 << 64) - 1), b & ((1 << 64) - 1)
+    mb = ModuleBuilder()
+    mb.func(["i64", "i64"], ["i32"], [],
+            I.local_get(0) + I.local_get(1) + b"\x53", export="lt_s")
+    mb.func(["i64", "i64"], ["i32"], [],
+            I.local_get(0) + I.local_get(1) + b"\x57", export="le_s")
+    mb.func(["i64", "i64"], ["i32"], [],
+            I.local_get(0) + I.local_get(1) + b"\x55", export="gt_s")
+    inst = _inst(mb)
+    assert inst.exports["lt_s"](au, bu) == int(a < b)
+    assert inst.exports["le_s"](au, bu) == int(a <= b)
+    assert inst.exports["gt_s"](au, bu) == int(a > b)
