@@ -409,3 +409,28 @@ def test_i64_signed_compare_matrix(a, b):
     assert inst.exports["lt_s"](au, bu) == int(a < b)
     assert inst.exports["le_s"](au, bu) == int(a <= b)
     assert inst.exports["gt_s"](au, bu) == int(a > b)
+
+
+def test_from_yaml_wasm_bridge(tmp_path):
+    """A YAML pipeline naming the wasm processor compiles into the
+    distributed config bridge (actor-pool map_batches; module decoded
+    once per actor) — the reference's `wasm:` config surface
+    end-to-end."""
+    from bento_ray.pipelines.builder import Pipeline
+
+    mod = tmp_path / "uppercase.wasm"
+    mod.write_bytes(build_uppercase_module())
+    p = Pipeline.from_yaml(f"""
+input:
+  generate:
+    count: 4
+    mapping: 'root = "hello world " + counter().string()'
+pipeline:
+  processors:
+    - wasm:
+        module_path: {mod}
+""")
+    df = p.to_pandas()
+    col = [c for c in df.columns if c != "err"][0]
+    vals = sorted(df[col].tolist())
+    assert vals == [f"HELLO WORLD {i}" for i in range(1, 5)]
