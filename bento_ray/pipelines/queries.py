@@ -1418,7 +1418,8 @@ def q_wasm_uppercase(sf_dir: str):
 
             batch = [Message.from_content(s.encode())
                      for s in t.column("text").to_pylist()]
-            out = self.proc.process_batch(batch, self.rt)[0]
+            out = self.proc.process_batch(batch, self.rt)[0] \
+                if batch else []
             return pa.table({
                 "doc_id": t.column("doc_id"),
                 "text_upper": pa.array(

@@ -702,6 +702,11 @@ def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
 
         def _partial(t: pa.Table) -> pa.Table:
             Cm = ray.get(c_ref)
+            if not t.num_rows:
+                return pa.table({
+                    "cell": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64())})
             vm = _normalize(_stack(t.column(vec_col)))
             cell = np.argmax(vm @ Cm.T, axis=1)
             d = vm.shape[1]
@@ -719,9 +724,10 @@ def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
                                         batch_format="pyarrow")
         cells, ns, sums = _collect_moments(agg_ds)
         newC = C.copy()
-        has = ns > 0
-        newC[cells[has]] = sums[has] / ns[has, None]
-        newC[cells[~has]] = -C[0]
+        if cells.size:                        # empty dataset: keep C
+            has = ns > 0
+            newC[cells[has]] = sums[has] / ns[has, None]
+            newC[cells[~has]] = -C[0]
         C = _normalize(newC)
     return C
 
@@ -761,6 +767,12 @@ def pq_fit(ds, *, m: int = 4, ks: int = 8, iters: int = 5,
 
         def _partial(t: pa.Table) -> pa.Table:
             Cm = ray.get(c_ref)          # (m, ks, dsub)
+            if not t.num_rows:
+                return pa.table({
+                    "sub": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64())})
             vm = _stack(t.column(vec_col)).astype(np.float64)
             subs, cells, sums, ns = [], [], [], []
             for s in range(Cm.shape[0]):

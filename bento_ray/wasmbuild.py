@@ -363,8 +363,14 @@ class ModuleBuilder:
 # ---------------------------------------------------------------------------
 
 def _abi_prologue(mb: ModuleBuilder, alloc_names=("malloc", "free")):
-    """Linear bump allocator + the 4 bento_wasm imports. Returns the
-    import indices dict. Heap starts at 4096 (data segments below)."""
+    """Refcounted region allocator + the 4 bento_wasm imports.
+    Returns the import indices dict. Heap starts at 4096 (data
+    segments below). alloc bumps an 8-aligned pointer and increments a
+    live counter; free/deallocate decrement it and reset the region
+    when it reaches zero — so a pooled runner reusing the instance
+    across thousands of messages never exhausts memory (every
+    per-message allocation is released by the end of the call, either
+    by the module itself or by the host's deferred free)."""
     imp = {
         "as_bytes": mb.import_func("bento_wasm", "v0_msg_as_bytes",
                                    [], ["i64"]),
@@ -377,9 +383,14 @@ def _abi_prologue(mb: ModuleBuilder, alloc_names=("malloc", "free")):
     }
     mb.memory(2, 16)
     heap = mb.global_("i32", mutable=True, init=4096)
+    live = mb.global_("i32", mutable=True, init=0)
     alloc_name, free_name = alloc_names
-    # malloc(n) -> ptr : bump, 8-byte aligned, memory.grow on demand
+    # alloc(n) -> ptr : live++, bump 8-aligned, memory.grow on demand
     body = b"".join([
+        I.global_get(live),
+        I.i32_const(1),
+        I.i32_add,
+        I.global_set(live),
         I.global_get(heap),
         I.local_tee(1),                      # r = heap
         I.local_get(0),
@@ -411,11 +422,26 @@ def _abi_prologue(mb: ModuleBuilder, alloc_names=("malloc", "free")):
         I.end,
         I.local_get(1),
     ])
+    # free/deallocate: live--; at zero, roll the whole region back
+    free_body = b"".join([
+        I.global_get(live),
+        I.i32_const(1),
+        I.i32_sub,
+        I.global_set(live),
+        I.global_get(live),
+        I.i32_const(0),
+        I.i32_le_s,
+        I.if_(),
+        I.i32_const(0),
+        I.global_set(live),
+        I.i32_const(4096),
+        I.global_set(heap),
+        I.end,
+    ])
     if free_name == "deallocate":            # rust ABI: (ptr, size)
-        free_body = I.nop
         mb.func(["i32", "i32"], [], [], free_body, export=free_name)
     else:
-        mb.func(["i32"], [], [], I.nop, export=free_name)
+        mb.func(["i32"], [], [], free_body, export=free_name)
     mb.func(["i32"], ["i32"], ["i32"], body, export=alloc_name)
     return imp
 
@@ -515,6 +541,14 @@ def build_louder_module() -> bytes:
         I.local_get(1),                      # src
         I.local_get(2),                      # n
         I.memory_copy,
+        # the Rust example takes ownership of the in-bound buffer
+        # (String::from_raw_parts) and drops it once copied — mirror
+        # that by deallocating it here; the host never frees Rust-ABI
+        # in-bound memory (processor_wazero.go:211-239 schedules only
+        # goFree)
+        I.local_get(1),
+        I.local_get(2),
+        I.call(4),                           # deallocate(ptr, len)
         I.local_get(3),
         I.local_get(2),
         I.i32_add,

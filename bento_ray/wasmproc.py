@@ -6,9 +6,12 @@ v0_msg_set_bytes, v0_msg_get_meta, v0_msg_set_meta), WASI preview1,
 and the dual allocation ABI: Go/TinyGo modules export ``malloc`` /
 ``free``, Rust modules ``allocate`` / ``deallocate``
 (processor_wazero.go:135-139). In-bound buffers (host → module) are
-allocated via the module's allocator and freed after the call
-(:211-239); out-bound buffers read by the host are deallocated via
-``deallocate`` when present (:243-257).
+allocated via the module's allocator; after the call the host frees
+them through Go-ABI ``free`` only (:211-239 schedules goFree and
+nothing else — under the Rust ABI the module takes ownership of
+in-bound memory, as the Rust example's String::from_raw_parts does).
+Out-bound buffers read by the host are deallocated via ``deallocate``
+when present (:243-257).
 
 Execution here runs on the from-scratch interpreter in
 :mod:`bento_ray.wasmrt` (no wasm runtime exists in this sandbox); the
@@ -144,6 +147,11 @@ class _Runner:
         self.target = msg
         self.proc_err = None
         self.after = []
+        # per-message WASI console capture: wazero's default config
+        # discards stdout/stderr; keeping only the current message's
+        # output bounds the pooled runner's memory over long streams
+        del self.stdout[:]
+        del self.stderr[:]
         try:
             self.process()
         finally:

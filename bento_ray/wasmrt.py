@@ -474,7 +474,19 @@ def _s64(v: int) -> int:
 
 
 def _f32(v: float) -> float:
-    return struct.unpack("<f", struct.pack("<f", v))[0]
+    try:
+        return struct.unpack("<f", struct.pack("<f", v))[0]
+    except OverflowError:
+        # IEEE 754 round-to-nearest: a finite f64 beyond f32 range
+        # rounds to ±inf (struct raises instead of rounding)
+        return math.copysign(math.inf, v)
+
+
+def _pack_f32(v: float) -> bytes:
+    try:
+        return struct.pack("<f", v)
+    except OverflowError:
+        return struct.pack("<f", math.copysign(math.inf, v))
 
 
 def _trunc(v: float, lo: int, hi: int, mask: int) -> int:
@@ -835,7 +847,7 @@ class Instance:
             elif op == 0x37:                            # i64.store
                 n, data = 8, (val & _U64MASK).to_bytes(8, "little")
             elif op == 0x38:
-                n, data = 4, struct.pack("<f", val)
+                n, data = 4, _pack_f32(val)
             elif op == 0x39:
                 n, data = 8, struct.pack("<d", val)
             elif op == 0x3A:                            # i32.store8
@@ -1112,7 +1124,7 @@ class Instance:
                     r = a * b
                 elif op == 0x95:
                     if b == 0:
-                        r = (math.nan if a == 0
+                        r = (math.nan if (a != a or a == 0)
                              else math.copysign(math.inf, a)
                              * math.copysign(1, b))
                     else:
@@ -1152,7 +1164,7 @@ class Instance:
                     r = a * b
                 elif op == 0xA3:
                     if b == 0:
-                        r = (math.nan if a == 0
+                        r = (math.nan if (a != a or a == 0)
                              else math.copysign(math.inf, a)
                              * math.copysign(1, b))
                     else:
@@ -1347,6 +1359,8 @@ def wasi_imports(stdout=None, stderr=None) -> dict:
     state = {"clock": 0, "rng": 0x9E3779B97F4A7C15}
 
     def fd_write(inst, fd, iovs, n_iovs, n_written_ptr):
+        if fd not in (1, 2):
+            return (_ERRNO_BADF,)      # only stdout/stderr are open
         total = 0
         sink = stdout if fd == 1 else stderr
         for k in range(n_iovs):

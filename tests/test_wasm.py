@@ -434,3 +434,69 @@ pipeline:
     col = [c for c in df.columns if c != "err"][0]
     vals = sorted(df[col].tolist())
     assert vals == [f"HELLO WORLD {i}" for i in range(1, 5)]
+
+
+# ------------------------------------------- review-finding regressions
+
+def test_pooled_runner_heap_is_stable_over_many_large_messages():
+    """The fixtures' region allocator resets when the live count hits
+    zero, so a pooled runner must survive far more cumulative bytes
+    than its 16-page memory cap (the old pure-bump fixture trapped
+    after ~1 MiB)."""
+    big = b"a" * 4096
+    for build in (build_uppercase_module, build_louder_module):
+        proc = WasmProcessor(module_bytes=build())
+        pages0 = proc._runner.inst.mem_pages
+        for _ in range(600):                 # ~2.4 MiB cumulative
+            m = Message.from_content(big)
+            proc.process_batch([m], _rt())
+            assert not m.error
+        assert proc._runner.inst.mem_pages == pages0
+
+
+def test_f32_overflow_rounds_to_inf():
+    mb = ModuleBuilder()
+    mb.func(["f32", "f32"], ["f32"], [],
+            I.local_get(0) + I.local_get(1) + b"\x92",  # f32.add
+            export="add")
+    inst = _inst(mb)
+    assert math.isinf(inst.exports["add"](3e38, 3e38))
+
+
+def test_float_div_nan_by_zero_is_nan():
+    mb = ModuleBuilder()
+    mb.func(["f64", "f64"], ["f64"], [],
+            I.local_get(0) + I.local_get(1) + I.f64_div, export="d64")
+    mb.func(["f32", "f32"], ["f32"], [],
+            I.local_get(0) + I.local_get(1) + b"\x95", export="d32")
+    inst = _inst(mb)
+    assert math.isnan(inst.exports["d64"](float("nan"), 0.0))
+    assert math.isnan(inst.exports["d32"](float("nan"), 0.0))
+
+
+def test_wasi_fd_write_bad_fd_returns_ebadf():
+    mb = ModuleBuilder()
+    fd_write = mb.import_func("wasi_snapshot_preview1", "fd_write",
+                              ["i32", "i32", "i32", "i32"], ["i32"])
+    mb.memory(1)
+    mb.func(["i32"], ["i32"], [],
+            I.local_get(0) + I.i32_const(0) + I.i32_const(0)
+            + I.i32_const(32) + I.call(fd_write), export="w")
+    inst = _inst(mb, wasi_imports())
+    assert inst.exports["w"](5) == 8         # EBADF
+    assert inst.exports["w"](0) == 8
+    assert inst.exports["w"](1) == 0
+
+
+def test_runner_console_capture_is_per_message():
+    proc = WasmProcessor(module_bytes=build_uppercase_module())
+    r = proc._runner
+    r.stdout.extend(b"stale output from a previous message")
+    m = Message.from_content(b"x")
+    proc.process_batch([m], _rt())
+    assert bytes(r.stdout) == b""            # drained at run start
+
+
+def test_empty_batch_through_processor():
+    proc = WasmProcessor(module_bytes=build_uppercase_module())
+    assert proc.process_batch([], _rt()) == []
