@@ -1427,8 +1427,10 @@ def q_wasm_uppercase(sf_dir: str):
                     pa.string()),
             })
 
+    # interpreter-bound (~3 ms/doc): width, not batch shape, sets the
+    # wall time — small batches keep the actor pool load-balanced
     return ds.map_batches(_WasmUpper, batch_format="pyarrow",
-                          concurrency=4, batch_size=256)
+                          concurrency=(4, 16), batch_size=64)
 
 
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
