@@ -52,6 +52,12 @@ def switch_table(t: pa.Table, cases: Sequence[tuple[Predicate | None, BatchFn | 
     n = len(t)
     if fallthrough is None:
         fallthrough = [False] * len(cases)
+    elif len(fallthrough) != len(cases):
+        # zip() would silently truncate to the shorter list, skipping
+        # trailing cases entirely
+        raise ValueError(
+            f"switch: fallthrough has {len(fallthrough)} entries for "
+            f"{len(cases)} cases — they must match 1:1")
     remaining_idx = np.arange(n)
     remaining_tbl = t
     carry_idx = np.zeros(0, np.int64)

@@ -144,9 +144,10 @@ class _SpillSeenSet(_SeenSet):
     across runs by construction (``add`` receives only
     globally-absent keys), so dedupe decisions — and therefore the
     flagship's committed bytes — are identical to the in-RAM set
-    (pytest-pinned). TTL ``gc`` still works (it materializes the
-    runs once) but a TTL'd set is already bounded — spilling is for
-    the TTL-less mode."""
+    (pytest-pinned). TTL ``gc`` filters run-by-run (peak RAM = one
+    run ≈ mem_entries, never the whole set), so spill + finite TTL
+    composes safely; a TTL'd set is bounded anyway — spilling
+    matters for the TTL-less mode."""
 
     def __init__(self, spill_dir: str, mem_entries: int):
         super().__init__()
@@ -155,11 +156,12 @@ class _SpillSeenSet(_SeenSet):
         self.spill_dir = spill_dir
         self.mem_entries = int(mem_entries)
         os.makedirs(spill_dir, exist_ok=True)
-        self._runs: list[tuple] = []     # (h memmap, t memmap, n)
+        # (h memmap, t memmap, n, h path, t path)
+        self._runs: list[tuple] = []
         self._run_id = 0
 
     def __len__(self):
-        return super().__len__() + sum(n for _, _, n in self._runs)
+        return super().__len__() + sum(r[2] for r in self._runs)
 
     def _tail_limit(self) -> int:
         # the RAM bound applies to the tail too — without this a
@@ -169,7 +171,7 @@ class _SpillSeenSet(_SeenSet):
 
     def contains(self, q: np.ndarray) -> np.ndarray:
         res = super().contains(q)
-        for h, _, n in self._runs:
+        for h, _, n, _, _ in self._runs:
             pos = np.minimum(np.searchsorted(h, q), n - 1)
             res |= np.asarray(h[pos]) == q
         return res
@@ -179,26 +181,30 @@ class _SpillSeenSet(_SeenSet):
         if len(self.h) > self.mem_entries:
             self._spill()
 
-    def _spill(self) -> None:
+    def _write_run(self, h: np.ndarray, t: np.ndarray) -> None:
         import os
 
         hp = os.path.join(self.spill_dir, f"run{self._run_id}.h")
         tp = os.path.join(self.spill_dir, f"run{self._run_id}.t")
         self._run_id += 1
-        for path, arr in ((hp, self.h), (tp, self.t)):
+        for path, arr in ((hp, h), (tp, t)):
             tmp = path + ".tmp"
             arr.tofile(tmp)
             os.replace(tmp, path)
         self._runs.append((np.memmap(hp, np.uint64, "r"),
-                           np.memmap(tp, np.int64, "r"), len(self.h)))
+                           np.memmap(tp, np.int64, "r"), len(h),
+                           hp, tp))
+
+    def _spill(self) -> None:
+        self._write_run(self.h, self.t)
         self.h = np.empty(0, np.uint64)
         self.t = np.empty(0, np.int64)
         if len(self._runs) > 8:
             self._compact()
 
     def _load_all(self) -> tuple[np.ndarray, np.ndarray]:
-        hs = [np.asarray(h) for h, _, _ in self._runs] + [self.h]
-        ts = [np.asarray(t) for _, t, _ in self._runs] + [self.t]
+        hs = [np.asarray(r[0]) for r in self._runs] + [self.h]
+        ts = [np.asarray(r[1]) for r in self._runs] + [self.t]
         self._drop_runs()
         h = np.concatenate(hs)
         t = np.concatenate(ts)
@@ -218,6 +224,8 @@ class _SpillSeenSet(_SeenSet):
         self._spill()
 
     def gc(self, horizon_us: int) -> None:
+        import os
+
         # merge the unsorted tail FIRST in every case (base-class
         # _merge, no spill check) — with no disk runs yet the old
         # `if self._runs` guard skipped it and TTL-expired tail
@@ -225,10 +233,27 @@ class _SpillSeenSet(_SeenSet):
         # in-RAM set's dedupe decisions
         if len(self.th):
             super()._merge()
-        if self._runs:
-            self.h, self.t = self._load_all()
         m = self.t >= horizon_us
         self.h, self.t = self.h[m], self.t[m]
+        # filter each disk run INDEPENDENTLY (probes don't need global
+        # order, only per-run sorted, which filtering preserves) — the
+        # old path concatenated every run into RAM each flush, an
+        # O(total keys) spike that defeated the spill bound whenever a
+        # finite TTL was set alongside spilling
+        old = self._runs
+        self._runs = []
+        for hm, tm, n, hp, tp in old:
+            ta = np.asarray(tm)
+            k = ta >= horizon_us
+            if k.all():
+                self._runs.append((hm, tm, n, hp, tp))
+                continue
+            hf = np.asarray(hm)[k]
+            tf = ta[k]
+            if len(hf):
+                self._write_run(hf, tf)
+            for p in (hp, tp):
+                os.unlink(p)
         if len(self.h) > self.mem_entries:
             self._spill()
 
@@ -301,22 +326,38 @@ class PartitionWorker:
             "nbytes": np.empty(0, np.int64),
         }
         # url hash → first event ts; disk-backed when a spill bound is
-        # set (the dedupe_ttl_us=None whole-run-dedupe memory trade)
-        self.seen = (_SpillSeenSet(spill_dir, spill_entries)
-                     if spill_entries else _SeenSet())
+        # set (the dedupe_ttl_us=None whole-run-dedupe memory trade).
+        # spill config is kept so restore() can rebuild the SAME kind
+        # of set — a resumed spill run must not silently fall back to
+        # the unbounded in-RAM set
+        self.spill_dir = spill_dir
+        self.spill_entries = spill_entries
+        self.seen = self._new_seen()
         # hashes added since the last snapshot (list of array chunks)
         self._delta_h: list[np.ndarray] = []
         self._delta_t: list[np.ndarray] = []
         self.chunks_received = 0
+        # epoch fencing: ingest calls are tagged with their epoch by
+        # the feed tasks; a chunk that arrives BEFORE this partition
+        # processed the previous epoch's flush (possible — Ray orders
+        # actor calls per caller, and feeds/flush come from different
+        # callers) is deferred until that flush runs, so pane contents
+        # per (epoch, watermark) are deterministic
+        self._epoch = 0
+        self._deferred: list[tuple[int, tuple]] = []
         self.latest_flushed_end = -(1 << 62)
         self.max_ts = -(1 << 62)
         self.metrics = {"rows_in": 0, "late_dropped": 0, "dedupe_dropped": 0,
                         "panes_emitted": 0, "rows_emitted": 0}
 
+    def _new_seen(self):
+        return (_SpillSeenSet(self.spill_dir, self.spill_entries)
+                if self.spill_entries else _SeenSet())
+
     # -- ingest (many concurrent calls per epoch) ---------------------
     def ingest(self, ts: np.ndarray, urlh: np.ndarray,
                lang_codes: np.ndarray, vocab: list,
-               nbytes: np.ndarray) -> int:
+               nbytes: np.ndarray, epoch: int = -1) -> int:
         """Accept one compact columnar chunk. ``lang`` arrives
         dictionary-encoded (int8 codes + small vocab) — decoding is one
         vectorized fancy-index, no per-string pickling. Feed tasks push
@@ -327,7 +368,13 @@ class PartitionWorker:
         if len(ts):
             self.max_ts = max(self.max_ts, int(ts.max()))
         lang = np.asarray(vocab, dtype=object)[lang_codes]
-        self._raw.append((ts, urlh, lang, nbytes))
+        if epoch >= 0 and epoch > self._epoch:
+            # early arrival from the NEXT epoch's feed wave (its flush
+            # message is still in flight): hold it out of _raw so the
+            # pending flush closes panes over exactly its own epoch
+            self._deferred.append((epoch, (ts, urlh, lang, nbytes)))
+        else:
+            self._raw.append((ts, urlh, lang, nbytes))
         return len(ts)
 
     def get_chunks_received(self) -> int:
@@ -436,6 +483,18 @@ class PartitionWorker:
             open_rows[np.unique(idx[open_mask])] = True
         self._ready = {k: v[open_rows] for k, v in r.items()}
 
+        # this epoch is flushed: release any chunks that arrived early
+        # for the next epoch into the live buffer
+        self._epoch += 1
+        if self._deferred:
+            still: list[tuple[int, tuple]] = []
+            for ep, chunk in self._deferred:
+                if ep <= self._epoch:
+                    self._raw.append(chunk)
+                else:
+                    still.append((ep, chunk))
+            self._deferred = still
+
         return emitted
 
     # -- checkpointing ------------------------------------------------
@@ -477,7 +536,12 @@ class PartitionWorker:
             else:
                 hs.append(np.asarray(delta[0], np.uint64))
                 ts_.append(np.asarray(delta[1], np.int64))
-        self.seen = _SeenSet()
+        # rebuild the same KIND of seen-set the run was configured
+        # with — a spill-configured resume falling back to the in-RAM
+        # set would re-inflate the very state the spill bounds (and
+        # _SpillSeenSet.rebuild clears stale run files from the
+        # crashed attempt before re-spilling)
+        self.seen = self._new_seen()
         self.seen.rebuild(
             np.concatenate(hs) if hs else np.empty(0, np.uint64),
             np.concatenate(ts_) if ts_ else np.empty(0, np.int64))
@@ -487,6 +551,9 @@ class PartitionWorker:
         self.max_ts = st["max_ts"]
         self.metrics = st["metrics"]
         self._raw = []
+        # the next fed epoch is the one after the restored chain
+        self._epoch = len(blobs)
+        self._deferred = []
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)

@@ -119,14 +119,18 @@ class Feeder:
       ONCE per (file, partition), not per read batch;
     - dictionary-encode ``lang`` (int8 codes + tiny vocab) so no Python
       object arrays cross the wire;
-    - pushes are fire-and-forget, settled once via ``settle()`` before
-      the task reports done (blocking per batch serialized the feed
-      when every CPU was busy)."""
+    - pushes are fire-and-forget (the driver barriers on the workers'
+      chunk counters, not on these refs);
+    - every ingest is tagged with its epoch so a chunk that outruns
+      the previous epoch's in-flight flush message (feeds and flush
+      come from different callers — Ray orders actor calls per
+      caller only) is deferred inside the worker, keeping each
+      epoch's pane contents deterministic."""
 
-    def __init__(self, workers: list, partitions: int):
+    def __init__(self, workers: list, partitions: int, epoch: int = -1):
         self.workers = workers
         self.partitions = partitions
-        self._pending: list = []
+        self.epoch = epoch
         self._acc: list[list] = [[] for _ in range(partitions)]
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -185,17 +189,10 @@ class Feeder:
                     remap[i] = vidx[v]
                 code_parts.append(remap[codes])
             codes = np.concatenate(code_parts)
-            self._pending.append(self.workers[p].ingest.remote(
-                ts, urlh, codes, vocab, nbytes))
+            self.workers[p].ingest.remote(
+                ts, urlh, codes, vocab, nbytes, self.epoch)
         self._acc = [[] for _ in range(self.partitions)]
         return pushed
-
-    def settle(self) -> None:
-        """Block until every pushed chunk is accepted by its actor."""
-        self.push()
-        if self._pending:
-            ray.get(self._pending)
-            self._pending = []
 
 
 def _await_chunk_counters(workers, expected, base, timeout_sec: float = 120.0):
@@ -269,38 +266,6 @@ def _resume_chunks(files: list[str], files_per_epoch: int, sink,
                         for i in range(0, len(remaining), files_per_epoch)]
 
 
-@ray.remote(num_cpus=0.25)
-def _commit_partition(out_dir: str, epoch: int, part: int,
-                      table: pa.Table, lineage: dict,
-                      crash_after) -> bool:
-    """Off-driver partition commit: the worker's flushed table goes
-    straight from the object store into the idempotent sink (WAL
-    intent + atomic data file + commit marker). The driver never holds
-    emission bytes and P partitions commit in parallel — the old
-    driver-side loop serialized every epoch's parquet writes through
-    one process, a width-independent section that capped scaling
-    (measured 0.52 → ≥0.8 efficiency at 8→32 CPUs on the interval-join
-    stream). Exactly-once is unchanged: (epoch, part) paths are
-    disjoint, write_partition is idempotent, and _EPOCH_DONE still
-    waits on every commit. ``crash_after=(epoch, part)`` is the
-    deterministic fault-injection hook (same contract as the
-    flagship's cfg.extra["crash_after"])."""
-    if crash_after is not None and tuple(crash_after) == (epoch, part):
-        raise RuntimeError("injected crash")
-    sink = ExactlyOnceParquetSink(out_dir)
-    return sink.write_partition(epoch, part, table, lineage=lineage)
-
-
-def _commit_epoch(out_dir: str, e: int, flush_refs: list,
-                  lineage: dict, crash_after=None) -> tuple[int, int]:
-    """Commit one epoch's partitions in parallel; returns
-    (written, skipped)."""
-    done = ray.get([
-        _commit_partition.remote(out_dir, e, p, ref, lineage, crash_after)
-        for p, ref in enumerate(flush_refs)])
-    return sum(done), len(done) - sum(done)
-
-
 def _submit_in_waves(submit, items, max_inflight: int | None = None) -> list:
     """Submit remote tasks with a bounded in-flight window. Submitting a
     whole epoch at once makes the raylet pre-start one worker process
@@ -327,7 +292,7 @@ def _submit_in_waves(submit, items, max_inflight: int | None = None) -> list:
 
 @ray.remote
 def _feed_file(path: str, workers: list, partitions: int,
-               batch_rows: int) -> tuple[int, int]:
+               batch_rows: int, epoch: int = -1) -> tuple[int, int]:
     """One raw task per input file: read (pruned columns) → extract →
     partition → push to the state actors. Raw tasks instead of a
     per-epoch Dataset job: the micro-batch epoch barrier made each
@@ -337,7 +302,7 @@ def _feed_file(path: str, workers: list, partitions: int,
     import pyarrow.parquet as pq
 
     t0 = time.perf_counter()
-    feeder = Feeder(workers, partitions)
+    feeder = Feeder(workers, partitions, epoch)
     rows, max_ts = 0, -(1 << 62)
     pf = pq.ParquetFile(path)
     for rb in pf.iter_batches(batch_size=batch_rows,
@@ -365,10 +330,15 @@ def _combine_and_enrich(partials: list[pa.Table], dim_versions: pa.Table | None,
             "nbytes": np.array([], np.int64),
         })
         if dim_versions is not None:
-            for c in dim_versions.column_names:
-                if c not in ("lang", "update_ts"):
-                    empty[c] = pd.Series(
-                        [], dtype="int64" if c == "version" else "string")
+            # type each dim column from its Arrow schema (the same
+            # int→Int64 / other→string mapping the non-empty path
+            # produces) so zero-pane epochs write partition files with
+            # the SAME parquet schema as data-bearing epochs
+            for f in dim_versions.schema:
+                if f.name not in ("lang", "update_ts"):
+                    empty[f.name] = pd.Series(
+                        [], dtype="Int64" if pa.types.is_integer(f.type)
+                        else "string")
         empty["window_end_timestamp"] = pd.Series([], dtype="string")
         return empty
     df = pd.concat(dfs, ignore_index=True)
@@ -486,8 +456,8 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
     for e in range(start_epoch, len(epochs)):
         te = time.perf_counter()
         summary = _submit_in_waves(
-            lambda f: _feed_file.remote(f, workers, cfg.partitions,
-                                        cfg.feeder_batch_size),
+            lambda f, _e=e: _feed_file.remote(f, workers, cfg.partitions,
+                                              cfg.feeder_batch_size, _e),
             epochs[e])
         # epoch barrier: every pushed chunk must be accepted by its
         # actor before the flush may run
@@ -518,9 +488,11 @@ def run_stream(input_path: str, cfg: StreamConfig, out_dir: str,
         else:
             watermark = global_max_ts - cfg.allowed_lateness_us
 
-        # Submit flush + snapshot BEFORE anything from the next epoch
-        # touches the actors — per-actor call ordering guarantees they
-        # capture exactly epochs ≤ e.
+        # Submit flush + snapshot before launching the next epoch's
+        # feed. Ray orders actor calls per caller only, so an e+1 feed
+        # chunk could in principle outrun this flush message — the
+        # workers' epoch fence (ingest epoch tags + deferred buffer)
+        # makes the boundary exact regardless of arrival order.
         flush_refs = [w.flush.remote(watermark) for w in workers]
         snap_refs = [w.snapshot.remote() for w in workers]
         lineage = {"input_files": epochs[e], "watermark": int(watermark),
@@ -606,7 +578,8 @@ def _finalize_epoch_body(e: int, partials: list, snap_blobs: list,
             skipped += 1
         # test hook: simulated crash mid-epoch, after some partitions
         # committed but before the epoch's snapshot + _EPOCH_DONE
-        if crash_after == (e, p):
+        # (tuple() so a JSON-deserialized [e, p] list also fires)
+        if crash_after is not None and tuple(crash_after) == (e, p):
             raise RuntimeError(f"injected crash after epoch={e} part={p}")
     snap_dir = os.path.join(state_dir, f"epoch={e}")
     os.makedirs(snap_dir, exist_ok=True)

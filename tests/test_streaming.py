@@ -597,3 +597,139 @@ def test_sink_lineage_numeric_epoch_order(tmp_path):
     assert [r["lineage"]["epoch"] for r in recs] == \
         [e for e in range(12) for _ in range(3)]
     assert [r["partition"] for r in recs][:3] == [0, 1, 10]
+
+
+def test_spill_resume_preserves_spill_backing(pages_small, tmp_path):
+    """A crash+resume of a spill-configured run (dedupe_ttl_us=None +
+    dedupe_spill_entries) must rebuild the DISK-BACKED seen-set, not
+    silently fall back to the unbounded in-RAM set: the resumed run's
+    output stays byte-identical to an uncrashed spill run and fresh
+    spill runs exist on disk after the resume."""
+    def _cfg(extra=None):
+        return StreamConfig(window_size_us=10_000_000,
+                            allowed_lateness_us=2_000_000,
+                            partitions=4, out_partitions=4,
+                            files_per_epoch=2, dedupe_ttl_us=None,
+                            dedupe_spill_entries=64,
+                            extra=extra or {})
+
+    clean_out = str(tmp_path / "clean")
+    run_stream(pages_small, _cfg(), clean_out,
+               dim_versions=dim_versions_table())
+
+    out = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_stream(pages_small, _cfg({"crash_after": (1, 2)}), out,
+                   dim_versions=dim_versions_table())
+    # stale run files from the crashed attempt exist at this point
+    assert glob.glob(os.path.join(out, "_state", "seen_spill",
+                                  "part=*", "run*"))
+    m = run_stream(pages_small, _cfg(), out,
+                   dim_versions=dim_versions_table(), resume=True)
+    assert m["start_epoch"] == 1
+    pd.testing.assert_frame_equal(_read_sink(out), _read_sink(clean_out))
+    # the resumed workers re-spilled: the escape hatch survived resume
+    assert glob.glob(os.path.join(out, "_state", "seen_spill",
+                                  "part=*", "run*"))
+
+
+def test_crash_after_accepts_list_form(pages_small, tmp_path):
+    """cfg.extra['crash_after'] deserialized from JSON arrives as a
+    list — the injected crash must still fire."""
+    cfg = StreamConfig(window_size_us=10_000_000,
+                       allowed_lateness_us=2_000_000,
+                       partitions=4, out_partitions=4,
+                       files_per_epoch=2,
+                       extra={"crash_after": [1, 2]})
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_stream(pages_small, cfg, str(tmp_path / "o"),
+                   dim_versions=dim_versions_table())
+
+
+def test_spill_gc_filters_runs_independently(tmp_path):
+    """TTL gc over a spilled set must touch each disk run on its own
+    (bounded peak RAM) — runs whose entries all survive keep their
+    original memmaps instead of being concatenated and rewritten."""
+    from bento_ray.streaming.actors import _SpillSeenSet
+
+    s = _SpillSeenSet(str(tmp_path / "sp"), mem_entries=4)
+    # three spills with disjoint keys at increasing timestamps
+    s.add(np.arange(0, 8, dtype=np.uint64), np.full(8, 10, np.int64))
+    s.add(np.arange(100, 108, dtype=np.uint64), np.full(8, 20, np.int64))
+    s.add(np.arange(200, 208, dtype=np.uint64), np.full(8, 30, np.int64))
+    assert len(s._runs) >= 2
+    survivors = [r for r in s._runs
+                 if np.asarray(r[1]).min() >= 15]
+    before_ids = {id(r[0]) for r in survivors}
+    s.gc(15)                       # expires only the ts=10 run
+    after_ids = {id(r[0]) for r in s._runs}
+    assert before_ids <= after_ids  # untouched runs kept their memmaps
+    q = np.arange(0, 300, dtype=np.uint64)
+    got = s.contains(q)
+    want = np.isin(q, np.concatenate([np.arange(100, 108),
+                                      np.arange(200, 208)]))
+    assert (got == want).all()
+    assert len(s) == 16
+
+
+def test_empty_epoch_schema_matches_data_epochs():
+    """An epoch that closes zero panes must write the SAME parquet
+    schema as data-bearing epochs for every dim column type."""
+    from bento_ray.streaming.engine import _combine_and_enrich
+
+    dim = pa.table({
+        "lang": pa.array(["en"]),
+        "update_ts": pa.array([0], pa.int64()),
+        "version": pa.array([1], pa.int64()),
+        "score": pa.array([7], pa.int64()),
+        "label": pa.array(["x"]),
+    })
+    empty = _combine_and_enrich([], dim, 10_000_000)
+    partial = pa.table({
+        "window_end": pa.array([10_000_000], pa.int64()),
+        "lang": pa.array(["en"]),
+        "pages": pa.array([1], pa.int64()),
+        "nbytes": pa.array([3], pa.int64()),
+    })
+    full = _combine_and_enrich([partial], dim, 10_000_000)
+    se = pa.Table.from_pandas(empty, preserve_index=False).schema
+    sf = pa.Table.from_pandas(full, preserve_index=False).schema
+    for name in se.names:
+        assert se.field(name).type == sf.field(name).type, name
+
+
+def test_ingest_epoch_fence_defers_early_chunks():
+    """A chunk tagged with epoch e+1 that reaches the worker BEFORE
+    epoch e's flush (possible: feeds and flush come from different
+    callers) must not enter epoch e's panes — it applies after that
+    flush, exactly as if it had arrived in order."""
+    import ray as _ray
+
+    from bento_ray.streaming.actors import PartitionWorker
+
+    w = PartitionWorker.remote(0, 10_000_000, None, 0, None)
+    ts0 = np.array([1_000_000], np.int64)
+    ts1 = np.array([22_000_000], np.int64)  # next window
+    mk = lambda: (np.array([0], np.int16), ["en"],
+                  np.array([10], np.int64))
+    c0, v0, n0 = mk()
+    _ray.get(w.ingest.remote(ts0, np.array([1], np.uint64), c0, v0,
+                             n0, 0))
+    # epoch-1 chunk arrives early, before flush(epoch 0) runs
+    c1, v1, n1 = mk()
+    _ray.get(w.ingest.remote(ts1, np.array([2], np.uint64), c1, v1,
+                             n1, 1))
+    out0 = _ray.get(w.flush.remote(20_000_001))
+    assert out0.column("pages").to_pylist() == [1]   # deferred row absent
+    out1 = _ray.get(w.flush.remote(40_000_001))
+    assert out1.column("pages").to_pylist() == [1]   # now it lands
+    _ray.kill(w)
+
+
+def test_switch_table_fallthrough_length_mismatch():
+    from bento_ray.stages.compose import switch_table
+
+    t = pa.table({"x": [1, 2, 3]})
+    with pytest.raises(ValueError, match="fallthrough"):
+        switch_table(t, cases=[(None, None), (None, None)],
+                     fallthrough=[True])
