@@ -419,7 +419,7 @@ def q_window_session(sf_dir: str):
     partition — P Python calls total, not one per user. Scales with the
     cluster core count; the per-key map_groups it replaces paid one
     Python call per user (measured 20s+/80k rows on small groups)."""
-    from bento_ray.util import salted_partition
+    from bento_ray.util import duckdb_round, salted_partition
 
     ds = _t(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
     P = 16
@@ -451,7 +451,9 @@ def q_window_session(sf_dir: str):
         seg_last = np.r_[starts[1:], n] - 1
         vals = t.column("value").combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.float64)
-        sums = np.round(np.add.reduceat(vals, starts), 4)
+        # duckdb_round (half-away-from-zero) — np.round's half-even
+        # diverges from the oracle's ROUND() at dyadic halfway sums
+        sums = duckdb_round(np.add.reduceat(vals, starts), 4)
         users = t.column("user_id").take(pa.array(starts))
         return pa.table({
             "user_id": users,
@@ -3041,10 +3043,10 @@ def q_repetition_metrics(sf_dir: str):
 
 # Mirrors repetition_metrics exactly: ' '-split, empties dropped,
 # word-less docs report 0.0 for all three metrics.
-SQL_REPETITION = """
+SQL_REPETITION = r"""
 WITH words AS (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
   ) WHERE w <> ''
 ), wc AS (
   SELECT doc_id, w, COUNT(*) AS c, length(w) AS wlen
@@ -3119,9 +3121,9 @@ def q_term_frequency(sf_dir: str):
     return top_terms(ds, k=20)
 
 
-SQL_TERM_FREQ = """
+SQL_TERM_FREQ = r"""
 SELECT w AS word, COUNT(*) AS cnt FROM (
-  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
 ) WHERE w <> ''
 GROUP BY w ORDER BY cnt DESC, word LIMIT 20
 """
@@ -3137,9 +3139,9 @@ def q_top_bigrams(sf_dir: str):
     return top_bigrams(ds, k=15)
 
 
-SQL_TOP_BIGRAMS = """
+SQL_TOP_BIGRAMS = r"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  SELECT doc_id, list_filter(regexp_extract_all(text, '\S+'), w -> w <> '') AS ws
   FROM documents
 ), p AS (
   SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM t
@@ -3162,10 +3164,10 @@ def q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=3)
 
 
-SQL_TFIDF = """
+SQL_TFIDF = r"""
 WITH words AS (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
   ) WHERE w <> ''
 ), tc AS (
   SELECT doc_id, w AS term, COUNT(*) AS tf FROM words GROUP BY doc_id, w
@@ -3176,7 +3178,10 @@ scored AS (
   SELECT tc.doc_id, tc.term, tc.tf,
          ROUND(tc.tf * ln(n.nd / CAST(df.df AS DOUBLE)), 6) AS tfidf,
          row_number() OVER (PARTITION BY tc.doc_id
-                            ORDER BY tc.tf DESC, df.df ASC, tc.term ASC)
+                            ORDER BY ROUND(tc.tf * ln(n.nd /
+                                     CAST(df.df AS DOUBLE)), 6) DESC,
+                                     tc.tf DESC, df.df ASC,
+                                     tc.term ASC)
            AS rnk
   FROM tc JOIN df USING (term) CROSS JOIN n
 )
@@ -3197,9 +3202,9 @@ def q_dup_ngram_stats(sf_dir: str):
     return dup_ngram_stats(ds, n=5)
 
 
-SQL_DUP_NGRAMS = """
+SQL_DUP_NGRAMS = r"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  SELECT doc_id, list_filter(regexp_extract_all(text, '\S+'), w -> w <> '') AS ws
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -3549,7 +3554,7 @@ def _bpe_tokenize_sql() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id, w
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
         FROM documents)
   WHERE w <> ''
 ),

@@ -78,6 +78,10 @@ def logreg_fit_hashed(ds, *, label_col: str, col: str = "text",
     fixed step oscillates)."""
     from bento_ray.util import duckdb_round
 
+    # pin the input in the object store: count() + every GD iteration
+    # re-consumes the plan, and without this each pass re-executes the
+    # whole upstream lineage (read + transforms) from scratch
+    ds = ds.materialize()
     n_total = ds.count()
     wn = np.zeros(n_buckets + 1, np.int64)
 

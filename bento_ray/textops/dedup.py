@@ -832,37 +832,61 @@ def incremental_dedup(new_docs, snapshot, *, key_col: str = "text",
     document whose content already exists in the prior corpus is
     dropped, everything else passes through unchanged.
 
-    Shape: the snapshot side reduces to 61-bit FNV content keys with a
-    per-block ``np.unique`` combiner (one bounded column crosses the
-    wire, never snapshot text), collected into one sorted uint64 array
-    and broadcast once via ``ray.put``; the increment side then filters
-    with one vectorized ``searchsorted`` per batch. The broadcast array
-    is 8 B/distinct-snapshot-doc — ~80 GB at 10^10 docs, so beyond
+    Shape: the snapshot side reduces to a PAIR of independent content
+    hashes per doc — 61-bit FNV + 64-bit siphash (``stable_hash``),
+    ~125 collision bits total, so hash-equality is content-equality
+    for any realistic corpus (expected birthday collisions at 10^10
+    docs ≈ 10^-18 vs ~20 with a single 61-bit key, which silently
+    DROPPED unique documents) — deduped with a per-block ``np.unique``
+    combiner (two bounded columns cross the wire, never snapshot
+    text), collected into one lexicographically-sorted pair array and
+    broadcast once via ``ray.put``; the increment side then filters
+    with one vectorized ``searchsorted`` per batch. The broadcast is
+    16 B/distinct-snapshot-doc — ~160 GB at 10^10 docs, so beyond
     worker RAM swap the exact set for the Bloom partials in
     ``_build_pair_bloom`` (same OR-merge broadcast; false positives
     then need a confirm join, mirroring the minhash verify pass)."""
     import ray
 
     from bento_ray.textops.quality import word_hashes
+    from bento_ray.util import stable_hash
+
+    def _pair(col) -> tuple[np.ndarray, np.ndarray]:
+        return (word_hashes(col).astype(np.uint64),
+                stable_hash(col).astype(np.uint64))
 
     def _keys(t: pa.Table) -> pa.Table:
-        h = word_hashes(t.column(key_col))
-        return pa.table({"h": pa.array(np.unique(h).astype(np.int64),
-                                       pa.int64())})
+        h1, h2 = _pair(t.column(key_col))
+        u = np.unique(np.rec.fromarrays([h1, h2]))
+        return pa.table({"h1": pa.array(u["f0"].astype(np.int64)),
+                         "h2": pa.array(u["f1"].astype(np.int64))})
 
     key_tbl = snapshot.map_batches(_keys, batch_format="pyarrow")
-    keys = np.unique(np.concatenate(
-        [b.column("h").to_numpy() for b in
-         key_tbl.iter_batches(batch_format="pyarrow")] or
-        [np.empty(0, np.int64)]))
-    keys_ref = ray.put(keys)
+    p1, p2 = [], []
+    for b in key_tbl.iter_batches(batch_format="pyarrow"):
+        p1.append(b.column("h1").to_numpy().astype(np.uint64))
+        p2.append(b.column("h2").to_numpy().astype(np.uint64))
+    k1 = np.concatenate(p1) if p1 else np.empty(0, np.uint64)
+    k2 = np.concatenate(p2) if p2 else np.empty(0, np.uint64)
+    order = np.lexsort((k2, k1))
+    keys_ref = ray.put((k1[order], k2[order]))
 
     def _filter(t: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
-        if len(k) == 0:
+        k1, k2 = ray.get(keys_ref)
+        if len(k1) == 0:
             return t
-        h = word_hashes(t.column(key_col)).astype(np.int64)
-        hit = k[np.clip(np.searchsorted(k, h), 0, len(k) - 1)] == h
+        h1, h2 = _pair(t.column(key_col))
+        # h1 is ~unique at 61 bits, so a single probe into the
+        # (h1, h2)-sorted pairs suffices: scan the h1-equal range
+        # (length 1 except at h1 collisions) for an h2 match
+        lo = np.searchsorted(k1, h1, side="left")
+        hi = np.searchsorted(k1, h1, side="right")
+        hit = np.zeros(len(h1), bool)
+        simple = hi - lo <= 1
+        pos = np.clip(lo, 0, len(k1) - 1)
+        hit[simple] = ((k1[pos] == h1) & (k2[pos] == h2))[simple]
+        for i in np.flatnonzero(~simple):
+            hit[i] = bool(np.any(k2[lo[i]:hi[i]] == h2[i]))
         return t.filter(pa.array(~hit))
 
     return new_docs.map_batches(_filter, batch_format="pyarrow")

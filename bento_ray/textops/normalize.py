@@ -38,12 +38,20 @@ REPERTOIRE = [
 
 
 def normalize_series(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """One batch: → normalized string array."""
+    """One batch: → normalized string array. Null stays null — the
+    DuckDB equivalent (``normalize_sql_expr``) propagates NULL through
+    nfc_normalize/lower/regexp_replace, and silently coercing null to
+    ``''`` would change downstream null semantics."""
     s = texts.to_pandas()
+    null_mask = s.isna().to_numpy()
     s = s.fillna("").str.normalize("NFC").str.lower().str.normalize("NFC")
     arr = pa.array(s, pa.string())
     arr = pc.replace_substring_regex(arr, r"\s+", " ")
-    return pc.utf8_trim_whitespace(arr)
+    arr = pc.utf8_trim_whitespace(arr)
+    if null_mask.any():
+        arr = pc.if_else(pa.array(null_mask),
+                         pa.scalar(None, pa.string()), arr)
+    return arr
 
 
 def normalize_text(ds, text_col: str = "text", out_col: str | None = None):

@@ -55,7 +55,11 @@ class QualityScorer:
     def __init__(self):
         import re
 
-        self.word = re.compile(r"\S+")
+        # re.ASCII: DuckDB's RE2 \S is ASCII-only — Python's default
+        # unicode \s would split on NBSP etc. and diverge from the
+        # oracle on non-ASCII corpora
+        self.word = re.compile(r"\S+", re.ASCII)
+        self.digit = re.compile(r"[0-9]")
         self.stop = _STOPWORDS["en"]
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -69,7 +73,9 @@ class QualityScorer:
                 continue
             stop_ratio[i] = sum(w.lower() in self.stop for w in words) / len(words)
             mean_wlen[i] = sum(len(w) for w in words) / len(words)
-            nd = sum(c.isdigit() for c in s)
+            # ASCII digits only — str.isdigit also counts '²', '٣'
+            # etc., which the oracle's [^0-9] strip does not
+            nd = len(self.digit.findall(s))
             digit_ratio[i] = nd / max(1, len(s))
         # crude composite: plausible text has some stopwords, word
         # lengths 3-8, few digits
@@ -145,10 +151,18 @@ class Fingerprinter:
     def __init__(self, window: int = 8):
         self.window = window
 
+    _WORD_RE = None
+
     def _doc_fp(self, s: str) -> tuple[int, int]:
         import numpy as np
 
-        words = s.split()
+        if Fingerprinter._WORD_RE is None:
+            import re
+
+            # ASCII \S+ runs — matches the oracle's RE2 tokenizer
+            # (str.split() splits on unicode whitespace too)
+            Fingerprinter._WORD_RE = re.compile(r"\S+", re.ASCII)
+        words = Fingerprinter._WORD_RE.findall(s)
         if not words:
             return 0, 0
         hs = word_hashes(words)
@@ -238,8 +252,8 @@ def repetition_metrics(ds, text_col: str = "text"):
     - ``dup_word_char_frac`` — fraction of word characters belonging to
                                words that occur more than once
 
-    Words are ``' '``-separated tokens with empties dropped (matches
-    ``string_split(text, ' ')`` + ``w <> ''`` in SQL). Word-less
+    Words are whitespace-run tokens (RE2 ``\\S+``, matching
+    ``regexp_extract_all(text, '\\S+')`` in SQL). Word-less
     documents report 0 for all three. Vectorized: one Arrow split per
     batch, then C-speed pandas groupbys over (doc, word) — no Python
     row loop."""
@@ -251,7 +265,10 @@ def repetition_metrics(ds, text_col: str = "text"):
         txt = t.column(text_col)
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
-        lists = pc.split_pattern(txt, " ")
+        if (pc.sum(pc.count_substring(txt, "\x0b")).as_py() or 0) == 0:
+            lists = pc.ascii_split_whitespace(txt)   # RE2-\S+ tokens
+        else:
+            lists = pc.split_pattern_regex(txt, "[\t\n\f\r ]+")
         flat = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"d": parents, "w": flat.to_pandas()})

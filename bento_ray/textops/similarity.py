@@ -17,6 +17,7 @@ import pyarrow as pa
 
 import ray
 
+from bento_ray.util import duckdb_round
 from bento_ray.util import resolve_concurrency as _conc
 
 
@@ -128,7 +129,7 @@ def _topk_final(k: int, exclude_self: bool = False, dedup: bool = False):
             "query_id": pa.array(q[order], pa.int64()),
             "vec_id": pa.array(vid[order], pa.int64()),
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            "score": pa.array(np.round(s[order], 6), pa.float64()),
+            "score": pa.array(duckdb_round(s[order], 6), pa.float64()),
         })
     return _final
 
@@ -423,12 +424,19 @@ def _spherical_kmeans(sample: np.ndarray, num_cells: int, iters: int,
     for _ in range(iters):
         sims = sample @ C.T                        # (n, cells)
         assign = np.argmax(sims, axis=1)
+        # reseed the i-th empty cell with the i-th WORST-served point
+        # (ascending best-similarity): seeding every empty cell with
+        # the same argmin point makes the duplicates tie forever and
+        # permanently collapses cells
+        worst = np.argsort(sims.max(axis=1), kind="stable")
+        next_seed = 0
         for c in range(num_cells):
             members = sample[assign == c]
             if len(members):
                 C[c] = members.mean(axis=0)
             else:
-                C[c] = sample[np.argmin(sims.max(axis=1))]
+                C[c] = sample[worst[min(next_seed, len(worst) - 1)]]
+                next_seed += 1
         C = _normalize(C)
     return C
 
@@ -691,6 +699,7 @@ def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
 
     ``init`` defaults to a deterministic sample: the first k vectors
     of the dataset (callers wanting random init pass their own)."""
+    ds = ds.materialize()   # one upstream execution, iters consumers
     if init is None:
         head = ds.limit(k).to_pandas()
         init = np.array(head[vec_col].tolist(), np.float64)
@@ -752,6 +761,7 @@ def pq_fit(ds, *, m: int = 4, ks: int = 8, iters: int = 5,
 
     ``init`` defaults to the subvectors of the dataset's first ks
     rows — deterministic, like kmeans_fit."""
+    ds = ds.materialize()   # one upstream execution, iters consumers
     if init is None:
         head = ds.limit(ks).to_pandas()
         init = np.array(head[vec_col].tolist(), np.float64)

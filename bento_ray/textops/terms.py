@@ -23,9 +23,9 @@ Ray-Data-first shapes:
   batch; swap for a ``shuffle_join`` on ``term`` when the vocabulary
   itself outgrows worker memory (hundreds of millions of distinct
   terms) — the plan below keeps that substitution local to one stage.
-- Splitting is single-space with empties dropped — the same convention
-  as quality.py's metrics and every DuckDB oracle (`string_split` +
-  filter).
+- Splitting is whitespace-run tokenization (RE2 ``\\S+`` semantics,
+  empties dropped) — the same convention as quality.py's metrics and
+  every DuckDB oracle (``regexp_extract_all(text, '\\S+')``).
 """
 
 from __future__ import annotations
@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
+
+from bento_ray.util import duckdb_round
 
 # broadcast bound for the dup-hash set in dup_ngram_stats: 5M uint64
 # ≈ 40 MB shipped once per node via the object store — cheap next to
@@ -66,13 +68,22 @@ _M32 = np.uint64(1 << 32)
 
 
 def _split_words(col) -> tuple[pa.Array, np.ndarray]:
-    """Vectorized ' '-split of a string column with empties dropped.
+    """Vectorized whitespace-run split of a string column with empties
+    dropped — token semantics identical to the oracles' RE2
+    ``\\S+`` (``\\s`` = ``[\\t\\n\\f\\r ]``, no vertical tab, no
+    unicode spaces).
 
     Returns (flat Arrow word array, per-doc word counts). One Arrow
     kernel pass; no per-row Python — keeping the flat array Arrow
-    preserves word_hashes' zero-copy buffer fast path."""
+    preserves word_hashes' zero-copy buffer fast path. Arrow's fast
+    ``ascii_split_whitespace`` also splits on ``\\x0b``; that is the
+    ONLY divergence from RE2, so one SIMD substring scan picks the
+    fast kernel unless a vertical tab is actually present."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    la = pc.split_pattern(arr, " ")
+    if (pc.sum(pc.count_substring(arr, "\x0b")).as_py() or 0) == 0:
+        la = pc.ascii_split_whitespace(arr)
+    else:
+        la = pc.split_pattern_regex(arr, "[\t\n\f\r ]+")
     flat = la.flatten()
     lens = pc.list_value_length(la).fill_null(0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -223,11 +234,14 @@ class _TfidfScorer:
             raise ValueError("term absent from the broadcast DF table")
         idxn = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         dfv = self.dfs[idxn]
-        score = tf * np.log(self.n_docs / dfv)
-        # top-k per doc: ties broken (tf desc, df asc, term asc) —
-        # integer keys, so the order matches the SQL oracle exactly
-        # even when two float scores round identically.
-        order = np.lexsort((self.term_rank[idxn], dfv, -tf, ids))
+        score = duckdb_round(tf * np.log(self.n_docs / dfv), 6)
+        # top-k per doc by the TF-IDF score itself (descending), ties
+        # broken (tf desc, df asc, term asc). Ranking on the ROUNDED
+        # score keeps the order bit-identical to the SQL oracle's
+        # ORDER BY ROUND(...) even when numpy log and DuckDB ln differ
+        # in the last ulp.
+        order = np.lexsort((self.term_rank[idxn], dfv, -tf, -score,
+                            ids))
         ids_s = ids[order]
         starts = np.concatenate([[0], np.flatnonzero(
             ids_s[1:] != ids_s[:-1]) + 1])
@@ -238,7 +252,7 @@ class _TfidfScorer:
             "doc_id": pa.array(ids[keep], pa.int64()),
             "term": terms_col.take(pa.array(keep)),
             "tf": pa.array(tf[keep].astype(np.int64), pa.int64()),
-            "tfidf": pa.array(np.round(score[keep], 6), pa.float64()),
+            "tfidf": pa.array(score[keep], pa.float64()),
         })
 
 
@@ -367,7 +381,7 @@ def dup_ngram_stats(ds, n: int = 5, col: str = "text"):
             .astype(np.int64)
         dup = t.column("n_dup_ngrams").fill_null(0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        frac = np.round(dup / np.maximum(tot, 1), 6)
+        frac = duckdb_round(dup / np.maximum(tot, 1), 6)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_ngrams": pa.array(tot, pa.int64()),

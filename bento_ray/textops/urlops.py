@@ -130,8 +130,10 @@ def domain_stats(ds, col: str = "url", key: str = "domain"):
         return tt.group_by(["domain", "urlh"]).aggregate([])
 
     pairs = parsed.map_batches(_pairs, batch_format="pyarrow")
-    uniq = (dedupe_exact(pairs, ["urlh"], keep="first",
-                         order_cols=["domain"])
+    # dedupe on the (domain, urlh) PAIR: keying on urlh alone would
+    # merge cross-domain 64-bit hash collisions and undercount the
+    # colliding domain's unique_urls
+    uniq = (dedupe_exact(pairs, ["domain", "urlh"], keep="first")
             .groupby("domain").count()
             .map_batches(lambda t: t.rename_columns(
                 ["domain", "unique_urls"]), batch_format="pyarrow"))

@@ -1710,3 +1710,68 @@ def test_bpe_tokenizer_arbitrary_merge_order_matches_sequential():
     t = _BpeTokenizer(adversarial, "w")
     for w in ["abc", "ababc", "cab"]:
         assert t._encode(w) == bpe_encode_word(w, adversarial), w
+
+
+# -------------------------------------------- review-finding regressions
+
+def test_split_words_matches_re2_tokens():
+    """Tokenization is RE2-\\S+ whitespace runs (the oracle
+    convention), not single-space split: tabs/newlines/formfeeds
+    separate tokens, vertical tab does NOT (RE2 \\s excludes it)."""
+    import pyarrow as pa
+
+    from bento_ray.textops.terms import _split_words
+
+    flat, counts = _split_words(pa.array(
+        ["a\tb", "x\ny", " lead  trail ", "keep\x0btogether", "", None]))
+    assert flat.to_pylist() == ["a", "b", "x", "y", "lead", "trail",
+                                "keep\x0btogether"]
+    assert counts.tolist() == [2, 2, 2, 1, 0, 0]
+    # the exact-regex fallback path (corpus containing \x0b elsewhere)
+    flat2, counts2 = _split_words(pa.array(["a\x0bb", "c\td"]))
+    assert flat2.to_pylist() == ["a\x0bb", "c", "d"]
+    assert counts2.tolist() == [1, 2]
+
+
+def test_tfidf_ranks_by_score_not_raw_tf():
+    """A high-tf stopword present in nearly every doc must lose to a
+    lower-tf rare keyword — ranking is by tf*ln(N/df) itself."""
+    import ray as _ray
+
+    from bento_ray.textops.terms import tfidf_top_terms
+
+    docs = [{"doc_id": 0,
+             "text": "the the the the the quantum quantum quantum leap"}]
+    docs += [{"doc_id": i, "text": "the filler words"}
+             for i in range(1, 100)]
+    ds = _ray.data.from_items(docs)
+    out = tfidf_top_terms(ds, k=1).to_pandas()
+    row = out[out.doc_id == 0].iloc[0]
+    # tf(the)=5, df(the)=100 → tfidf 0; tf(quantum)=3, df=1 → ~13.8
+    assert row["term"] == "quantum"
+    assert row["tfidf"] > 10
+
+
+def test_normalize_series_preserves_null():
+    import pyarrow as pa
+
+    from bento_ray.textops.normalize import normalize_series
+
+    out = normalize_series(pa.array(["  A  B ", None, "ÉCOLE"]))
+    assert out.to_pylist() == ["a b", None, "école"]
+
+
+def test_incremental_dedup_pair_hash():
+    import ray as _ray
+
+    from bento_ray.textops.dedup import incremental_dedup
+
+    snap = _ray.data.from_items(
+        [{"doc_id": i, "text": f"snapshot doc {i}"} for i in range(20)])
+    new = _ray.data.from_items(
+        [{"doc_id": 100 + i, "text": f"snapshot doc {i}"}
+         for i in range(5)]
+        + [{"doc_id": 200 + i, "text": f"fresh doc {i}"}
+           for i in range(7)])
+    kept = incremental_dedup(new, snap).to_pandas()
+    assert sorted(kept["doc_id"]) == [200 + i for i in range(7)]
