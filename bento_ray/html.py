@@ -120,10 +120,28 @@ import re as _re
 
 @_functools.lru_cache(maxsize=8)
 def _cdata_close_re(tagname: str):
-    """`</\\s*name` with a name boundary, case-insensitive — exactly
-    what html.parser's cdata mode accepts as a region close."""
-    return _re.compile(r"</\s*" + _re.escape(tagname) + r"(?![a-zA-Z0-9\-:])",
-                       _re.I)
+    """Full ``</\\s*name\\s*>`` end tag, case-insensitive — exactly
+    what html.parser's cdata mode accepts as a region close
+    (parse_endtag requires endtagfind to match; ``</script foo>`` or
+    ``</script/>`` is handled as data and the region continues)."""
+    return _re.compile(r"</\s*" + _re.escape(tagname) + r"\s*>", _re.I)
+
+
+# tagfind_tolerant (html.parser): a tag name is a letter followed by
+# anything that is not whitespace, '/', '>' or NUL — underscores and
+# dots are PART of the name ('<object_x>' is tag 'object_x', not
+# 'object')
+_TAGNAME_STOP = frozenset("\t\n\r\f />\x00")
+
+# endtagfind (html.parser): the well-formed end-tag shape — whitespace
+# allowed around a STRICTER name charset, then '>'
+_ENDTAGFIND = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+
+def _is_ascii_alpha(c: str) -> bool:
+    """starttagopen is ``<[a-zA-Z]`` — Python's str.isalpha also
+    accepts unicode letters, which html.parser does not."""
+    return "a" <= c <= "z" or "A" <= c <= "Z"
 
 
 def _tag_end(s: str, pos: int) -> int:
@@ -148,18 +166,47 @@ def _tag_end(s: str, pos: int) -> int:
 def _fast_strip(html: str) -> str:
     """Single-pass scanner equivalent to the HTMLParser implementation
     (measured ~5× faster — this is the flagship feed tasks' dominant
-    compute). Text segments are entity-decoded individually (decoding
-    the concatenation would merge entities split across removed tags)
-    then Go-escaped once at the end."""
+    compute). One unified state machine mirrors the _Sanitizer exactly:
+    a (skip_tag, depth) pair tracks the open skip-content region, and
+    EVERY construct — comments, declarations, PIs, quote-aware start
+    tags, tolerant end tags, raw-text (cdata) elements — is parsed the
+    same way whether or not a skip region is open, because html.parser
+    keeps tokenizing inside one (a '</title>' inside a nested script's
+    cdata or inside a comment must not close the title region). Text
+    segments are entity-decoded individually (decoding the
+    concatenation would merge entities split across removed tags) then
+    Go-escaped once at the end."""
     import html as _htmlmod
 
     out: list[str] = []
     i, n = 0, len(html)
     find = html.find
+    skip_tag: str | None = None
+    depth = 0
 
     def emit(seg: str) -> None:
-        if seg:
+        # handle_data: dropped while a skip region is open
+        if seg and skip_tag is None:
             out.append(_htmlmod.unescape(seg) if "&" in seg else seg)
+
+    def recover(lt: int) -> int:
+        # An INCOMPLETE construct at EOF is DROPPED — x/net/html
+        # tokenizer semantics (the Go engine this module is
+        # byte-parity with): a truncated comment/tag at end of input
+        # never becomes a text token. html.parser's close() recovery
+        # instead re-emits the tail as data, so strip_html_reference
+        # deliberately diverges on this one class (pinned in
+        # test_fast_scanner_go_tokenizer_edge_cases; fuzz corpora
+        # exclude unterminated-at-EOF constructs for this reason).
+        return n
+
+    def end_tag(name: str) -> None:
+        # handle_endtag bookkeeping
+        nonlocal skip_tag, depth
+        if skip_tag is not None and name == skip_tag:
+            depth -= 1
+            if depth <= 0:
+                skip_tag = None
 
     while i < n:
         lt = find("<", i)
@@ -172,80 +219,73 @@ def _fast_strip(html: str) -> str:
         if nxt == "!":
             if html.startswith("<!--", lt):
                 end = find("-->", lt + 4)
-                i = n if end < 0 else end + 3
+                i = recover(lt) if end < 0 else end + 3
             else:
                 end = find(">", lt + 2)
-                i = n if end < 0 else end + 1
+                i = recover(lt) if end < 0 else end + 1
             continue
         if nxt == "?":
             end = find(">", lt + 2)
-            i = n if end < 0 else end + 1
+            i = recover(lt) if end < 0 else end + 1
             continue
         if nxt == "/":
-            if lt + 2 < n and html[lt + 2].isalpha():
-                end = _tag_end(html, lt + 2)
-            else:
-                # "</" + non-letter → bogus comment until '>' (dropped)
-                end = find(">", lt + 2)
-            i = n if end < 0 else end + 1
+            m = _ENDTAGFIND.match(html, lt)
+            if m:                      # well-formed '</ name >'
+                i = m.end()
+                end_tag(m.group(1).lower())
+                continue
+            if lt + 2 < n and _is_ascii_alpha(html[lt + 2]):
+                # tolerant path: wide name charset, then the first
+                # '>' AFTER the name (NOT quote-aware — parse_endtag
+                # never honours quotes)
+                k = lt + 2
+                while k < n and html[k] not in _TAGNAME_STOP:
+                    k += 1
+                end = find(">", k)
+                if end < 0:
+                    i = recover(lt)
+                    continue
+                i = end + 1
+                end_tag(html[lt + 2:k].lower())
+                continue
+            # '</' + non-letter → bogus comment until '>' (dropped)
+            end = find(">", lt + 2)
+            i = recover(lt) if end < 0 else end + 1
             continue
-        if nxt.isalpha():
-            j = lt + 1
-            k = j
-            while k < n and (html[k].isalnum() or html[k] in "-:"):
+        if _is_ascii_alpha(nxt):
+            k = lt + 1
+            while k < n and html[k] not in _TAGNAME_STOP:
                 k += 1
-            tagname = html[j:k].lower()
-            end = _tag_end(html, k)
+            tagname = html[lt + 1:k].lower()
+            end = _tag_end(html, k)    # quote-aware, like parse_starttag
             if end < 0:
-                i = n
+                i = recover(lt)
                 continue
             self_closing = html[end - 1] == "/"
             i = end + 1
-            if self_closing or tagname not in SKIP_CONTENT_ELEMENTS:
-                continue
-            # skip-content region
+            if self_closing:
+                continue               # handle_startendtag: no-op
+            # handle_starttag bookkeeping
+            if skip_tag is not None:
+                if tagname == skip_tag:
+                    depth += 1
+            elif tagname in SKIP_CONTENT_ELEMENTS:
+                skip_tag = tagname
+                depth = 1
             if tagname in _CDATA_ELEMENTS:
-                # html.parser cdata mode: close on `</\s*name` with a
-                # NAME BOUNDARY — '</scripting>' must not end <script>
+                # raw-text mode: everything to the FULL '</ name >'
+                # end tag is data; that end tag then fires
+                # handle_endtag like any other
                 m = _cdata_close_re(tagname).search(html, i)
                 if not m:
                     i = n
                     continue
-                end = find(">", m.start())
-                i = n if end < 0 else end + 1
-                continue
-            depth = 1
-
-            def _is_name_boundary(pos: int) -> bool:
-                # tag-name chars are alnum plus '-' and ':' (matching
-                # the open-tag scanner above)
-                return pos >= n or not (html[pos].isalnum() or
-                                        html[pos] in "-:")
-
-            while depth and i < n:
-                lt2 = find("<", i)
-                if lt2 < 0:
-                    i = n
-                    break
-                if html.startswith("</", lt2) and \
-                        html[lt2 + 2:lt2 + 2 + len(tagname)].lower() == \
-                        tagname and _is_name_boundary(
-                            lt2 + 2 + len(tagname)):
-                    depth -= 1
-                    end = find(">", lt2)
-                    i = n if end < 0 else end + 1
-                elif html[lt2 + 1:lt2 + 1 + len(tagname)].lower() == \
-                        tagname and _is_name_boundary(
-                            lt2 + 1 + len(tagname)):
-                    end = _tag_end(html, lt2 + 1 + len(tagname))
-                    if end >= 0 and html[end - 1] != "/":
-                        depth += 1
-                    i = n if end < 0 else end + 1
-                else:
-                    i = lt2 + 1
+                i = m.end()
+                end_tag(tagname)
             continue
         # '<' followed by anything else is literal text
-        out.append("<")
+        if skip_tag is None:
+            out.append("<")
         i = lt + 1
 
     return go_escape("".join(out))

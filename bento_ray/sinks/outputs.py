@@ -94,9 +94,13 @@ def switch_output(ds, routes: list[tuple[Callable[[pa.Table], pa.Array], Callabl
                                            batch_format="pyarrow")))
     if default is not None:
         def _unmatched(t: pa.Table) -> pa.Table:
+            if not routes:
+                return t               # no cases: everything defaults
             m = None
             for pred, _ in routes:
-                pm = pred(t)
+                # null predicate results route to default, not into
+                # the void (filter drops nulls on the route side)
+                pm = pc.fill_null(pred(t), False)
                 m = pm if m is None else pc.or_(m, pm)
             return t.filter(pc.invert(m))
         results.append(default(ds.map_batches(_unmatched,
@@ -113,8 +117,11 @@ def round_robin(ds, sinks: list[Callable]):
     """broker round_robin/greedy (output_broker.go:247-253): split the
     stream into len(sinks) disjoint shards, one per sink. Ray's
     ``split`` assigns blocks; per-message alternation is meaningless in
-    a columnar engine — the contract is disjoint near-equal shares."""
-    shards = ds.split(len(sinks), equal=True)
+    a columnar engine — the contract is disjoint near-equal shares
+    that together cover EVERY row (``equal=True`` is documented to
+    DROP the remainder when rows don't divide evenly — an output
+    broker must never lose messages)."""
+    shards = ds.split(len(sinks), equal=False)
     return [sink(shard) for sink, shard in zip(sinks, shards)]
 
 

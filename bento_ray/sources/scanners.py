@@ -28,17 +28,31 @@ def chunker(size: int) -> Scanner:
     return scan
 
 
-def lines() -> Scanner:
-    """scanner_lines.go: newline-delimited. A trailing newline is a
+def lines(custom_delimiter: str | bytes | None = None,
+          omit_empty: bool = False) -> Scanner:
+    """scanner_lines.go: newline-delimited. A trailing delimiter is a
     terminator (no phantom final record); interior empty lines are
-    REAL records (bufio.Scanner emits them)."""
+    REAL records unless ``omit_empty`` (bufio.Scanner emits them).
+    With the default newline delimiter a trailing ``\\r`` is stripped
+    from each record (bufio.ScanLines dropCR — CRLF files yield the
+    same records as LF files). ``custom_delimiter`` switches to a
+    plain split on that byte sequence, exactly like the reference's
+    bufio.SplitFunc override."""
+    delim = (custom_delimiter.encode()
+             if isinstance(custom_delimiter, str) else custom_delimiter)
 
     def scan(data: bytes):
-        if data.endswith(b"\n"):
-            data = data[:-1]
-        if not data:
+        d = delim or b"\n"
+        if data.endswith(d):
+            data = data[:-len(d)]
+        elif not data:
             return
-        yield from data.split(b"\n")
+        for ln in data.split(d):
+            if delim is None and ln.endswith(b"\r"):
+                ln = ln[:-1]
+            if omit_empty and not ln:
+                continue
+            yield ln
 
     return scan
 
@@ -107,6 +121,13 @@ def csv_scanner(delimiter: str = ",") -> Scanner:
             return
         hdr = rows[0]
         for r in rows[1:]:
+            if len(r) != len(hdr):
+                # encoding/csv ErrFieldCount: a row narrower or wider
+                # than the header is a stream error, not a silently
+                # truncated record
+                raise ValueError(
+                    f"csv scanner: record has {len(r)} fields, "
+                    f"header has {len(hdr)}")
             yield json.dumps(dict(zip(hdr, r)),
                              separators=(",", ":")).encode()
 
@@ -288,6 +309,14 @@ def warc() -> Scanner:
             if clen is None:
                 raise ValueError("WARC record missing Content-Length")
             body_start = hdr_end + 4
+            if body_start + clen > n:
+                # a declared Content-Length past EOF means a truncated
+                # .warc — yielding the short slice would hand a
+                # corrupt partial payload downstream with no error
+                raise ValueError(
+                    f"truncated WARC record: Content-Length {clen} "
+                    f"runs {body_start + clen - n} bytes past the "
+                    f"end of the stream")
             yield data[pos:body_start + clen]
             pos = body_start + clen
 
@@ -421,7 +450,8 @@ def build_scanner(cfg) -> Scanner:
     (name, opts), = cfg.items()
     opts = opts or {}
     if name == "lines":
-        return lines()
+        return lines(custom_delimiter=opts.get("custom_delimiter"),
+                     omit_empty=bool(opts.get("omit_empty", False)))
     if name == "chunker":
         return chunker(int(opts["size"]))
     if name == "re_match":

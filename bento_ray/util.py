@@ -26,13 +26,19 @@ def stable_hash(values) -> np.ndarray:
 
 
 def salted_partition(keys, num_partitions: int, salt_bits: int = 0) -> np.ndarray:
-    """Partition id per key: ``hash(key) % P`` with optional salt bits
-    folded in from a second hash round to split hot keys across
-    ``2**salt_bits`` sub-partitions (requires a downstream re-combine
-    pass keyed on the unsalted key)."""
+    """Partition id per key: ``hash(key) % P``; with ``salt_bits`` the
+    ROW POSITION (mod ``2**salt_bits``) is folded into the hash so a
+    hot key's rows spread across up to ``2**salt_bits`` partitions
+    (requires a downstream re-combine pass keyed on the unsalted key).
+    The salt must vary per row — a salt derived from the key hash
+    alone is a pure function of the key and provides zero skew
+    relief."""
     h = stable_hash(keys)
     if salt_bits:
-        h = h ^ (h >> np.uint64(29 + salt_bits))
+        salt = (np.arange(len(h), dtype=np.uint64)
+                & np.uint64((1 << salt_bits) - 1))
+        h = h ^ ((salt + np.uint64(1))
+                 * np.uint64(0x9E3779B97F4A7C15))
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 

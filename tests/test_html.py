@@ -109,3 +109,60 @@ def test_fast_scanner_cdata_and_tagname_boundaries():
 
     for h in cases:
         assert strip_html(h) == strip_html_reference(h), h
+
+
+def test_fast_scanner_parser_parity_third_pass():
+    """Third review pass: tag names include '_' and '.'
+    (tagfind_tolerant), cdata regions close only on the FULL end tag,
+    comments/quote-aware tags are parsed INSIDE skip regions, and
+    nested <script> within a skip region enters cdata mode."""
+    from bento_ray.html import strip_html, strip_html_reference
+
+    cases = [
+        "<object_x>hello</object_x>world",
+        "<title.x>a</title.x>b",
+        "<script>x</script foo>bar</script>tail",
+        "<title><script></title></script>after</title>end",
+        "<title><!--</title>--></title>out",
+        "<title><div title='</title>'></title>visible",
+        "</x=1;<a href=\">\">text",
+        "</ title>after<title>gone</title>kept",
+        "<script>a</scripting>b</script>c",
+    ]
+    for h in cases:
+        assert strip_html(h) == strip_html_reference(h), h
+
+
+def test_fast_scanner_terminated_fuzz():
+    """Randomized parity fuzz over a fragment corpus whose constructs
+    always terminate (unterminated-at-EOF is the documented
+    Go-vs-html.parser divergence class, pinned separately)."""
+    import random
+
+    from bento_ray.html import strip_html, strip_html_reference
+
+    random.seed(1234)
+    frag = ["<p>", "</p>", "<div class='x'>", "</div>", "<script>",
+            "</script>", "</script foo>", "<style>", "</style>",
+            "<title>", "</title>", "<object_x>", "</object_x>",
+            "text ", "&amp;", "&lt;x&gt;", "<!-- c -->",
+            "<!doctype h>", "<?pi?>", "<a href=\">\">", "<br/>",
+            "<select>", "</select>", "</title >", "</title/>",
+            "<sCrIpT>", "</sCrIpT>", "x=1;", "é&#233;", "<é>", "<1>",
+            "</ title>", "<div title=\"</title>\">", "a < b ", "> c"]
+    for _ in range(1500):
+        doc = "".join(random.choices(frag, k=random.randint(1, 14)))
+        assert strip_html(doc) == strip_html_reference(doc), repr(doc)
+
+
+def test_fast_scanner_unterminated_dropped_go_semantics():
+    """x/net/html drops an unterminated construct at EOF (the Go
+    engine is the byte-parity target; html.parser's close() recovery
+    re-emits the tail — the one documented divergence between
+    strip_html and strip_html_reference)."""
+    from bento_ray.html import strip_html
+
+    assert strip_html("keep<div foo=\"bar") == "keep"
+    assert strip_html("keep<!--tail") == "keep"
+    assert strip_html("keep<?pi tail") == "keep"
+    assert strip_html("keep</div") == "keep"

@@ -424,3 +424,100 @@ def test_warc_scanner_bare_lf_padding():
     out = list(warc()(lf_padded))
     assert len(out) == 2
     assert all(o.startswith(b"WARC/1.0") for o in out)
+
+
+# -------------------------------------------- review-finding regressions
+
+def test_round_robin_delivers_every_row(tmp_path):
+    """split(equal=True) silently drops the remainder — the broker
+    must deliver all rows across its shards."""
+    import ray as _ray
+
+    from bento_ray.sinks.outputs import round_robin
+
+    ds = _ray.data.from_items([{"x": i} for i in range(10)]) \
+        .repartition(5)
+    seen = []
+    sinks = [lambda d, _b=b: seen.extend(
+        r["x"] for r in d.take_all()) for b in range(3)]
+    round_robin(ds, sinks)
+    assert sorted(seen) == list(range(10))
+
+
+def test_switch_output_empty_routes_and_null_predicates():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from bento_ray.sinks.outputs import switch_output
+
+    ds = _ray.data.from_items([{"x": 1}, {"x": None}, {"x": 5}])
+    got = {}
+
+    def _sink(name):
+        def s(d):
+            col = d.to_pandas()["x"]
+            got[name] = sorted(-1 if v is None or v != v else v
+                               for v in col)
+        return s
+
+    # empty routes: everything lands on default
+    switch_output(ds, [], default=_sink("default_only"))
+    assert got["default_only"] == [-1, 1, 5]
+    # null predicate results go to default, not into the void
+    switch_output(
+        ds, [(lambda t: pc.greater(t.column("x"), 2), _sink("big"))],
+        default=_sink("rest"))
+    assert got["big"] == [5]
+    assert got["rest"] == [-1, 1]
+
+
+def test_lines_scanner_crlf_and_custom_delimiter():
+    from bento_ray.sources.scanners import build_scanner, lines
+
+    assert list(lines()(b"a\r\nb\r\n")) == [b"a", b"b"]
+    assert list(lines()(b"a\rb\nc")) == [b"a\rb", b"c"]   # interior \r kept
+    assert list(lines()(b"\n")) == [b""]                  # bufio: one empty
+    assert list(lines()(b"")) == []
+    sc = build_scanner({"lines": {"custom_delimiter": "|"}})
+    assert list(sc(b"a|b|c")) == [b"a", b"b", b"c"]
+    sc2 = build_scanner({"lines": {"omit_empty": True}})
+    assert list(sc2(b"a\n\nb\n")) == [b"a", b"b"]
+
+
+def test_csv_scanner_field_count_mismatch_errors():
+    import pytest as _pytest
+
+    from bento_ray.sources.scanners import csv_scanner
+
+    with _pytest.raises(ValueError, match="fields"):
+        list(csv_scanner()(b"a,b\n1\n"))
+    with _pytest.raises(ValueError, match="fields"):
+        list(csv_scanner()(b"a,b\n1,2,3\n"))
+
+
+def test_warc_truncated_payload_raises():
+    import pytest as _pytest
+
+    from bento_ray.sources.scanners import warc
+
+    rec = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+           b"Content-Length: 100\r\n\r\nshort")
+    with _pytest.raises(ValueError, match="truncated WARC record"):
+        list(warc()(rec))
+
+
+def test_salted_partition_spreads_hot_key():
+    import numpy as np
+
+    from bento_ray.util import salted_partition
+
+    import pyarrow as pa
+
+    keys = pa.array(["hot"] * 64 + ["cold"])
+    parts = salted_partition(keys, 16, salt_bits=3)
+    # the hot key's rows must land on more than one partition
+    assert len(np.unique(parts[:64])) > 1
+    # and without salt it stays deterministic single-partition
+    parts0 = salted_partition(keys, 16)
+    assert len(np.unique(parts0[:64])) == 1
