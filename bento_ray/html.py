@@ -229,12 +229,22 @@ def _fast_strip(html: str) -> str:
             i = recover(lt) if end < 0 else end + 1
             continue
         if nxt == "/":
-            m = _ENDTAGFIND.match(html, lt)
-            if m:                      # well-formed '</ name >'
-                i = m.end()
-                end_tag(m.group(1).lower())
-                continue
             if lt + 2 < n and _is_ascii_alpha(html[lt + 2]):
+                # fast path for the overwhelmingly common '</name>' /
+                # '</name >' shape — no regex: strict endtagfind name
+                # charset, optional whitespace, '>'
+                k = lt + 2
+                while k < n and (html[k].isalnum()
+                                 or html[k] in "-.:_"):
+                    k += 1
+                e2 = k
+                while e2 < n and html[e2] in " \t\n\r\f":
+                    e2 += 1
+                if e2 < n and html[e2] == ">":
+                    i = e2 + 1
+                    if skip_tag is not None:   # name only matters
+                        end_tag(html[lt + 2:k].lower())
+                    continue
                 # tolerant path: wide name charset, then the first
                 # '>' AFTER the name (NOT quote-aware — parse_endtag
                 # never honours quotes)
@@ -246,7 +256,14 @@ def _fast_strip(html: str) -> str:
                     i = recover(lt)
                     continue
                 i = end + 1
-                end_tag(html[lt + 2:k].lower())
+                if skip_tag is not None:
+                    end_tag(html[lt + 2:k].lower())
+                continue
+            m = _ENDTAGFIND.match(html, lt)
+            if m:                      # '</ name >' with leading space
+                i = m.end()
+                if skip_tag is not None:
+                    end_tag(m.group(1).lower())
                 continue
             # '</' + non-letter → bogus comment until '>' (dropped)
             end = find(">", lt + 2)
