@@ -66,7 +66,9 @@ def _registrable(hosts: pd.Series) -> pd.Series:
     h = hosts.str.lower().str.split(":").str[0].str.replace(
         r"^www\.", "", regex=True)
     parts = h.str.split(".")
-    nlab = parts.str.len().fillna(0).astype(int)
+    # fillna on the object-dtype length series triggers the pandas
+    # silent-downcasting FutureWarning — go through float explicitly
+    nlab = parts.str.len().astype(float).fillna(0).astype(int)
     last2 = np.where(nlab >= 2,
                      parts.str[-2].fillna("") + "." + parts.str[-1].fillna(""),
                      h.fillna(""))
