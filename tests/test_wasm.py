@@ -500,3 +500,34 @@ def test_runner_console_capture_is_per_message():
 def test_empty_batch_through_processor():
     proc = WasmProcessor(module_bytes=build_uppercase_module())
     assert proc.process_batch([], _rt()) == []
+
+
+def test_multivalue_block_and_loop_params():
+    """Multi-value extension: a block with a function-type signature
+    returns two values through br; a loop with params receives them on
+    each back-edge (the shapes modern toolchains emit)."""
+    from bento_ray.wasmbuild import sleb
+
+    mb = ModuleBuilder()
+    ti = mb.type(["i32", "i32"], ["i32", "i32"])
+    mb.func(["i32", "i32"], ["i32", "i32"], [],
+            I.local_get(1) + I.local_get(0)
+            + b"\x02" + sleb(ti) + I.br(0) + I.end,
+            export="swap")
+    ti2 = mb.type(["i32", "i32"], ["i32"])
+    mb.func(["i32"], ["i32"], ["i32", "i32"],
+            I.i32_const(0) + I.local_get(0)
+            + b"\x03" + sleb(ti2)
+            + I.local_set(1) + I.local_set(2)
+            + I.local_get(1) + I.i32_eqz
+            + I.if_(0x7F)
+            + I.local_get(2)
+            + I.else_
+            + I.local_get(2) + I.local_get(1) + I.i32_add
+            + I.local_get(1) + I.i32_const(1) + I.i32_sub
+            + I.br(1)
+            + I.end + I.end,
+            export="gauss")
+    inst = _inst(mb)
+    assert inst.exports["swap"](3, 9) == (9, 3)
+    assert inst.exports["gauss"](100) == 5050
