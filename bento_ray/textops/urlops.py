@@ -66,9 +66,11 @@ def _registrable(hosts: pd.Series) -> pd.Series:
     h = hosts.str.lower().str.split(":").str[0].str.replace(
         r"^www\.", "", regex=True)
     parts = h.str.split(".")
-    # fillna on the object-dtype length series triggers the pandas
-    # silent-downcasting FutureWarning — go through float explicitly
-    nlab = parts.str.len().astype(float).fillna(0).astype(int)
+    # to_numeric: the length series is object-dtype with pd.NA for
+    # unparseable hosts — a direct astype(float) chokes on NAType and
+    # fillna-on-object trips the pandas silent-downcasting warning
+    nlab = pd.to_numeric(parts.str.len(),
+                         errors="coerce").fillna(0).astype(int)
     last2 = np.where(nlab >= 2,
                      parts.str[-2].fillna("") + "." + parts.str[-1].fillna(""),
                      h.fillna(""))
